@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology (BASELINE.md §3): warm session, per-query wall-clock is the
+median of 3 runs after 1 warm-up; `value` is the sum of per-query
+medians. The heavy quadratic ground-truth query (ngram_jaccard_near_dup)
+and the ML-fit LSH queries are excluded from the headline set — they are
+correctness/recall baselines, not throughput paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from projet5_spark.plans import QUERIES  # noqa: E402
+from projet5_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "join_left_order_counts",
+    "join_anti_customers_without_orders",
+    "join_range_shipped_late",
+    "agg_nation_customer_stats",
+    "rollup_region_nation_balance",
+    "cube_status_priority",
+    "window_top3_customers_per_nation",
+    "window_running_revenue",
+    "window_moving_avg_30d",
+    "sort_topk_orders",
+    "dedup_first_lineitem_per_order",
+    "string_funcs_customer",
+    "date_funcs_orders",
+    "json_extract_event_props",
+    "tumbling_window_event_stats",
+    "session_windows_per_user",
+    "asof_latest_view_before_purchase",
+    "doc_exact_dedup",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_fingerprint_minshingle",
+    "embedding_topk_cosine",
+    "simhash_near_dup",
+]
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    fn = QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        # noop sink executes the full plan without collect/driver transfer
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="projet5-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        queries[name] = round(time_query(spark, name, sf_dir), 4)
+
+    total = round(sum(queries.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_of_median_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Deterministic surrogate keys (reference R11, SURVEY.md §7.4.2).
+
+The reference mints Mongo ``ObjectId``s (migration.py:185, :229) — unique
+but different every run, which breaks differential testing and idempotent
+re-runs. Here the key is a pure function of the natural key:
+``sha2(concat_ws(US, cols), 256)``.
+
+- 256-bit keeps the birthday bound far beyond 100 TB row counts (the
+  hash is also the dedup identity, so collisions would merge entities).
+- ``\\x1f`` (ASCII unit separator) delimits columns so ``("ab","c")``
+  and ``("a","bc")`` hash differently.
+- NULL columns are encoded as an empty string by ``concat_ws`` — callers
+  that must distinguish NULL from '' should coalesce to a sentinel first.
+- Computed JVM-side inside codegen; no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+
+
+def surrogate_key(*cols: Column | str, bits: int = 256) -> Column:
+    """Deterministic hex surrogate key over the natural-key columns."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.sha2(F.concat_ws(_SEP, *[c.cast("string") for c in cs]), bits)
+
+
+def surrogate_key64(*cols: Column | str) -> Column:
+    """64-bit variant (``xxhash64``) — cheaper joins/shuffles when the
+    keyspace is small enough that 64-bit collision odds are acceptable."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(*[c.cast("string") for c in cs])

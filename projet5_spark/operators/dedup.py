@@ -1,0 +1,75 @@
+"""Deduplication operators.
+
+Reference semantics (SURVEY.md §2.1): R7 full-row distinct
+(migration.py:141), R10 keyed dim extraction (:160-187), R13
+first-seen-wins fact dedup (:200-202) — the reference does these with a
+pandas ``drop_duplicates`` and two unbounded driver-side dicts. Here
+every variant is a shuffle-on-key set operation: driver memory is O(1)
+and the work distributes.
+
+Scale notes
+-----------
+- ``dropDuplicates(keys)`` = hash aggregate on the keys: partial
+  map-side combine, shuffle carries distinct keys only.
+- first-seen-wins needs a total order; at scale prefer an explicit
+  ordinal column (ingest sequence) over ``monotonically_increasing_id``
+  (partition-order dependent, not stable across re-reads).
+- For text corpora, exact dedup on a 64/256-bit digest of the content
+  shuffles ~8-32 bytes per row instead of the document body — at 100 TB
+  of text that is the difference between shuffling hashes and shuffling
+  the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyed_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """R10: one arbitrary survivor per key (``dropDuplicates(keys)``).
+    Correct whenever the output only carries key columns (dim
+    extraction) — survivor choice is immaterial."""
+    return df.dropDuplicates(keys)
+
+
+def first_seen_dedup(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """R13: first-seen-wins — keep, per key, the row that is minimal
+    under ``order_by`` (the reference's "first CSV row with that key",
+    migration.py:200-202, made deterministic per SURVEY.md §7.4.3).
+
+    ``row_number`` over (partition by keys, order by ordinal) — one
+    shuffle on the keys; AQE splits skewed key partitions.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact corpus dedup: group rows by content digest, keep the row
+    with the minimal id (deterministic survivor).
+
+    Digest-first means the shuffle key is 32 bytes regardless of
+    document size; the survivor's body is recovered by a self-semi-join
+    pattern folded into one aggregation (min-id per digest, then rejoin
+    is avoided by carrying ``min_by``).
+    """
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__h")
+    )

@@ -1,0 +1,99 @@
+"""Join operators beyond plain ``df.join``.
+
+The reference's only joins are the implicit FK attach (R12,
+migration.py:236 — per-row dict lookup) and the existence anti-check
+(R14 — per-row ``find_one``). Both are plain ``df.join`` here (broadcast
+and left_anti respectively). This module adds the helpers Spark lacks as
+named operators: explicit broadcast, and a scalable **as-of join**.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """R12: FK attach — equi-join fact→dim with the dim side broadcast.
+
+    The fact side never shuffles: each task hash-probes a replicated dim
+    map. At 100 TB this is the only sane plan for dim tables under the
+    broadcast threshold; for larger dims drop the hint and let AQE pick
+    (sort-merge, or runtime-convert back to broadcast if the dim's
+    post-filter size shrinks under the threshold).
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (``<`` when ``strict``) sharing the key.
+
+    ``right_tiebreak``: column that totally orders right rows sharing a
+    timestamp (the greatest one wins) — keeps the result deterministic.
+
+    Implemented with the union+window pattern — NOT a per-left-row range
+    probe: tag both sides, sort each key partition once by time, and
+    carry the most recent right payload forward with
+    ``last(..., ignorenulls=True)``. Cost = one shuffle of (|L|+|R|) rows
+    on the key — the same plan a dedicated time-series engine uses, and
+    it survives arbitrarily many rows per key without a cross product.
+    """
+    right_vals = right_vals or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    payload = F.struct(*[F.col(c) for c in right_vals])
+    tb = (
+        F.col(right_tiebreak).cast("double")
+        if right_tiebreak
+        else F.lit(0.0)
+    )
+
+    l_tag = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
+        "__src", F.lit(1)
+    ).withColumn("__tb", F.lit(None).cast("double")).withColumn(
+        "__payload",
+        F.lit(None).cast(right.select(payload.alias("p")).schema["p"].dataType),
+    )
+    r_tag = (
+        right.select(
+            *on,
+            F.col(right_ts).cast("timestamp").alias("__t"),
+            F.lit(0).alias("__src"),
+            tb.alias("__tb"),
+            payload.alias("__payload"),
+        )
+    )
+    # Align schemas: right side lacks the left columns — fill with NULLs.
+    left_only = [c for c in l_tag.columns if c not in r_tag.columns]
+    for c in left_only:
+        r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    unioned = l_tag.select(*l_tag.columns).unionByName(r_tag.select(*l_tag.columns))
+
+    # At equal timestamps: right rows sort before left for `<=`, after
+    # left for strict `<`; among right rows, the tiebreak orders them so
+    # `last()` picks the greatest.
+    if not strict:
+        order = [F.col("__t").asc(), F.col("__src").asc(), F.col("__tb").asc_nulls_last()]
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    else:
+        order = [F.col("__t").asc(), F.col("__src").desc(), F.col("__tb").asc_nulls_last()]
+        w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("__src") == 1).drop("__t", "__src", "__tb", "__payload")
+    for c in right_vals:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    return out.drop("__match")

@@ -1,0 +1,17 @@
+"""End-to-end plans.
+
+- ``healthcare``: the reference-parity pipeline (SURVEY.md §2.4) —
+  scan → normalize → profile → dedup → dim extraction → surrogate keys →
+  broadcast join-back → first-seen fact dedup → idempotent sink.
+- ``registry`` + ``relational``/``llm``/``events``: the driver-facing
+  query catalog; every entry pairs a DataFrame builder with a DuckDB
+  oracle SQL string (SURVEY.md §5.2).
+"""
+
+from .registry import QUERIES, ORACLE, query
+
+from . import relational  # noqa: E402,F401  (registers queries on import)
+from . import llm  # noqa: E402,F401
+from . import events  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLE", "query"]

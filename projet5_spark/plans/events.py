@@ -1,0 +1,226 @@
+"""Event-table queries: JSON extraction, time windows, sessionization,
+as-of joins (SURVEY.md §2.5 map/JSON + §2.8 batch-equivalent forms).
+
+Every windowed query here is the exact batch equivalent of its
+Structured Streaming form in ``projet5_spark.streaming`` — same
+``F.window``/``F.session_window`` expressions — which is what makes the
+streaming surface oracle-testable (SURVEY.md §5.2).
+
+Timestamps are formatted to whole seconds on output: the fixture's
+``ts`` is nanosecond parquet, Spark truncates to µs, so second-format
+strings are the engine-neutral representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..sources.readers import read_events
+from .registry import gridsum, query, quantize as _q
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@query(
+    "json_extract_event_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           floor((sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0 / count(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 1e4) / 1e4 AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: ``get_json_object`` stays a JVM expression
+    (no UDF); for hot paths at scale prefer ``from_json`` once into a
+    struct column rather than repeated path extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        _q(F.sum(k) / F.count(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "tumbling_window_event_stats",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows (batch form of the streaming aggregation in
+    ``streaming.windows``): ``F.window`` = one hash aggregate keyed on
+    (bucket, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            gridsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_event_counts",
+    oracle=f"""
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           count(*) AS n_events
+    FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                         time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+          FROM events) t
+    GROUP BY ws
+    """,
+)
+def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window, 5 min slide): each event lands in
+    exactly window-size/slide buckets; Spark's ``window`` does the
+    replication inside the expression, the oracle unnests the same two
+    bucket starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "session_windows_per_user",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) in batch via
+    ``F.session_window`` — identical expression to the streaming form.
+    The oracle derives the same sessions with gaps-and-islands SQL;
+    Spark's session end = last event + gap, mirrored in the oracle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            gridsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "asof_latest_view_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           floor((p.value) * 1e2) / 1e2 AS purchase_value,
+           floor(((SELECT v.value FROM events v
+                  WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+                  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1)) * 1e2) / 1e2 AS last_view_value
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_latest_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent prior 'view' to each
+    'purchase' per user. Union+window plan (operators.joins.asof_join):
+    one shuffle on user_id, no per-row probing, no cross product —
+    the 100 TB-safe shape for point-in-time correctness."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", _q("value", 2).alias("purchase_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views.withColumnRenamed("event_id", "view_event_id").withColumnRenamed(
+            "value", "view_value"
+        ),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=["view_value"],
+        right_tiebreak="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        _q("view_value", 2).alias("last_view_value"),
+    )
+
+
+@query(
+    "window_rank_event_value_per_user",
+    oracle="""
+    SELECT user_id, event_id, floor((value) * 1e2) / 1e2 AS value,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rk,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS quartile
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def window_rank_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + ntile in one window pass (same shuffle, two functions)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        _q("value", 2).alias("value"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

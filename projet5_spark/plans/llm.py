@@ -1,0 +1,606 @@
+"""LLM-data-pipeline surface (SURVEY.md §2.7): dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search over embeddings, text
+analysis, multimodal plumbing — over the ``documents`` / ``embeddings``
+fixtures.
+
+Scale design notes (the whole point of this module):
+- **Exact dedup** shuffles a 32-byte digest, never the document body.
+- **Near-dup at 100 TB** is LSH-first: candidate generation via banded
+  MinHash buckets (equi-join on band hash = shuffle on small keys), and
+  exact Jaccard only on candidates. The exact all-pairs form here doubles
+  as the oracle/ground truth at test scale.
+- **ANN**: brute-force cosine is the correctness baseline (broadcast the
+  query set, stream the corpus — no shuffle at all); the scale path is
+  bucketed LSH so each query only scans its buckets.
+- **Everything text-side stays in Catalyst expressions** (split /
+  higher-order transform / aggregate); Python appears only where
+  vectorization genuinely needs it (SimHash bit-packing) and then as an
+  Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.vectors import cosine_similarity, l2_norm
+from ..operators.dedup import exact_text_dedup
+from .registry import query, quantize as _q
+
+_STOPWORDS = ("the", "a")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def _shingles(toks: F.Column) -> F.Column:
+    """Token 3-gram shingles as a native expression: sequence over start
+    positions + element_at — no explode until the caller wants one."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    )
+
+
+# DuckDB-side shingle list (same 3-grams, 1-indexed lists).
+_DUCK_SHINGLES = (
+    "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "FOR i IN range(1, greatest(len(toks)-1, 1))]"
+)
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           min_by(text, doc_id) AS text,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus dedup keyed on sha2(text) — the shuffle carries the
+    digest, not the body (operators.dedup.exact_text_dedup). Oracle
+    groups on the raw text: identical result unless sha256 collides."""
+    return exact_text_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "ngram_jaccard_near_dup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1) t2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           floor((common * 1.0 / (s1.n + s2.n - common)) * 1e4) / 1e4 AS jaccard
+    FROM pairs JOIN sizes s1 ON doc_a = s1.doc_id
+               JOIN sizes s2 ON doc_b = s2.doc_id
+    WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.5
+    """,
+)
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (threshold 0.5; the fixture
+    plants pairs at J≥0.9 over background noise ≤0.07).
+
+    Exact all-pairs via a shingle equi-join — correct and fine at test
+    scale; at 100 TB this is the *verification* stage run only on LSH
+    candidates (see minhash_lsh_near_dup), optionally after dropping
+    shingles with document-frequency above a cap (a frequent-shingle
+    join key is exactly the skew AQE would otherwise have to split).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(_toks()))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n1")
+    s2 = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(s1), "doc_a")
+        .join(F.broadcast(s2), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", _q(jac, 4).alias("jaccard"))
+    )
+
+
+@query("minhash_lsh_near_dup")  # no oracle: LSH hash family is engine-specific
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the 100 TB path: shingle →
+    HashingTF sparse vector → MinHash signatures → banded bucket join
+    (``approxSimilarityJoin``). Seeded, so deterministic across runs;
+    ground-truthed against ngram_jaccard_near_dup in tests.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles(_toks()).alias("sh")).where(
+        F.size("sh") >= 1
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            _q(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+        )
+    )
+
+
+_SIMHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+)
+
+
+@query("simhash_near_dup")  # no oracle: custom 64-bit hash family
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures via an Arrow-batched pandas
+    UDF (bit-packing is the one text op that genuinely wants numpy),
+    then banded self-join on four 16-bit bands — candidates must share a
+    band, turning all-pairs Hamming search into an equi-join. Hamming
+    distance ≤ 3 confirms. Deterministic (md5-derived token hashes).
+    """
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def simhash_batch(it):
+        import hashlib
+
+        for pdf in it:
+            out = []
+            shifts = np.arange(64, dtype=np.uint64)
+            one = np.uint64(1)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                acc = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    )
+                    bits = ((h >> shifts) & one).astype(np.int64)
+                    acc += 2 * bits - 1
+                sig = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                if sig >= 1 << 63:  # two's-complement into int64
+                    sig -= 1 << 64
+                out.append((doc_id, sig))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    sigs = docs.mapInPandas(simhash_batch, schema=_SIMHASH_SCHEMA)
+    # 4 bands of 16 bits: near-identical signatures (hamming<=3) must
+    # collide on at least one band (pigeonhole).
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.where(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           floor((CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                 / len(toks)) * 1e4) / 1e4 AS avg_token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting entirely in expressions — split once, then
+    size/array_distinct/aggregate over the array column."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    total_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        _q(total_len / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           floor((CAST(len(list_filter(toks, t -> t IN {_STOPWORDS})) AS DOUBLE)
+                 / len(toks)) * 1e4) / 1e4 AS stopword_ratio,
+           floor((0.5 * least(n_chars, 500) / 500.0
+                 + 0.5 * (1.0 - CAST(len(list_filter(toks, t -> t IN {_STOPWORDS})) AS DOUBLE)
+                                / len(toks))) * 1e4) / 1e4 AS quality
+    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length + stopword-density), the
+    filter-before-train shape: a pure expression over the token array, so
+    scoring 100 TB is a map-only pass with full codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (
+        1.0 - stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        _q(stop_ratio, 4).alias("stopword_ratio"),
+        _q(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "lang_filter_en_stats",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor((sum(n_chars) * 1.0 / count(n_chars)) * 1e4) / 1e4 AS avg_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def lang_filter_en_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filter + profile: the predicate pushes to the parquet
+    scan (lang is a low-cardinality column — at scale, partition or
+    z-order on it so pruning skips the other languages entirely)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            _q(F.sum("n_chars") / F.count("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query("lang_id_heuristic")  # no oracle: classifier internals engine-specific
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-profile language ID heuristic: score each doc against
+    per-language marker-token sets (expression-only: array intersect
+    sizes), emit the argmax language. The fixture's text is synthetic
+    word-soup, so this demonstrates the *operator shape* (deterministic,
+    vectorized, no UDF); accuracy against the ``lang`` column is
+    reported, not asserted. Rows-only driver check."""
+    docs = _t(spark, sf_dir, "documents")
+    markers = {
+        "en": ("the", "a", "of"),
+        "fr": ("le", "la", "de"),
+        "de": ("der", "die", "das"),
+        "es": ("el", "la", "que"),
+        "zh": ("的", "了", "是"),
+    }
+    toks = F.array_distinct(_toks())
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(m) for m in ms]))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ms in markers.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.getField("lang").alias("predicted_lang"),
+        best.getField("score").cast("long").alias("marker_hits"),
+    )
+
+
+@query(
+    "doc_fingerprint_minshingle",
+    oracle=f"""
+    SELECT doc_id,
+           list_aggregate([sha256(s) FOR s IN {_DUCK_SHINGLES}], 'min') AS fingerprint
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-style): min sha256 over token
+    3-gram shingles. Content-defined, order-robust to suffix edits, and
+    computed without exploding — transform + array_min inside codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.array_min(
+        F.transform(_shingles(_toks()), lambda s: F.sha2(s, 256))
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+)
+
+
+@query(
+    "embedding_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+    sims AS (
+      SELECT q_id, e.vec_id,
+             {_DUCK_DOT.format(a='q_emb', b='e.embedding')}
+               / ({_DUCK_NORM.format(a='q_emb')} * {_DUCK_NORM.format(a='e.embedding')}) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, vec_id, floor((sim) * 1e6) / 1e6 AS sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      FROM sims)
+    SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine — the ANN correctness baseline. The query
+    set broadcasts; the corpus streams map-side (no shuffle of the
+    corpus), then a per-query window takes k. Math is double-accumulated
+    zip_with/aggregate expressions (functions.vectors) — JVM-side, no
+    Python, engine-identical to the oracle's explicit double formula."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        emb.join(F.broadcast(q), emb.vec_id != q.q_id)
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity("q_emb", "embedding").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.select(
+            "q_id",
+            "vec_id",
+            _q("sim", 6).alias("sim"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label, count(*) AS n_vecs,
+           floor((avg({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS avg_norm,
+           floor((min({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS min_norm,
+           floor((max({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    n = l2_norm("embedding")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _q(F.avg(n), 4).alias("avg_norm"),
+        _q(F.min(n), 4).alias("min_norm"),
+        _q(F.max(n), 4).alias("max_norm"),
+    )
+
+
+@query("embedding_ann_lsh")  # no oracle: LSH bucketing is engine-specific
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane bucketing
+    (BucketedRandomProjectionLSH, seeded) — each query probes only its
+    buckets instead of the full corpus. Recall vs the brute-force
+    baseline is measured in tests; rows-only driver check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector("embedding").alias("vec")
+    )
+    q = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(q, emb, 12.0, distCol="dist")
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        pairs.select(
+            F.col("datasetA.q_id").alias("q_id"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            _q("dist", 4).alias("dist"),
+        )
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_bytes_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           upper(hex(substring(text, 1, 8))) AS prefix_hex
+    FROM documents
+    """,
+)
+def multimodal_bytes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling pattern: payloads profiled by byte length /
+    digest / magic-bytes prefix without decoding. Fixture has no real
+    binary column, so the documents' UTF-8 bytes stand in; the plumbing
+    (octet_length, digest, prefix) is exactly what a BinaryType image
+    column gets at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.upper(F.hex(F.substring(F.col("text"), 1, 8))).alias("prefix_hex"),
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("features", ArrayType(LongType())),
+    ]
+)
+
+
+@query("multimodal_decode_features")  # no oracle: decode stub is Spark-side only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract plumbing over ``mapInPandas``.
+
+    STUB DECODER: the real image/audio decode libraries are not in this
+    container, so the "decode" derives deterministic fake dimensions and
+    features from the payload's md5 — but the Spark-side shape is real:
+    BinaryType column in, Arrow batches through Python, typed struct out,
+    partition-parallel. Swapping the stub for PIL/ffmpeg changes only the
+    function body, not the plan.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_batch(it):
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                digest = hashlib.md5(data).digest()
+                # deterministic fake "image" metadata from the digest
+                rows.append(
+                    (
+                        doc_id,
+                        len(data),
+                        64 + digest[0] % 192,  # width
+                        64 + digest[1] % 192,  # height
+                        (1, 3, 4)[digest[2] % 3],  # channels
+                        [int(b) for b in digest[:8]],  # feature vector
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "channels",
+                    "features",
+                ],
+            )
+
+    return docs.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference's runtime is a single-threaded pandas loop
+(migration.py:235-236); here every run goes through one SparkSession
+configured for the execution profile we want at scale:
+
+- **AQE on** (runtime join-strategy switches, skew-join splitting,
+  post-shuffle partition coalescing) so the same declarative plan adapts
+  from the sf0.001 smoke fixture to a 1000-executor 100 TB run.
+- **Arrow on** so the unavoidable Python paths (pandas UDFs,
+  ``applyInPandas``/``mapInPandas``) move columnar batches, not pickled rows.
+- **UTC session timezone** — fixtures carry tz-naive timestamps; pinning
+  the session tz makes wall-clock-derived values (dates, window buckets)
+  deterministic across hosts and match the DuckDB oracle.
+- **Shuffle partitions sized to the box** in local mode; on a real cluster
+  AQE coalescing makes the initial number a ceiling, not a knob to tune
+  per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "projet5-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a real cluster
+    pass the cluster master / rely on spark-submit and only the SQL confs
+    below apply.
+    """
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable determinism confs on a session we didn't build.
+
+    The correctness driver passes us *its* session; session timezone is a
+    runtime SQL conf, so setting it here is safe and makes date/window
+    derivations reproducible (and oracle-comparable) regardless of host tz.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

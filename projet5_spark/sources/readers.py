@@ -1,0 +1,93 @@
+"""Source layer: schema-explicit readers + mechanical column normalization.
+
+Reference semantics covered (SURVEY.md §2.1):
+- R1 CSV scan  — migration.py:130 (``pd.read_csv``): here
+  ``spark.read.csv`` with an *explicit* StructType. Schema inference costs
+  an extra full pass and drifts between runs (SURVEY.md §7.4.4);
+  at 100 TB an inference pass is a non-starter.
+- R2 rename-all projection — migration.py:133
+  (``strip().lower().replace(" ", "_")``) as :func:`normalize_columns`.
+  A pure metadata operation: ``toDF`` rewrites the plan's output names,
+  no job runs.
+
+The analytics fixtures (TESTDATA.md) are Parquet; reads stay fully
+declarative so Catalyst pushes filters and prunes columns down to the
+scan (verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Fixture tables (TESTDATA.md); one parquet file per table under a sf dir.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def norm_name(c: str) -> str:
+    """Mechanical column-name normalization (migration.py:133)."""
+    return c.strip().lower().replace(" ", "_")
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """R2: rename every column via :func:`norm_name` (metadata-only)."""
+    return df.toDF(*[norm_name(c) for c in df.columns])
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """R1: CSV scan. Explicit ``schema`` preferred; ``infer=True`` only for
+    reference-parity experiments (extra pass over the data)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture reader: the file stores nanosecond timestamps,
+    which Spark's parquet reader rejects by default — read them as
+    int64 nanos (``nanosAsLong``, a runtime-settable SQL conf) and
+    convert to the engine's µs TimestampType. Truncation (floor to µs)
+    matches DuckDB's ns→string truncation, so oracles line up."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load fixture tables from ``{sf_dir}/{name}.parquet``.
+
+    Plans built on these stay lazy; loading all ten is free until an
+    action runs, and each query's plan only scans the tables it uses.
+    """
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

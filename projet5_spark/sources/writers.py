@@ -1,0 +1,81 @@
+"""Sink layer: batch writes + idempotent (anti-join) appends.
+
+Reference semantics covered (SURVEY.md §2.1):
+- R15 document insert — migration.py:185/:229 did one ``insert_one`` RPC
+  per row; here a single batch ``df.write`` (the per-row network term of
+  SURVEY.md §2.2 disappears structurally).
+- R16 sink truncate — migration.py:124-127 ``col.drop()`` →
+  ``mode("overwrite")``.
+- R14 existence anti-check — migration.py:179-183/:205-212 probed the
+  target per row (``find_one``); :func:`append_if_absent` replaces that
+  with one **left-anti join** of the new batch against the existing
+  table on the natural key.
+- R17 index creation — migration.py:80-103: Spark has no secondary
+  indexes; the physical-layout analog (SURVEY.md §4.3) is
+  ``partitionBy`` (partition pruning) + ``sortWithinPartitions``
+  (row-group/min-max skipping inside Parquet).
+
+Scale posture: writers never collect; layout args exist so a 100 TB
+table lands partitioned on its pruning key with clustered sort order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_within_by: list[str] | None = None,
+    desc: bool = False,
+) -> None:
+    """Batch Parquet write with optional layout.
+
+    ``partition_by`` → directory-level partition pruning on read.
+    ``sort_within_by`` mirrors the reference's compound index with a DESC
+    component (migration.py:98-103): sorted row groups give min/max-stat
+    skipping for range predicates on the sort key.
+    """
+    if sort_within_by:
+        keys = [F.desc(c) if desc else F.asc(c) for c in sort_within_by]
+        df = df.sortWithinPartitions(*keys)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_if_absent(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> int:
+    """R14: idempotent append — insert only rows whose natural key is not
+    already present at ``path``. Returns the number of rows appended.
+
+    One anti-join instead of O(rows) point lookups. The existing side is
+    pruned to the key columns before the join, so at scale the probe side
+    reads only the key bytes from Parquet (column pruning) and AQE
+    broadcasts it when small.
+    """
+    try:
+        existing = spark.read.parquet(path).select(*key_cols)
+    except Exception:  # target doesn't exist yet -> plain write
+        new.write.mode("overwrite").parquet(path)
+        return new.count()
+    to_insert = new.join(existing, on=key_cols, how="left_anti")
+    # Cache: the frame is both written and counted; without it the
+    # anti-join would run twice.
+    to_insert.persist()
+    try:
+        n = to_insert.count()
+        if n:
+            to_insert.write.mode("append").parquet(path)
+    finally:
+        to_insert.unpersist()
+    return n

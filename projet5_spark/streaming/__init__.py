@@ -1,0 +1,15 @@
+from .windows import (
+    stream_events,
+    streaming_tumbling_stats,
+    streaming_session_windows,
+    streaming_dedup,
+    run_to_completion,
+)
+
+__all__ = [
+    "stream_events",
+    "streaming_tumbling_stats",
+    "streaming_session_windows",
+    "streaming_dedup",
+    "run_to_completion",
+]

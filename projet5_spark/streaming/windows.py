@@ -1,0 +1,122 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference is pure batch; this module is the engine's streaming
+extension over the ``events`` fixture replayed as a file stream. Each
+transformation is the SAME expression as its batch twin in
+``plans.events`` — that equivalence is the correctness strategy for
+statefulness (SURVEY.md §7.4.6): run both, compare (tests).
+
+Scale/ops posture:
+- every stateful op carries a **watermark** so state is bounded and late
+  data has defined semantics (drop after the horizon);
+- windowed aggregates shuffle on (window, key) exactly like their batch
+  forms — AQE doesn't apply, so ``spark.sql.shuffle.partitions`` is the
+  state-store partition count: size it once for the cluster, it cannot
+  change across restarts of a stateful query;
+- file-replay source here; swap for Kafka by changing only
+  ``stream_events``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: on-disk schema: ts is int64 nanoseconds (see sources.readers.read_events)
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """events fixture as a file-replay stream (explicit schema — a
+    streaming source cannot infer). ns→µs conversion mirrors the batch
+    reader so streaming and batch twins see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def streaming_tumbling_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """10-minute tumbling counts/sums per event_type — batch twin:
+    plans.events.tumbling_window_event_stats."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_windows(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """30-minute-gap session windows per user — batch twin:
+    plans.events.session_windows_per_user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact-once dedup on event_id within the watermark horizon
+    — the streaming form of R7/R13: state holds only keys younger than
+    the watermark, so memory is bounded by rate × horizon, not history."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive a file-replay streaming query until the source is exhausted
+    and return the collected sink as a (batch) DataFrame via the memory
+    sink. Test harness helper — real deployments use a real sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
