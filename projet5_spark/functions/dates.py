@@ -14,11 +14,13 @@ from pyspark.sql import functions as F
 
 def parse_date(col: Column | str, fmt: str | None = None) -> Column:
     """R9: string → DateType (day-granular per the ER diagram,
-    SURVEY.md §7.4.5). NULL-safe: bad input → NULL, never an error."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c, F.lit(fmt)).cast("date") if fmt else F.to_date(c)
+    SURVEY.md §7.4.5). NULL-safe via ``try_to_timestamp``: bad input →
+    NULL, never an error — under Spark 4's default ANSI mode the plain
+    ``to_date`` throws instead (pandas ``errors='coerce'`` parity needs
+    the try_ variant)."""
+    return parse_timestamp(col, fmt).cast("date")
 
 
 def parse_timestamp(col: Column | str, fmt: str | None = None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.to_timestamp(c)
+    return F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.try_to_timestamp(c)

@@ -47,10 +47,13 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     streaming source cannot infer). ns→µs conversion mirrors the batch
     reader so streaming and batch twins see identical timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter down to the
+    # events table so the other fixture files in sf_dir are not picked up
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 

@@ -1,0 +1,118 @@
+"""Unit tests for operators that the oracle battery exercises only
+indirectly: as-of join edges, first-seen dedup, profile ops, vector
+math, LSH recall vs exact ground truth."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from projet5_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from projet5_spark.operators.dedup import exact_text_dedup, first_seen_dedup
+from projet5_spark.operators.joins import asof_join
+from projet5_spark.operators.profile import duplicate_count, null_profile
+
+
+def test_asof_join_basic_and_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "l1"),
+            (1, "2024-01-01 12:00:00", "l2"),
+            (2, "2024-01-01 09:00:00", "l3"),  # before any right row
+            (3, "2024-01-01 09:00:00", "l4"),  # key with no right rows
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 10.0),
+            (1, "2024-01-01 11:00:00", 20.0),
+            (2, "2024-01-01 09:00:00", 30.0),  # equal timestamp
+        ],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_vals=["v"]
+        ).collect()
+    }
+    assert out == {"l1": 10.0, "l2": 20.0, "l3": 30.0, "l4": None}
+
+    strict = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_vals=["v"], strict=True,
+        ).collect()
+    }
+    # strict `<`: the equal-timestamp right row no longer matches l3
+    assert strict["l3"] is None and strict["l1"] == 10.0
+
+
+def test_asof_join_tiebreak(spark):
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1, 100.0), (1, "2024-01-01 09:00:00", 2, 200.0)],
+        ["k", "ts", "seq", "v"],
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_vals=["v"], right_tiebreak="seq",
+    ).collect()
+    assert out[0]["v"] == 200.0  # greatest tiebreak wins
+
+
+def test_first_seen_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")], ["k", "ord", "val"]
+    )
+    out = {r["k"]: r["val"] for r in first_seen_dedup(df, ["k"], [F.col("ord")]).collect()}
+    assert out == {1: "a", 2: "z"}
+
+
+def test_profile_ops(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b=None), Row(a=1, b=None), Row(a=2, b="x")]
+    )
+    nulls = null_profile(df).collect()[0]
+    assert nulls["a"] == 0 and nulls["b"] == 2
+    assert duplicate_count(df).collect()[0]["dup_rows"] == 1
+
+
+def test_exact_text_dedup_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], ["doc_id", "text"]
+    )
+    out = {r["text"]: (r["doc_id"], r["dup_count"]) for r in exact_text_dedup(df).collect()}
+    assert out == {"same": (1, 2), "other": (2, 1)}
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], ["a", "b"])
+    r = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()[0]
+    assert r["d"] == 18.0 and r["na"] == 3.0
+    assert math.isclose(r["cos"], 1.0, abs_tol=1e-12)
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover every exact near-dup pair (J>=0.5) —
+    recall 1.0 expected at 8 hash tables on the planted near-dups."""
+    from projet5_spark.plans.llm import minhash_lsh_near_dup, ngram_jaccard_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_near_dup(spark, sf).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_near_dup(spark, sf).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    missed = exact - approx
+    assert not missed, f"LSH missed {missed}"

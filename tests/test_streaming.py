@@ -1,0 +1,50 @@
+"""Streaming correctness via batch equivalence (SURVEY.md §2.8/§7.4.6):
+the same window expressions run as a file-replay stream and as batch
+must produce identical results once the stream is exhausted."""
+
+from __future__ import annotations
+
+import pytest
+
+from projet5_spark.plans.events import (
+    session_windows_per_user,
+    tumbling_window_event_stats,
+)
+from projet5_spark.streaming import (
+    run_to_completion,
+    stream_events,
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_fn,qname",
+    [
+        (streaming_tumbling_stats, tumbling_window_event_stats, "t_tumbling"),
+        (streaming_session_windows, session_windows_per_user, "t_session"),
+    ],
+)
+def test_stream_batch_equivalence(spark, stream_fn, batch_fn, qname):
+    stream = stream_events(spark, SF)
+    got = run_to_completion(stream_fn(stream), qname, output_mode="complete")
+    want = batch_fn(spark, SF)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _norm(got.select(*sorted(got.columns))) == _norm(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_streaming_dedup_removes_nothing_on_unique_ids(spark):
+    stream = stream_events(spark, SF)
+    got = run_to_completion(streaming_dedup(stream), "t_dedup", output_mode="append")
+    from projet5_spark.sources.readers import read_events
+
+    assert got.count() == read_events(spark, SF).count()
