@@ -1000,3 +1000,74 @@ def pivot_customers_segment_by_region(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)))
         .na.fill(0, regions)
     )
+
+
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+           translate(p_type, 'AEO', 'aeo') AS type_translated,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           rpad(p_brand, 12, '.') AS brand_rpadded,
+           reverse(p_name) AS name_rev,
+           split_part(p_name, ' ', 2) AS second_word,
+           CAST(strpos(p_name, 'e') AS INT) AS first_e,
+           left(p_name, 3) AS name_left,
+           right(p_name, 3) AS name_right,
+           CASE WHEN starts_with(p_type, 'PRO') THEN 1 ELSE 0 END AS is_promo
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function battery (regexp/translate/pad/split_part/
+    position) — all JVM expressions inside one codegen stage."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.translate("p_type", "AEO", "aeo").alias("type_translated"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpadded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr("p_name", "e").alias("first_e"),
+        F.substring("p_name", 1, 3).alias("name_left"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_right"),
+        F.when(F.col("p_type").startswith("PRO"), 1).otherwise(0).alias("is_promo"),
+    )
+
+
+@query(
+    "date_funcs2_orders",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           (CAST(year(o_orderdate) AS INT) - 1995) * 12 + CAST(month(o_orderdate) AS INT) - 1
+             AS months_since_95,
+           strftime(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1),
+                    '%Y-%m-%d') AS month_floor,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def date_funcs2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date battery: month arithmetic (clamping add_months),
+    ISO week / day-of-year, month index, make_date, epoch seconds
+    (deterministic because the session timezone is pinned UTC and the
+    fixture timestamps are tz-naive)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1).alias("months_since_95"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+        ).alias("month_floor"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+    )

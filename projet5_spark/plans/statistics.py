@@ -1,0 +1,345 @@
+"""Statistical & shape operators (SURVEY.md §2.5 extensions): exact
+percentiles, variance/correlation on the exact grid, arg-max, mode,
+histograms, sorted array aggregation, unpivot, pagination.
+
+Variance/correlation note: the built-in ``stddev``/``corr`` accumulate
+doubles in partition order — not reproducible across engines. Here the
+moments (Σx, Σx², Σxy) are summed exactly as grid integers
+(registry.gridsum rationale) and the closed-form formulas run on those
+exact sums, so both engines see bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, quantize as _q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_CENTS = "CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)"
+
+
+@query(
+    "stats_percentiles_acctbal",
+    oracle="""
+    SELECT c_mktsegment,
+           floor((quantile_cont(c_acctbal, 0.25)) * 1e4) / 1e4 AS p25,
+           floor((quantile_cont(c_acctbal, 0.5))  * 1e4) / 1e4 AS median,
+           floor((quantile_cont(c_acctbal, 0.75)) * 1e4) / 1e4 AS p75
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stats_percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (``percentile``, not the sketch
+    ``percentile_approx``) — matches SQL ``quantile_cont``. At 100 TB
+    you'd trade this for the t-digest sketch; exact is the oracle."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        _q(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
+        _q(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median"),
+        _q(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "stats_variance_acctbal",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           floor(((CAST(sum({_CENTS} * {_CENTS}) AS DOUBLE)
+                   - CAST(sum({_CENTS}) AS DOUBLE) * CAST(sum({_CENTS}) AS DOUBLE) / count(*))
+                  / (count(*) - 1) / 1e4) * 1e4) / 1e4 AS var_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stats_variance_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact integer moments: Σc and Σc² summed as
+    BIGINT (order-independent), closed form evaluated in double."""
+    cust = _t(spark, sf_dir, "customer")
+    c = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
+    s1 = F.sum(c).cast("double")
+    s2 = F.sum(c * c).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1) / 1e4
+    return cust.groupBy("c_mktsegment").agg(
+        n.alias("n"), _q(var, 4).alias("var_bal")
+    )
+
+
+@query(
+    "stats_corr_price_qty",
+    oracle="""
+    SELECT floor((
+      (count(*) * CAST(sum(cx * cy) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cy) AS DOUBLE))
+      / sqrt((count(*) * CAST(sum(cx * cx) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cx) AS DOUBLE))
+           * (count(*) * CAST(sum(cy * cy) AS DOUBLE) - CAST(sum(cy) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)))
+      ) * 1e6) / 1e6 AS corr_price_qty
+    FROM (SELECT CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) AS cx,
+                 CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT) AS cy
+          FROM lineitem) t
+    """,
+)
+def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact integer moments (same rationale as
+    variance; built-in ``corr`` is summation-order-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cx = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    cy = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    t = li.select(cx.alias("cx"), cy.alias("cy"))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("cx").cast("double"), F.sum("cy").cast("double")
+    sxx = F.sum(F.col("cx") * F.col("cx")).cast("double")
+    syy = F.sum(F.col("cy") * F.col("cy")).cast("double")
+    sxy = F.sum(F.col("cx") * F.col("cy")).cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return t.agg(_q(corr, 6).alias("corr_price_qty"))
+
+
+@query(
+    "argmax_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_order,
+           floor((o_totalprice) * 1e2) / 1e2 AS best_price
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max with a deterministic composite ordering key: ``max_by``
+    over (price, orderkey) — one aggregate, no window, no self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "best_order"
+        ),
+        _q(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@query(
+    "mode_priority_per_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+    WHERE rn = 1
+    """,
+)
+def mode_priority_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with an explicit tie-break (smallest value wins) — the
+    built-in ``mode()`` leaves ties engine-defined."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           floor((min(o_totalprice)) * 1e2) / 1e2 AS lo,
+           floor((max(o_totalprice)) * 1e2) / 1e2 AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: binning is a pure projection → the
+    aggregate shuffles only (bucket, partial counts)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _q(F.min("o_totalprice"), 2).alias("lo"),
+        _q(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "collect_sorted_custkeys",
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(c_custkey, ',' ORDER BY c_custkey) AS custkeys
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def collect_sorted_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order: collect → sort →
+    join to one string (unordered collect_list output is never exposed
+    raw)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("c_custkey"))), ","
+            ).alias("custkeys")
+        )
+    )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS DOUBLE) AS n_customers,
+             floor((sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)) / 1e2) * 1e2) / 1e2 AS sum_bal,
+             floor((max(c_acctbal)) * 1e2) / 1e2 AS max_bal
+      FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey, metric, value
+    FROM m UNPIVOT (value FOR metric IN (n_customers, sum_bal, max_bal))
+    """,
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): the inverse of pivot, one output row
+    per (key, metric)."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    m = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        _q(F.sum(cents) / 100.0, 2).alias("sum_bal"),
+        _q(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return m.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "sum_bal", "max_bal"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "pagination_orders_page3",
+    oracle="""
+    SELECT o_orderkey, floor((o_totalprice) * 1e2) / 1e2 AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 30
+    """,
+)
+def pagination_orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination: total order + offset + limit."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(30)
+        .limit(15)
+        .select("o_orderkey", _q(F.col("o_totalprice"), 2).alias("o_totalprice"))
+    )
+
+
+@query(
+    "window_percent_rank_suppliers",
+    oracle="""
+    SELECT s_suppkey,
+           floor((percent_rank() OVER w) * 1e6) / 1e6 AS pr,
+           floor((cume_dist() OVER w) * 1e6) / 1e6 AS cd,
+           nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+                                         ORDER BY s_acctbal DESC, s_suppkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_best
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supp.select(
+        "s_suppkey",
+        _q(F.percent_rank().over(w), 6).alias("pr"),
+        _q(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("second_best"),
+    )
+
+
+@query(
+    "bool_agg_customer_flags",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(bool_or(o_totalprice > 300000), false) AS has_big_order,
+           coalesce(bool_and(o_orderstatus = 'F'), false) AS all_finished
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def bool_agg_customer_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (ANY/ALL over a group)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.bool_or(F.col("o_totalprice") > 300000), F.lit(False)).alias(
+                "has_big_order"
+            ),
+            F.coalesce(F.bool_and(F.col("o_orderstatus") == "F"), F.lit(False)).alias(
+                "all_finished"
+            ),
+        )
+    )
+
+
+@query(
+    "selfjoin_multi_supplier_parts",
+    oracle="""
+    SELECT a.l_orderkey AS orderkey, a.l_partkey AS partkey, count(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey
+         AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_orderkey, a.l_partkey
+    """,
+)
+def selfjoin_multi_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join on a compound key: same (order, part) supplied by two
+    different suppliers — shuffle once on the compound key, pair within
+    groups."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_orderkey").alias("orderkey"),
+            F.col("a.l_partkey").alias("partkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
