@@ -1,0 +1,392 @@
+"""TPC-H-shaped batch 3 (adapted to the fixture star schema — no
+partsupp table, so Q2/Q9/Q11/Q20 variants are reformulated over the
+available joins) + map/array/null-semantics scalar batteries.
+
+Each query keeps the canonical TPC-H *plan shape* (the thing worth
+benchmarking): Q7 two-nation volume join, Q12 shipmode case-count,
+Q13 distribution of counts, Q14 conditional revenue share, Q16
+supplier-part distinct counting, Q17 avg-quantity correlated filter,
+Q19 disjunctive predicate pushdown, Q22 anti-join + global scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import gridsum, query, quantize as _q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@query(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           sum(CAST(floor((volume) * 1e4 + 0.5) AS BIGINT)) / 1e4 AS revenue
+    FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS yr,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                        JOIN orders   ON o_orderkey = l_orderkey
+                        JOIN customer ON c_custkey = o_custkey
+                        JOIN nation sn ON s_nationkey = sn.n_nationkey
+                        JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))) t
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: same dim table joined twice under different roles
+    (supplier nation vs customer nation) + disjunctive cross-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year(F.col("l_shipdate").cast("date")).alias("yr"))
+        .agg(gridsum(li.l_extendedprice * (1 - li.l_discount), 4).alias("revenue"))
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional counting (CASE inside SUM — one
+    pass, no second aggregate)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: aggregate of an aggregate (distribution of per-key
+    counts), left join with a join-side residual predicate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT floor((100.0 * sum(CAST(floor((CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 1e4 + 0.5) AS BIGINT))
+                 / sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT))) * 1e6) / 1e6
+             AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional revenue ratio in a single aggregate —
+    both numerator and denominator on the exact integer grid so the
+    ratio is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    cents = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            _q(100.0 * F.sum(cents(promo_rev)) / F.sum(cents(rev)), 6).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+@query(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-count per composite group with IN-list and
+    inequality pushdown on the dim side."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT floor((sum(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) / 1e2 / 7.0) * 1e4) / 1e4
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated aggregate subquery → per-key average join.
+    The per-part average materializes once (one shuffle on partkey) and
+    re-joins; quantities are integral so the avg threshold is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    per_part_avg = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("long")) / F.count("l_quantity")).alias("avg_qty")
+    ).withColumnRenamed("l_partkey", "pp_key")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("pp_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(_q(F.sum(cents) / 100.0 / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) / 1e4
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: three-way disjunctive predicate spanning both join
+    sides — Catalyst extracts the common join key and keeps the
+    disjunction as a residual filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            gridsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           sum(CAST(floor((c_acctbal) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)) / 1e2
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: global scalar aggregate threshold + anti-join, then
+    grouped totals — three operators, two of them shuffle-free
+    (broadcast scalar, broadcast anti side at sf)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    avg_pos = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg((F.avg(cents) / 100.0).alias("thr"))
+    )
+    pending = orders.where(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("thr"))
+        .join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            gridsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Map / array / null-semantics scalar batteries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "map_funcs_event_props",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+    FROM events
+    """,
+)
+def map_funcs_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → typed map column, then map functions (size/keys/lookup).
+    ``from_json`` parses once; downstream access is map ops, not
+    repeated path extraction."""
+    from ..sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.when(F.map_contains_key(m, "k"), 1).otherwise(0).alias("has_k"),
+    )
+
+
+@query(
+    "array_funcs_doc_tokens",
+    oracle="""
+    SELECT doc_id,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           CAST(len(toks) AS INT) AS n_toks,
+           array_to_string(list_sort(list_distinct(toks))[1:5], '|') AS first5_sorted,
+           CAST(list_position(toks, 'spark') AS INT) AS spark_pos,
+           CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS has_spark,
+           array_to_string(list_reverse_sort(list_distinct(toks))[1:3], '|') AS top3_rev
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    """,
+)
+def array_funcs_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar battery: index access, slice, sort, distinct,
+    position, containment — array outputs serialized to strings so the
+    oracle compare stays type-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|").alias(
+            "first5_sorted"
+        ),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+        F.array_join(
+            F.slice(F.reverse(F.array_sort(F.array_distinct(toks))), 1, 3), "|"
+        ).alias("top3_rev"),
+    )
+
+
+@query(
+    "null_semantics_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END
+             AS was_p,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+           CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 'final' ELSE 'other' END
+             AS nullsafe_label,
+           ifnull(NULL, o_orderpriority) AS priority_filled
+    FROM orders
+    """,
+)
+def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: nullif / null-safe equality (<=>) /
+    coalesce / ifnull — three-valued logic made explicit."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.nullif("o_orderstatus", F.lit("P")).eqNullSafe(F.lit(None).cast("string")), 1)
+        .otherwise(0)
+        .alias("was_p"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.when(F.col("o_orderstatus").eqNullSafe("F"), "final")
+        .otherwise("other")
+        .alias("nullsafe_label"),
+        F.ifnull(F.lit(None).cast("string"), F.col("o_orderpriority")).alias(
+            "priority_filled"
+        ),
+    )
