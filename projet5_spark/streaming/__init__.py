@@ -5,6 +5,7 @@ from .windows import (
     streaming_dedup,
     run_to_completion,
 )
+from .joins import purchase_view_join
 
 __all__ = [
     "stream_events",
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_session_windows",
     "streaming_dedup",
     "run_to_completion",
+    "purchase_view_join",
 ]

@@ -1,0 +1,90 @@
+"""Physical-plan audits (the 100 TB posture checks): predicates reach
+the parquet scan, projections prune columns, dims broadcast, top-k
+compiles to TakeOrdered / WindowGroupLimit — asserted on the explain
+output so a regression in plan shape fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from projet5_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q06_full_predicate_pushdown(spark):
+    plan = plan_of(spark, "q06_forecast_revenue")
+    assert "PushedFilters:" in plan
+    # every predicate column reaches the scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q01_column_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    # untouched columns must not be read
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in schema_lines[0], f"{col} read but unused"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_shipping_priority", "q05_region_revenue", "q10_returned_items"],
+)
+def test_star_joins_broadcast(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to SMJ"
+
+
+def test_anti_join_is_hash_not_nlj(spark):
+    plan = plan_of(spark, "join_anti_customers_without_orders")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_keeps_equi_hash(spark):
+    """The theta conjunct must stay a residual on a hash join, not
+    degrade the whole join to a nested loop."""
+    plan = plan_of(spark, "join_range_shipped_late")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "sort_topk_orders")
+    assert "TakeOrderedAndProject" in plan, "LIMIT+ORDER compiled to full sort"
+
+
+def test_grouped_topk_uses_window_group_limit(spark):
+    plan = plan_of(spark, "window_top3_customers_per_nation")
+    assert "WindowGroupLimit" in plan, "rank filter not pushed below shuffle"
+
+
+def test_q01_whole_stage_codegen(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    assert "WholeStageCodegen" in out and "Found" in out
+
+
+def test_scalar_subquery_not_recomputed_per_row(spark):
+    plan = plan_of(spark, "scalar_subquery_above_avg")
+    assert "Subquery" in plan or "ReusedSubquery" in plan
+    assert "CartesianProduct" not in plan

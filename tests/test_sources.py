@@ -1,0 +1,71 @@
+"""Source/sink coverage (SURVEY.md §2.5 scans): CSV and JSON readers
+with explicit schemas produce the same relation as the parquet
+original; column normalization is metadata-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from projet5_spark.sources.readers import norm_name, normalize_columns, read_csv
+
+CUSTOMER_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+)
+
+
+def _agg(df):
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("bal_cents"),
+            F.count_distinct("c_mktsegment").alias("segs"),
+        ).collect()[0]
+    )
+
+
+def test_csv_roundtrip_matches_parquet(spark, tmp_path):
+    pq = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "cust_csv")
+    pq.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=CUSTOMER_SCHEMA)
+    assert back.schema == CUSTOMER_SCHEMA
+    assert tuple(_agg(back)) == tuple(_agg(pq))
+
+
+def test_json_roundtrip_matches_parquet(spark, tmp_path):
+    pq = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "cust_json")
+    pq.write.json(path)
+    back = spark.read.schema(CUSTOMER_SCHEMA).json(path)
+    assert tuple(_agg(back)) == tuple(_agg(pq))
+
+
+def test_normalize_columns_is_metadata_only(spark):
+    df = spark.createDataFrame([(1, "x")], ["  Mixed Case Col ", "Other Col"])
+    out = normalize_columns(df)
+    assert out.columns == ["mixed_case_col", "other_col"]
+    assert norm_name(" A B ") == "a_b"
+
+
+def test_csv_infer_mode_runs(spark, tmp_path):
+    pq = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    path = str(tmp_path / "region_csv")
+    pq.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, infer=True)
+    assert back.count() == pq.count()
+    assert set(back.columns) == set(pq.columns)

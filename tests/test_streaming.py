@@ -42,6 +42,22 @@ def test_stream_batch_equivalence(spark, stream_fn, batch_fn, qname):
     )
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream self-join must equal the same join run
+    in batch once the replay is exhausted."""
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.joins import purchase_view_join
+
+    stream = stream_events(spark, SF)
+    got = run_to_completion(
+        purchase_view_join(stream), "t_ssjoin", output_mode="append"
+    )
+    want = purchase_view_join(read_events(spark, SF))
+    assert _norm(got.select(*sorted(got.columns))) == _norm(
+        want.select(*sorted(want.columns))
+    )
+
+
 def test_streaming_dedup_removes_nothing_on_unique_ids(spark):
     stream = stream_events(spark, SF)
     got = run_to_completion(streaming_dedup(stream), "t_dedup", output_mode="append")
