@@ -51,6 +51,24 @@ def first_seen_dedup(
     )
 
 
+def first_seen_dedup_agg(
+    df: DataFrame, keys: list[str], order_cols: list[str]
+) -> DataFrame:
+    """R13 via aggregation instead of a window: ``min_by(struct(all
+    columns), struct(order))`` — one hash aggregate with map-side
+    partial min, no per-partition sort, no row_number materialization.
+
+    Equivalent to :func:`first_seen_dedup` whenever ``order_cols``
+    totally order rows within a key (struct comparison is
+    lexicographic). Prefer this at scale: the shuffle carries one
+    candidate row per key per mapper instead of every row.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    agg = df.groupBy(*keys).agg(F.min_by(payload, order).alias("__row"))
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
 def exact_text_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

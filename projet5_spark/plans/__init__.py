@@ -14,6 +14,7 @@ from . import relational  # noqa: E402,F401  (registers queries on import)
 from . import llm  # noqa: E402,F401
 from . import statistics  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
+from . import series  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 

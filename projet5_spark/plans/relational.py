@@ -800,18 +800,14 @@ def dedup_first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFram
     """R13 generalized: deterministic first-seen-wins dedup — the
     survivor is minimal under an explicit order (l_linenumber), not
     "whatever partition won the race"."""
-    from ..operators.dedup import first_seen_dedup
+    from ..operators.dedup import first_seen_dedup_agg
 
     li = _t(spark, sf_dir, "lineitem")
     # fixture's (orderkey, linenumber) is non-unique → extend the order
-    # until it totally orders rows within a key (determinism, §7.4.3)
-    order = [
-        F.col("l_linenumber"),
-        F.col("l_partkey"),
-        F.col("l_suppkey"),
-        F.col("l_extendedprice"),
-    ]
-    return first_seen_dedup(li, ["l_orderkey"], order).select(
+    # until it totally orders rows within a key (determinism, §7.4.3).
+    # min_by-aggregate form: map-side partial min, no window sort.
+    order = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    return first_seen_dedup_agg(li, ["l_orderkey"], order).select(
         "l_orderkey", "l_partkey", _D2(F.col("l_quantity")).alias("l_quantity")
     )
 

@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.8): a per-user running profile the built-in aggregations
+can't express incrementally (count + sum + max gap between consecutive
+events), maintained in explicit GroupState.
+
+Scale/ops notes:
+- state is per-group (user) and bounded: four scalars per user;
+- a processing-time timeout would evict idle users in a production
+  deployment (kept NoTimeout here so the batch-equivalence test is
+  exact);
+- output mode "update": one refreshed profile row per user per
+  micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_gap_seconds", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("max_gap_us", LongType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold this micro-batch's events for one user into running state.
+
+    Values accumulate as integer cents / microseconds so re-ordering
+    across micro-batches cannot drift the totals (same rationale as
+    registry.gridsum).
+    """
+    (user_id,) = key
+    if state.exists:
+        n, sum_cents, last_ts_us, max_gap_us = state.get
+    else:
+        n, sum_cents, last_ts_us, max_gap_us = 0, 0, None, 0
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_ts_us is not None:
+                max_gap_us = max(max_gap_us, ts_us - last_ts_us)
+            last_ts_us = ts_us
+            n += 1
+            sum_cents += int(value * 100 + 0.5)
+
+    state.update((n, sum_cents, last_ts_us, max_gap_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [sum_cents / 100.0],
+            "max_gap_seconds": [max_gap_us / 1e6],
+        }
+    )
+
+
+def streaming_user_profiles(events: DataFrame) -> DataFrame:
+    """Arbitrary-stateful per-user profile over the events stream."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_user_profiles(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`streaming_user_profiles` (correctness
+    oracle): same profile computed with window + aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    gaps = events.select(
+        "user_id",
+        "value",
+        (us - F.lag(us).over(w)).alias("gap_us"),  # integer µs: exact
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+        (F.coalesce(F.max("gap_us"), F.lit(0)) / 1e6).alias("max_gap_seconds"),
+    )

@@ -101,6 +101,20 @@ def test_vector_math(spark):
     assert math.isclose(r["cos"], 1.0, abs_tol=1e-12)
 
 
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 over 16 cells must recover most of the exact
+    top-5 (recall floor 0.6 at fixture scale — the point is the plan
+    shape; recall tuning is nprobe/ncells policy)."""
+    from projet5_spark.plans.llm import embedding_topk_cosine
+    from projet5_spark.plans.series import embedding_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r["q_id"], r["vec_id"]) for r in embedding_topk_cosine(spark, sf).collect()}
+    approx = {(r["q_id"], r["vec_id"]) for r in embedding_ann_ivf(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_minhash_recall_vs_exact(spark):
     """LSH candidates must recover every exact near-dup pair (J>=0.5) —
     recall 1.0 expected at 8 hash tables on the planted near-dups."""

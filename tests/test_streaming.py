@@ -58,6 +58,25 @@ def test_stream_stream_join_matches_batch(spark):
     )
 
 
+def test_stateful_user_profiles_match_batch(spark):
+    """applyInPandasWithState per-user profile must equal the batch
+    window+aggregate twin after the replay completes."""
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.stateful import (
+        batch_user_profiles,
+        streaming_user_profiles,
+    )
+
+    stream = stream_events(spark, SF)
+    got = run_to_completion(
+        streaming_user_profiles(stream), "t_stateful", output_mode="update"
+    )
+    want = batch_user_profiles(read_events(spark, SF))
+    assert _norm(got.select(*sorted(got.columns))) == _norm(
+        want.select(*sorted(want.columns))
+    )
+
+
 def test_streaming_dedup_removes_nothing_on_unique_ids(spark):
     stream = stream_events(spark, SF)
     got = run_to_completion(streaming_dedup(stream), "t_dedup", output_mode="append")
