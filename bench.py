@@ -55,6 +55,20 @@ HEADLINE = [
     "doc_fingerprint_minshingle",
     "embedding_topk_cosine",
     "simhash_near_dup",
+    "q07_volume_shipping",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue_share",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "stats_percentiles_acctbal",
+    "stats_variance_acctbal",
+    "argmax_order_per_customer",
+    "series_monthly_orders_gapfill",
+    "tfidf_top_terms",
+    "udf_pandas_quality_score",
+    "sql_cte_nation_revenue_rank",
+    "sql_correlated_max_order",
 ]
 
 

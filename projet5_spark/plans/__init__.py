@@ -15,6 +15,7 @@ from . import llm  # noqa: E402,F401
 from . import statistics  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import series  # noqa: E402,F401
+from . import text_ml  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 

@@ -1,0 +1,156 @@
+"""Batch 5: TF-IDF, generator-with-ordinality, and the Python-function
+surface (SURVEY.md §2.6) — scalar UDF, vectorized pandas UDF, grouped-agg
+pandas UDF — each oracle-paired where the math is engine-neutral.
+
+UDF doctrine: the catalog's hot paths are expressions; these queries
+exist to prove the UDF *machinery* (registration, Arrow batching,
+grouped aggregation) against the same differential gate as everything
+else. The pandas UDFs compute pure IEEE-double formulas, so DuckDB
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 1e6) / 1e6 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, end to end in relational ops:
+    token explode → tf aggregate → df aggregate (broadcast back) →
+    score → grouped top-k. The idf factor is ln(N/df) on exact integer
+    counts — engine-identical doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: fixture-sized; at scale use a broadcast agg
+    tfidf = F.floor(
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))) * 1e6
+    ) / 1e6
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", tfidf.alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "posexplode_tokens_ordinal",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+           unnest(toks) AS term
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+    WHERE doc_id < 20
+    """,
+)
+def posexplode_tokens_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with ordinality: posexplode ↔ UNNEST WITH ORDINALITY
+    (0- vs 1-based aligned explicitly)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    )
+
+
+@query(
+    "udf_pandas_quality_score",
+    oracle="""
+    SELECT doc_id,
+           floor((0.5 * least(n_chars, 500) / 500.0
+                  + 0.5 * (1.0 / (1.0 + exp(-(n_chars - 250.0) / 100.0)))) * 1e6) / 1e6
+             AS quality
+    FROM documents
+    """,
+)
+def udf_pandas_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) scalar pandas UDF: a length+sigmoid
+    quality score computed in numpy. Same IEEE double formula as the
+    oracle → bit-identical; demonstrates the 10-100×-faster-than-row-UDF
+    path for when Python math is genuinely needed."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def quality(n_chars: pd.Series) -> pd.Series:
+        x = n_chars.to_numpy(dtype="float64")
+        score = 0.5 * np.minimum(x, 500.0) / 500.0 + 0.5 * (
+            1.0 / (1.0 + np.exp(-(x - 250.0) / 100.0))
+        )
+        return pd.Series(np.floor(score * 1e6) / 1e6)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality("n_chars").alias("quality"))
+
+
+@query(
+    "udf_grouped_agg_mean_chars",
+    oracle="""
+    SELECT lang,
+           floor((sum(n_chars) * 1.0 / count(n_chars)) * 1e6) / 1e6 AS mean_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udf_grouped_agg_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF analog): exact integer sum
+    in numpy then one division — order-independent, so oracle-safe."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def mean_chars(n_chars: pd.Series) -> float:
+        x = n_chars.to_numpy(dtype="int64")
+        return float(np.floor((x.sum() / float(len(x))) * 1e6) / 1e6)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(mean_chars("n_chars").alias("mean_chars"))
+
+
+@query("udf_python_title_case")  # no oracle: Python .title() has no DuckDB twin
+def udf_python_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered deliberately as the
+    anti-pattern exhibit (SURVEY.md §2.6): correct, but each row crosses
+    the JVM↔Python pickle boundary. The expression-based
+    functions.strings.title_case is the production path; their
+    equivalence is asserted in tests."""
+
+    @F.udf("string")
+    def py_title(s: str) -> str | None:
+        return s.title() if s is not None else None
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return docs.select("doc_id", py_title(F.col("text")).alias("title_text"))
