@@ -27,6 +27,36 @@ def broadcast_join(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side's key with a random
+    shard in [0, salt), replicate the dim side across all shards, join
+    on (key, shard).
+
+    When one key holds a disproportionate share of the fact rows, a
+    plain shuffle sends that whole key to one reducer; salting spreads
+    it over ``salt`` reducers at the cost of replicating the (small)
+    dim ``salt``×. AQE's skew-join splitting covers many cases
+    automatically — this is the explicit tool for when it can't (e.g.
+    aggregation-after-join keyed on the same skewed column).
+    """
+    salted_fact = fact.withColumn(
+        "__shard", (F.rand(seed=42) * salt).cast("int")
+    )
+    shards = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(salt).select(F.col("id").cast("int").alias("__shard"))
+        )
+    )
+    out = salted_fact.join(shards, on=[on, "__shard"], how=how)
+    return out.drop("__shard")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

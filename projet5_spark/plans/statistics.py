@@ -81,17 +81,21 @@ def stats_variance_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
       / sqrt((count(*) * CAST(sum(cx * cx) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cx) AS DOUBLE))
            * (count(*) * CAST(sum(cy * cy) AS DOUBLE) - CAST(sum(cy) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)))
       ) * 1e6) / 1e6 AS corr_price_qty
-    FROM (SELECT CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) AS cx,
-                 CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT) AS cy
+    FROM (SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS cx,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS cy
           FROM lineitem) t
     """,
 )
 def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from exact integer moments (same rationale as
-    variance; built-in ``corr`` is summation-order-dependent)."""
+    variance; built-in ``corr`` is summation-order-dependent).
+
+    Moments use whole dollars/units, not cents: correlation is
+    scale-invariant and Σx² on the cents grid would overflow BIGINT
+    under ANSI checking at sf≥0.1 (5e7² × 6e5 rows ≈ 1.5e21)."""
     li = _t(spark, sf_dir, "lineitem")
-    cx = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
-    cy = F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5)).cast("long")
+    cx = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
+    cy = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     t = li.select(cx.alias("cx"), cy.alias("cy"))
     n = F.count(F.lit(1))
     sx, sy = F.sum("cx").cast("double"), F.sum("cy").cast("double")

@@ -49,6 +49,44 @@ def write_parquet(
     writer.parquet(path)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> tuple[int, int]:
+    """SCD-1 merge onto a parquet table: rows whose key exists are
+    replaced by the new version, unseen keys are inserted. Returns
+    (updated, inserted) counts.
+
+    Plan: one anti-join (surviving old rows) + union with the new batch,
+    written to a staging path then swapped — the parquet-only stand-in
+    for ``MERGE INTO`` (a Delta/Iceberg table would make the swap
+    transactional; the dataflow is identical). The new batch must be
+    unique on ``key_cols``.
+    """
+    import shutil
+    import uuid
+
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        new.write.mode("overwrite").parquet(path)
+        return 0, new.count()
+
+    survivors = existing.join(new.select(*key_cols), on=key_cols, how="left_anti")
+    n_old = existing.count()
+    n_surv = survivors.count()
+    updated = n_old - n_surv
+    inserted = new.count() - updated
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    survivors.unionByName(new).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return updated, inserted
+
+
 def append_if_absent(
     spark: SparkSession,
     new: DataFrame,

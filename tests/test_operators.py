@@ -130,3 +130,36 @@ def test_minhash_recall_vs_exact(spark):
     assert exact, "fixture should contain planted near-dups"
     missed = exact - approx
     assert not missed, f"LSH missed {missed}"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantically invisible — same result set as the
+    plain equi-join, inner and left."""
+    from projet5_spark.operators.joins import salted_join
+
+    fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "k", how).select("o_orderkey", "c_name")
+        salted = salted_join(fact, dim, "k", how).select("o_orderkey", "c_name")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
+def test_merge_upsert(spark, tmp_path):
+    from projet5_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    upd, ins = merge_upsert(spark, base, path, ["k"])
+    assert (upd, ins) == (0, 3)
+    batch = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    upd, ins = merge_upsert(spark, batch, path, ["k"])
+    assert (upd, ins) == (1, 1)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}

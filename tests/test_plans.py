@@ -9,6 +9,7 @@ import io
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from projet5_spark.plans import QUERIES
 
@@ -88,3 +89,59 @@ def test_scalar_subquery_not_recomputed_per_row(spark):
     plan = plan_of(spark, "scalar_subquery_above_avg")
     assert "Subquery" in plan or "ReusedSubquery" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """partitionBy layout must yield PartitionFilters (directory-level
+    pruning), not a data filter over a full scan."""
+    from projet5_spark.sources.writers import write_parquet
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["status"])
+    back = spark.read.parquet(path).where(F.col("status") == "F")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "status" in pf_line
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key co-locate: the sort-merge
+    join runs without an Exchange on either side."""
+    fact = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    dim = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_name")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    fact.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    dim.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    # force the sort-merge path (broadcast would win at fixture size and
+    # bucketing is about avoiding the SMJ shuffle)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join still shuffles:\n" + plan
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
