@@ -48,7 +48,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        # one shuffle partition per core: at local/bench scale more just
+        # adds task-scheduling overhead (measured ~10% slower at 2×);
+        # on a cluster AQE coalescing makes this a ceiling, so size it
+        # to total executor cores there.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
