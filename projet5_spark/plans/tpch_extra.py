@@ -390,3 +390,140 @@ def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_filled"
         ),
     )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT) AS v,
+             sn.n_name AS supp_nation
+      FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation sn ON s_nationkey = sn.n_nationkey)
+    SELECT yr,
+           floor((sum(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1.0
+                  / sum(v)) * 1e6) / 1e6 AS mkt_share
+    FROM vol GROUP BY yr
+    """,
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of total volume per year —
+    conditional-sum ratio on the exact grid, single aggregate pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    v = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0 + F.lit(0.5)
+    ).cast("long")
+    vol = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            v.alias("v"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    share = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(0)) / F.sum("v")
+    return vol.groupBy("yr").agg(_q(share, 6).alias("mkt_share"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) / 1e4
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: derived revenue view + global-max filter (the
+    classic view-based query, as a reused subplan)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        gridsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the hardest TPC-H join topology — a fact self-semi
+    join AND a correlated self-anti join on the same key with a theta
+    residual. Expressed as two self-joins (left_semi, left_anti) over
+    the late-lineitem base; all three lineitem scans prune to 4 columns.
+    """
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
+        F.col("l_shipdate").alias("sd"),
+    )
+    # some other supplier contributed to the order
+    semi = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("ok")) & (F.col("l_suppkey") != F.col("sk")),
+        "left_semi",
+    )
+    # ...but no other supplier was ALSO late on it
+    anti = semi.join(
+        other,
+        (F.col("l_orderkey") == F.col("ok"))
+        & (F.col("l_suppkey") != F.col("sk"))
+        & (F.col("sd") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return (
+        anti.join(F.broadcast(supp), anti.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
