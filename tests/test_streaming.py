@@ -83,3 +83,37 @@ def test_streaming_dedup_removes_nothing_on_unique_ids(spark):
     from projet5_spark.sources.readers import read_events
 
     assert got.count() == read_events(spark, SF).count()
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Multi-batch ingestion lands every event exactly once, and a full
+    replay (fresh checkpoint) inserts nothing new."""
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.sinks import stream_to_parquet_idempotent
+    from projet5_spark.streaming.windows import EVENTS_FILE_SCHEMA
+
+    import pyspark.sql.functions as F
+
+    # split events into 4 files so the stream runs 4 micro-batches
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(src)
+    expected = read_events(spark, SF).count()
+
+    def ingest(checkpoint: str):
+        raw = (
+            spark.readStream.schema(EVENTS_FILE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        )
+        out = str(tmp_path / "out")
+        q = stream_to_parquet_idempotent(raw, out, ["event_id"], checkpoint)
+        q.awaitTermination(120)
+        return out
+
+    out = ingest(str(tmp_path / "ck1"))
+    assert spark.read.parquet(out).count() == expected
+    # replay from scratch: idempotence absorbs every duplicate batch
+    ingest(str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == expected
