@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import parse_date
 from ..functions.keys import surrogate_key
 from ..functions.strings import normalize_name
-from ..operators.dedup import first_seen_dedup
+from ..operators.dedup import first_seen_dedup, first_seen_dedup_agg
 from ..sources.readers import normalize_columns
 
 #: patients natural key — migration.py:160-165
@@ -69,7 +69,13 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
         ordinal_col = "__ord"
         df = df.withColumn(ordinal_col, F.monotonically_increasing_id())
 
-    df = df.dropDuplicates([c for c in df.columns if c != ordinal_col])  # R7 :141
+    # R7 :141 — full-row dedup keeping the FIRST occurrence's ordinal
+    # (pandas drop_duplicates keeps first; a plain dropDuplicates keeps
+    # an arbitrary copy, whose ordinal could then win a later
+    # first-seen admission tie it shouldn't)
+    df = first_seen_dedup_agg(
+        df, [c for c in df.columns if c != ordinal_col], [ordinal_col]
+    )
 
     typed = (
         df.withColumn("name", normalize_name("name"))  # R8 :51-63, :160
