@@ -1,0 +1,71 @@
+"""Iterative graph operators: connected components by min-label
+propagation — the clustering step of near-duplicate dedup (every doc in
+a near-dup cluster collapses to one representative).
+
+Iterative algorithms are where declarative-only engines stop; Spark's
+loop-outside-the-plan idiom covers them: each round is a join+aggregate
+(fully optimized by Catalyst), the driver only checks convergence. For
+bounded-diameter graphs (near-dup clusters are small cliques), rounds ≈
+cluster diameter. At 100 TB the per-round shuffle is keyed on node id —
+the same partitioning every round, so with persisted labels the shuffle
+of the (static) edge table is the only recurring cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    Returns ``(node, component)`` where component = the minimum node id
+    reachable from ``node``. Deterministic. Nodes = every endpoint in
+    ``edges`` (isolated nodes are trivially their own component — add
+    them downstream if needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    prev_cached: DataFrame | None = None
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -690,3 +690,90 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1) t2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b
+      FROM pairs JOIN sizes s1 ON doc_a = s1.doc_id
+                 JOIN sizes s2 ON doc_b = s2.doc_id
+      WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.5),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach AS (
+      SELECT DISTINCT a, a AS b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    )
+    SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard edges (≥0.5) → connected components
+    by iterative min-label propagation (operators.graph) — every doc in
+    a cluster maps to the cluster's minimum doc_id as representative.
+
+    The oracle computes the same components with a recursive-CTE
+    transitive closure; equality proves the iterative loop converged to
+    the true components. This is the "collapse near-dup clusters to one
+    exemplar" step of a training-data dedup pipeline.
+    """
+    from ..operators.graph import connected_components
+
+    edges = ngram_jaccard_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, "src", "dst")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
+@query(
+    "training_set_selection",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             0.5 * least(n_chars, 500) / 500.0
+             + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                                 t -> t IN {_STOPWORDS})) AS DOUBLE)
+                            / len(string_split(text, ' '))) AS q
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM scored
+    WHERE lang IN ('en', 'de') AND q >= 0.55
+    GROUP BY text
+    """,
+)
+def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection: language filter + quality
+    threshold + exact dedup keeping the lowest doc_id — the composed
+    filter-then-dedup pass of a data pipeline, one declarative plan
+    (filters reach the scan; dedup is one digest-keyed aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    q = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (1.0 - stop_ratio)
+    return (
+        docs.where(F.col("lang").isin("en", "de"))
+        .where(q >= 0.55)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("text")
+        .select("doc_id", "n_copies")
+    )
