@@ -69,6 +69,14 @@ HEADLINE = [
     "udf_pandas_quality_score",
     "sql_cte_nation_revenue_rank",
     "sql_correlated_max_order",
+    "q08_market_share",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    "token_count_bpe_regex",
+    "training_set_selection",
+    # near_dup_clusters excluded: iterative (multi-action convergence
+    # loop) — correctness-gated against the recursive-CTE oracle, but
+    # not a single-plan throughput path
 ]
 
 

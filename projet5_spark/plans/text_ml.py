@@ -154,3 +154,31 @@ def udf_python_title_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     return docs.select("doc_id", py_title(F.col("text")).alias("title_text"))
+
+
+@query(
+    "token_count_bpe_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+             AS bpe_ish_tokens,
+           floor((CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS DOUBLE)
+                  * 1.3) * 1e2) / 1e2 AS est_llm_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letter runs | single digits | other symbols — the GPT-2
+    pre-tokenizer shape), plus the standard ×1.3 LLM-token estimate.
+    Both are scan-local expressions: costing a corpus is one map pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+        (F.floor(bpe.cast("double") * 1.3 * 100.0) / 100.0).alias("est_llm_tokens"),
+    )
