@@ -117,3 +117,91 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     # replay from scratch: idempotence absorbs every duplicate batch
     ingest(str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == expected
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    from projet5_spark.plans.events import sliding_window_event_counts
+    from pyspark.sql import functions as F
+
+    stream = stream_events(spark, SF)
+    got = run_to_completion(
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        ),
+        "t_sliding",
+        output_mode="complete",
+    )
+    want = sliding_window_event_counts(spark, SF)
+    assert _norm(got) == _norm(want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """End-to-end late-data semantics: an event arriving after the
+    watermark horizon must NOT appear in the appended window output."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # file mtimes order the micro-batches
+
+    # batch 1: on-time events up to 12:00 → watermark advances to 11:00
+    write_file(
+        [
+            (1, "2024-01-01 10:00:00", 1, 1.0),
+            (2, "2024-01-01 10:05:00", 1, 1.0),
+            (3, "2024-01-01 12:00:00", 1, 1.0),
+        ],
+        "b1",
+    )
+    ck = str(tmp_path / "ck")
+
+    def run_round(qname):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("w.start", "HH:mm").alias("w0"), "n")
+        )
+        rows = []
+
+        def sink(batch_df, _id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)  # watermark survives rounds
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["w0"]: r["n"] for r in rows}
+
+    # round 1: only the on-time file exists → watermark commits at 11:00
+    out1 = run_round("t_late1")
+    # round 2 (same checkpoint): the 08:00 event is now an hour behind
+    # the committed watermark → must be dropped
+    write_file(
+        [
+            (4, "2024-01-01 08:00:00", 1, 99.0),
+            (5, "2024-01-01 12:10:00", 1, 1.0),
+        ],
+        "b2",
+    )
+    out2 = run_round("t_late2")
+    windows = {**out1, **out2}
+    assert "08:00" not in windows, f"late event leaked into {windows}"
+    assert windows.get("10:00") == 2
