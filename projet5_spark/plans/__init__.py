@@ -17,6 +17,7 @@ from . import tpch_extra  # noqa: E402,F401
 from . import series  # noqa: E402,F401
 from . import text_ml  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
