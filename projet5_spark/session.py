@@ -71,11 +71,24 @@ def get_spark(
 
 
 def ensure_utc(spark: SparkSession) -> SparkSession:
-    """Pin runtime-settable determinism confs on a session we didn't build.
+    """Pin runtime-settable determinism + perf confs on a session we
+    didn't build.
 
     The correctness driver passes us *its* session; session timezone is a
     runtime SQL conf, so setting it here is safe and makes date/window
     derivations reproducible (and oracle-comparable) regardless of host tz.
+
+    Perf confs are touched only when still at Spark's stock defaults
+    (i.e. nobody tuned them deliberately): 200 shuffle partitions on a
+    local box means hundreds of near-empty tasks per stage for our
+    fixture-scale shuffles — correctness is unaffected either way, the
+    wall-clock difference is ~2-5× on join-dense queries.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return spark
