@@ -1,12 +1,21 @@
-from .readers import load_tables, normalize_columns, read_csv, read_parquet, TABLES
-from .writers import write_parquet, append_if_absent
+from .readers import (
+    TABLES,
+    load_tables,
+    normalize_columns,
+    read_csv,
+    read_events,
+    read_parquet,
+)
+from .writers import append_if_absent, merge_upsert, write_parquet
 
 __all__ = [
     "TABLES",
     "load_tables",
     "normalize_columns",
     "read_csv",
+    "read_events",
     "read_parquet",
     "write_parquet",
     "append_if_absent",
+    "merge_upsert",
 ]

@@ -6,6 +6,8 @@ from .windows import (
     run_to_completion,
 )
 from .joins import purchase_view_join
+from .sinks import stream_to_parquet_idempotent
+from .stateful import batch_user_profiles, streaming_user_profiles
 
 __all__ = [
     "stream_events",
@@ -14,4 +16,7 @@ __all__ = [
     "streaming_dedup",
     "run_to_completion",
     "purchase_view_join",
+    "stream_to_parquet_idempotent",
+    "streaming_user_profiles",
+    "batch_user_profiles",
 ]
