@@ -1067,3 +1067,74 @@ def date_funcs2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("month_floor"),
         F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
     )
+
+
+@query(
+    "set_intersect_all_linestatus",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_linestatus = 'F'
+    INTERSECT ALL
+    SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O'
+    """,
+)
+def set_intersect_all_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (bag semantics: min multiplicity per
+    value) — the per-occurrence counterpart of the set ops above."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linestatus") == "F").select(F.col("l_returnflag").alias("flag"))
+    b = li.where(F.col("l_linestatus") == "O").select(F.col("l_returnflag").alias("flag"))
+    return a.intersectAll(b)
+
+
+@query(
+    "cross_join_region_pairs",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (all unordered region pairs) — legitimate
+    only for provably tiny sides; anything larger is a plan bug."""
+    region = _t(spark, sf_dir, "region")
+    a = region.select(F.col("r_name").alias("region_a"))
+    b = region.select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).where(F.col("region_a") < F.col("region_b"))
+
+
+@query(
+    "ilike_case_insensitive_filter",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name ILIKE '%RING%' OR lower(p_type) = 'promo'
+    """,
+)
+def ilike_case_insensitive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive matching (ilike + lower-normalized equality)."""
+    part = _t(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_name").ilike("%RING%") | (F.lower("p_type") == "promo")
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "range_source_generated",
+    oracle="""
+    SELECT CAST(r % 10 AS BIGINT) AS bucket,
+           CAST(sum(r) AS BIGINT) AS total,
+           count(*) AS n
+    FROM (SELECT unnest(range(0, 100000)) AS r) t
+    GROUP BY bucket
+    """,
+)
+def range_source_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-data source: spark.range is the zero-IO table generator
+    (parallel, partitioned) — the right way to synthesize keys/calendars
+    at scale, never a driver-side loop."""
+    return (
+        spark.range(0, 100000)
+        .groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(F.sum("id").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
