@@ -224,3 +224,19 @@ def window_rank_event_value_per_user(spark: SparkSession, sf_dir: str) -> DataFr
         F.rank().over(w).cast("long").alias("rk"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "map_explode_event_props",
+    oracle="""
+    SELECT event_id, k AS key, CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events) t
+    """,
+)
+def map_explode_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map explode: parse the JSON props once into a typed map, then one
+    row per entry — the generic flatten for semi-structured payloads
+    with unknown key sets."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select("event_id", F.explode(m).alias("key", "value"))

@@ -69,3 +69,35 @@ def test_csv_infer_mode_runs(spark, tmp_path):
     back = read_csv(spark, path, infer=True)
     assert back.count() == pq.count()
     assert set(back.columns) == set(pq.columns)
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    pq = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    path = str(tmp_path / "cust_orc")
+    pq.write.orc(path)
+    back = spark.read.orc(path)
+    assert tuple(_agg(back)) == tuple(_agg(pq))
+
+
+def test_text_source_line_counts(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_txt")
+    docs.select("text").write.text(path)
+    back = spark.read.text(path)
+    assert back.count() == docs.count()
+    # whole-corpus token mass survives the text round-trip
+    toks = back.select(F.explode(F.split("value", " "))).count()
+    want = docs.select(F.explode(F.split("text", " "))).count()
+    assert toks == want
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source: the ingestion path for opaque media payloads
+    (images/audio) — path + length + raw bytes per file."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "blobs")
+    docs.limit(5).select("text").write.text(path)
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+    assert back.count() >= 1
+    row = back.select("length", "content").first()
+    assert row["length"] == len(row["content"])
