@@ -1138,3 +1138,48 @@ def range_source_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("id") % 10).alias("bucket"))
         .agg(F.sum("id").alias("total"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "join_full_outer_nation_coverage",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(DISTINCT s.s_suppkey) AS n_suppliers
+    FROM customer c FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY nationkey
+    """,
+)
+def join_full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations covered by customers, suppliers, or
+    either — unmatched sides survive as NULLs and the coalesced key
+    reunifies them."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey")
+    ).agg(
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.count_distinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_right_orders_all_customers",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_orders_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (the mirrored left join — kept as its own
+    surface entry since the checklist names it)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
