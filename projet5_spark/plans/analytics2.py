@@ -44,13 +44,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen week, counted in
     each subsequent week they were active. firsts is a per-user
-    aggregate (broadcast back); activity dedups (user, week) pairs
-    before the final distinct count."""
+    aggregate — one row per user, so it scales with the user base; no
+    broadcast hint (AQE upgrades when small). activity dedups
+    (user, week) pairs before the final distinct count."""
     ev = _t(spark, sf_dir, "events")
     week = F.window("ts", "7 days").start
     firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -151,8 +152,8 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("l_quantity") * F.col("l_tax") * 100.0
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
         .agg(gridsum(profit, 4).alias("profit"))
@@ -185,7 +186,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%ring%"))
     qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     per_supp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(qty).alias("q"))
     )
@@ -193,7 +194,7 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = per_supp.join(F.broadcast(thr)).where(F.col("q") > F.col("thr"))
     supp = _t(spark, sf_dir, "supplier")
     return supp.join(
-        F.broadcast(heavy.select("l_suppkey")),
+        heavy.select("l_suppkey"),
         supp.s_suppkey == F.col("l_suppkey"),
         "left_semi",
     ).select("s_suppkey", "s_name")

@@ -175,8 +175,8 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        pairs.join(F.broadcast(s1), "doc_a")
-        .join(F.broadcast(s2), "doc_b")
+        pairs.join(s1, "doc_a")
+        .join(s2, "doc_b")
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", _q(jac, 4).alias("jaccard"))
     )

@@ -111,12 +111,14 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → broadcast → agg → top-k.
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
 
-    customer (filtered) broadcasts into orders, the joined result
-    broadcasts/AQE-joins into lineitem; the only full shuffle is the
-    final per-order aggregate. Top-k is totally ordered (revenue,
-    orderkey) so the LIMIT is deterministic.
+    customer (filtered) and orders both scale with SF, so neither side
+    gets a broadcast hint — AQE converts to broadcast at runtime when a
+    side is actually small, and falls back to shuffled hash join at
+    cluster scale. The only full shuffle is the final per-order
+    aggregate. Top-k is totally ordered (revenue, orderkey) so the
+    LIMIT is deterministic.
     """
     cutoff = F.lit("1998-03-15").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -124,7 +126,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             on=li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy(F.col("l_orderkey").alias("o_orderkey"), F.col("o_orderdate"))
@@ -156,9 +158,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join. region/nation/supplier/customer
-    are dims → explicit broadcasts keep the fact (lineitem) shuffle-free
-    until the final small aggregate."""
+    """TPC-H Q5 shape: 6-table star join.
+
+    Only the bounded dims carry broadcast hints (region=5 rows,
+    nation≤25, and their join): customer/supplier/orders all scale
+    linearly with SF, so they join via shuffle hash / sort-merge and
+    AQE upgrades them to broadcast only when a runtime side is small.
+    """
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -172,10 +178,10 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -257,15 +263,19 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: fact-side filter, 3 broadcast dims, grouped
-    revenue, deterministic top-20."""
+    """TPC-H Q10 shape: fact-side filter, star join, grouped revenue,
+    deterministic top-20.
+
+    orders/customer are SF-proportional → no broadcast hint (AQE
+    decides at runtime); only nation (≤25 rows) is hinted.
+    """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(gridsum(li.l_extendedprice * (1 - li.l_discount), 4).alias("revenue"))
@@ -298,8 +308,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: agg-having subquery as a semi-join on its result.
 
-    The having-side aggregate shuffles lineitem once on l_orderkey; AQE
-    broadcasts the (tiny) qualifying-key set back into the main join.
+    The having-side aggregate shuffles lineitem once on l_orderkey. The
+    qualifying-key set keeps an explicit broadcast hint because HAVING
+    sum(qty)>300 is provably selective (~1e-4 of orders; single-bigint
+    rows, tens of MB even at SF 100k). orders/customer are
+    SF-proportional → no hint, AQE decides.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -313,8 +326,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "__ok")), li.l_orderkey == F.col("__ok"), "inner")
         .drop("__ok")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(gridsum("l_quantity", 2).alias("sum_qty"))
         .select(

@@ -46,9 +46,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, end to end in relational ops:
-    token explode → tf aggregate → df aggregate (broadcast back) →
-    score → grouped top-k. The idf factor is ln(N/df) on exact integer
-    counts — engine-identical doubles."""
+    token explode → tf aggregate → df aggregate → score → grouped
+    top-k. The idf factor is ln(N/df) on exact integer counts —
+    engine-identical doubles. df has one row per distinct term, and
+    vocabulary grows with the corpus (Heaps' law) — so the tf⋈df join
+    shuffles on `term` with no broadcast hint; AQE upgrades it when
+    the vocabulary is actually small."""
     docs = _t(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -59,7 +62,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.floor(
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))) * 1e6
     ) / 1e6
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(dfreq, "term").select(
         "doc_id", "term", tfidf.alias("tfidf")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))

@@ -41,7 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: same dim table joined twice under different roles
-    (supplier nation vs customer nation) + disjunctive cross-filter."""
+    (supplier nation vs customer nation) + disjunctive cross-filter.
+
+    Only the two nation role-views (≤25 rows each) are broadcast-hinted;
+    supplier/orders/customer scale with SF so AQE picks their join
+    strategy at runtime.
+    """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -57,9 +62,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
@@ -91,7 +96,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -153,7 +158,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     cents = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             _q(100.0 * F.sum(cents(promo_rev)) / F.sum(cents(rev)), 6).alias(
                 "promo_share_pct"
@@ -180,7 +185,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -208,8 +213,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("l_partkey", "pp_key")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part_avg), li.l_partkey == F.col("pp_key"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("pp_key"))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(_q(F.sum(cents) / 100.0 / 7.0, 4).alias("avg_yearly"))
     )
@@ -245,7 +250,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 50)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             gridsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
@@ -419,8 +424,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0 + F.lit(0.5)
     ).cast("long")
     vol = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(
             F.year(F.col("o_orderdate").cast("date")).alias("yr"),
@@ -493,6 +498,11 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     join AND a correlated self-anti join on the same key with a theta
     residual. Expressed as two self-joins (left_semi, left_anti) over
     the late-lineitem base; all three lineitem scans prune to 4 columns.
+
+    status-'F' orders are ~half the table (SF-proportional), and
+    supplier scales with SF too — no broadcast hints; the self-joins
+    shuffle on l_orderkey and AQE upgrades to broadcast only when a
+    side is genuinely small at runtime.
     """
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem").select(
@@ -500,7 +510,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     late = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
@@ -523,7 +533,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        anti.join(F.broadcast(supp), anti.l_suppkey == supp.s_suppkey)
+        anti.join(supp, anti.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

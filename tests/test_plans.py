@@ -6,6 +6,7 @@ output so a regression in plan shape fails CI, not a 100 TB run."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -42,14 +43,86 @@ def test_q01_column_pruning(spark):
         assert col not in schema_lines[0], f"{col} read but unused"
 
 
+def _simple_plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def _node_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*"))
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Subtree text under each BroadcastExchange node (tree indentation)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = _node_indent(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _node_indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+# TPC-H column prefixes of SF-proportional tables: these must never sit
+# on a broadcast build side unhinted — except *below an aggregate*,
+# i.e. a provably-selective derived set (q18's HAVING>300 key set).
+_FACT_COL = re.compile(r"FileScan parquet \[(?:l_|o_|c_|s_|p_)")
+
+
 @pytest.mark.parametrize(
     "name",
-    ["q03_shipping_priority", "q05_region_revenue", "q10_returned_items"],
+    [
+        "q03_shipping_priority",
+        "q05_region_revenue",
+        "q07_volume_shipping",
+        "q09_profit_by_nation_year",
+        "q10_returned_items",
+        "q18_large_volume_customers",
+        "q21_waiting_orders",
+    ],
 )
-def test_star_joins_broadcast(spark, name):
-    plan = plan_of(spark, name)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to SMJ"
+def test_broadcast_policy_no_fact_build_side(spark, name):
+    """Per-table broadcast policy (the 100 TB posture): with runtime
+    auto-broadcast disabled, every BroadcastExchange left in the static
+    plan is hint-forced — and a hint is only allowed on bounded dims
+    (region/nation) or an aggregated (selective) derived set. AQE may
+    still upgrade the others at runtime when a side is actually small;
+    that path is size-gated and safe at any SF."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _simple_plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for sub in _broadcast_subtrees(plan):
+        if not _FACT_COL.search(sub):
+            continue  # bounded-dim broadcast (nation/region) — fine
+        assert "Aggregate" in sub, (
+            f"{name}: SF-proportional table hint-broadcast without an "
+            f"intervening aggregate:\n{sub}"
+        )
+
+
+def test_bounded_dims_still_broadcast(spark):
+    """The dim hints must survive: nation/region joins stay broadcast
+    even with runtime auto-broadcast off."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q05_region_revenue", "q10_returned_items"):
+            plan = _simple_plan(spark, name)
+            assert "BroadcastExchange" in plan, f"{name}: dim hint lost"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_anti_join_is_hash_not_nlj(spark):
