@@ -132,6 +132,112 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_text_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+#: shingles present in more than this fraction of docs are "stop
+#: shingles": they carry almost no near-dup signal but each one makes
+#: the shingle self-join emit ~(DF²/2) rows — the quadratic hotspot
+#: AQE skew-splitting can only partially absorb.
+_NGRAM_MAX_DF_FRAC = 0.10
+#: absolute DF floor so tiny corpora never drop their whole vocabulary
+_NGRAM_MIN_DF_CAP = 5
+
+
+def _split_shingles_by_df(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_df_frac: float = _NGRAM_MAX_DF_FRAC,
+    min_df_cap: int = _NGRAM_MIN_DF_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Partition the distinct (doc_id, s) shingle rows into rare vs stop
+    shingles by document frequency.
+
+    Returns ``(all_rows, rare_rows, stop_shingles)``. The DF threshold
+    is ``max(min_df_cap, max_df_frac · n_docs)``, computed fully
+    declaratively (single-row count aggregate broadcast into the DF
+    table — no driver action).
+    """
+    sh = shingle_rows(spark, docs).distinct()
+    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    stop = (
+        dfc.join(F.broadcast(ntot))
+        .where(
+            F.col("df")
+            > F.greatest(F.lit(min_df_cap), F.col("n_docs") * F.lit(max_df_frac))
+        )
+        .select("s")
+    )
+    rare = sh.join(stop, "s", "left_anti")
+    return sh, rare, stop
+
+
+def ngram_candidate_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_df_frac: float = _NGRAM_MAX_DF_FRAC,
+    min_df_cap: int = _NGRAM_MIN_DF_CAP,
+) -> DataFrame:
+    """Candidate (doc_a, doc_b, common_rare) pairs from the DF-capped
+    shingle self-join — the bounded-cost candidate generator. A shingle
+    shared by k docs emits ~k²/2 pair rows, so capping k at
+    ``max_df_frac·n`` bounds the join output at ``distinct_shingles ×
+    cap²/2`` instead of degenerating quadratically in corpus size."""
+    _, rare, _ = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common_rare"))
+    )
+
+
+def ngram_near_dup_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = _NGRAM_MAX_DF_FRAC,
+    min_df_cap: int = _NGRAM_MIN_DF_CAP,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with DF-capped candidate generation.
+
+    Stop shingles are excluded from the pair join (bounded candidates)
+    but their contribution to Jaccard is reconstructed *exactly*: each
+    doc carries its (small, ≤ distinct-stop-shingle-count) array of stop
+    shingles, and the shared-stop count is ``array_intersect`` size at
+    the pair level. So every emitted pair has its true Jaccard.
+
+    Contract: a pair whose overlap consists *only* of stop shingles is
+    never generated. At threshold ≥0.5 such a pair would be two docs
+    built almost entirely from boilerplate shared by >10% of the corpus
+    — exactly the pairs near-dup dedup should not link on.
+    """
+    sh, _, stop = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = ngram_candidate_pairs(spark, docs, max_df_frac, min_df_cap)
+    stop_sets = (
+        sh.join(stop, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ds"))
+    )
+    empty = F.array().cast("array<string>")
+    pa = stop_sets.select(F.col("doc_id").alias("doc_a"), F.col("ds").alias("ds_a"))
+    pb = stop_sets.select(F.col("doc_id").alias("doc_b"), F.col("ds").alias("ds_b"))
+    shared_stop = F.size(
+        F.array_intersect(F.coalesce("ds_a", empty), F.coalesce("ds_b", empty))
+    )
+    s1 = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n1")
+    s2 = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")
+    common = F.col("common_rare") + shared_stop
+    jac = common / (F.col("n1") + F.col("n2") - common)
+    return (
+        pairs.join(pa, "doc_a", "left")
+        .join(pb, "doc_b", "left")
+        .join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 @query(
     "ngram_jaccard_near_dup",
     oracle=f"""
@@ -154,32 +260,16 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (threshold 0.5; the fixture
     plants pairs at J≥0.9 over background noise ≤0.07).
 
-    Exact all-pairs via a shingle equi-join — correct and fine at test
-    scale; at 100 TB this is the *verification* stage run only on LSH
-    candidates (see minhash_lsh_near_dup), optionally after dropping
-    shingles with document-frequency above a cap (a frequent-shingle
-    join key is exactly the skew AQE would otherwise have to split).
+    Candidate generation drops document-frequency-capped stop shingles
+    (>10% of docs) before the self-join — the scale guard the all-pairs
+    form needs — then reconstructs exact Jaccard including the stop
+    shingles (see ngram_near_dup_pairs). At 100 TB this same shape is
+    the *verification* stage run on LSH candidates
+    (see minhash_lsh_near_dup).
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_rows(spark, docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    s1 = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n1")
-    s2 = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")
-    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
-    return (
-        pairs.join(s1, "doc_a")
-        .join(s2, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", _q(jac, 4).alias("jaccard"))
-    )
+    out = ngram_near_dup_pairs(spark, docs, threshold=0.5)
+    return out.select("doc_a", "doc_b", _q(F.col("jaccard"), 4).alias("jaccard"))
 
 
 @query("minhash_lsh_near_dup")  # no oracle: LSH hash family is engine-specific

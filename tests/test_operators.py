@@ -163,3 +163,48 @@ def test_merge_upsert(spark, tmp_path):
     assert (upd, ins) == (1, 1)
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def _shingle_set(text: str) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def test_ngram_df_cap_bounds_candidates_keeps_recall(spark):
+    """A stop-shingle planted across 30% of docs must NOT blow up the
+    candidate pair join (that's the quadratic hotspot at corpus scale),
+    while every planted near-dup pair is still found with its *exact*
+    Jaccard — stop-shingle contribution reconstructed per pair."""
+    from projet5_spark.plans.llm import ngram_candidate_pairs, ngram_near_dup_pairs
+
+    boiler = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(100):
+        uniq = " ".join(f"u{i}w{j}" for j in range(12))
+        rows.append((i, uniq + " " + boiler if i < 30 else uniq))
+    planted = []
+    for k in range(3):
+        toks = rows[k][1].split(" ")
+        toks[5] = f"x{k}"  # one token changed -> J stays >= 0.5
+        rows.append((100 + k, " ".join(toks)))
+        planted.append((k, 100 + k))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # uncapped, the 33 boilerplate docs alone make C(33,2)=528 pairs
+    uncapped = ngram_candidate_pairs(
+        spark, docs, max_df_frac=1.0, min_df_cap=10**9
+    ).count()
+    assert uncapped >= 528
+
+    cands = ngram_candidate_pairs(spark, docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in cands} == set(planted)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_near_dup_pairs(spark, docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(planted), got
+    sets = {i: _shingle_set(t) for i, t in rows}
+    for a, b in planted:
+        expect = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert math.isclose(got[(a, b)], expect, abs_tol=1e-12), (a, b)
