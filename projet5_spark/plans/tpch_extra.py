@@ -537,3 +537,134 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# A partsupp analog derived from lineitem: the fixture has no partsupp
+# table, so (part, supplier) supply cost is proxied by the minimum unit
+# price ever charged for that pair, on the exact cent grid. Shared by
+# the Q2/Q11 shapes below (reference TPC-H queries over partsupp).
+_PS_ORACLE = """
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           min(CAST(floor(l_extendedprice / l_quantity * 1e2 + 0.5) AS BIGINT)) AS cost_c
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _partsupp_proxy(li: DataFrame) -> DataFrame:
+    unit_c = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(unit_c).alias("cost_c"))
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_ORACLE}),
+    eligible AS (
+      SELECT pk, sk, cost_c, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON sk = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT floor((s_acctbal) * 1e2) / 1e2 AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, cost_c / 1e2 AS supplycost
+    FROM eligible JOIN part ON pk = p_partkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND cost_c = (SELECT min(e2.cost_c) FROM eligible e2 WHERE e2.pk = eligible.pk)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-over-join — for each qualifying
+    part, the supplier(s) in one region achieving the minimum supply
+    cost. Decorrelated the Spark way: the region-eligible partsupp
+    subplan materializes once, its per-part min re-joins on
+    (part, cost) equality. region/nation are the only broadcast hints;
+    the partsupp proxy and supplier scale with SF, so their joins
+    shuffle and AQE upgrades small sides at runtime.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    nat_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    eligible = (
+        _partsupp_proxy(li)
+        .join(supp, F.col("sk") == supp.s_suppkey)
+        .join(F.broadcast(nat_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("pk", "cost_c", "s_acctbal", "s_name", "n_name")
+    )
+    min_per_part = eligible.groupBy("pk").agg(F.min("cost_c").alias("min_c"))
+    return (
+        eligible.join(
+            min_per_part,
+            (eligible.pk == min_per_part.pk) & (F.col("cost_c") == F.col("min_c")),
+        )
+        .drop(min_per_part.pk)
+        .join(part, F.col("pk") == part.p_partkey)
+        .select(
+            _q(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c") / 100.0).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_ORACLE}),
+    eligible AS (
+      SELECT pk, cost_c
+      FROM ps JOIN supplier ON sk = s_suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1')
+    SELECT pk AS p_partkey, sum(cost_c) / 1e2 AS stock_value
+    FROM eligible
+    GROUP BY pk
+    HAVING sum(cost_c) > (SELECT sum(cost_c) * 0.001 FROM eligible)
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group-HAVING against a scalar-subquery
+    threshold — parts whose summed supply cost within one nation
+    exceeds a fraction of the nation's total. The eligible subplan
+    feeds both the per-part aggregate and the single-row total; the
+    total joins back as a broadcast scalar (one row by construction).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    eligible = (
+        _partsupp_proxy(li)
+        .join(supp, F.col("sk") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("pk", "cost_c")
+    )
+    total = eligible.agg((F.sum("cost_c") * 0.001).alias("thr"))
+    return (
+        eligible.groupBy(F.col("pk").alias("p_partkey"))
+        .agg(
+            F.sum("cost_c").alias("__sum_c"),
+            (F.sum("cost_c") / 100.0).alias("stock_value"),
+        )
+        .join(F.broadcast(total))
+        .where(F.col("__sum_c") > F.col("thr"))
+        .select("p_partkey", "stock_value")
+        .orderBy(F.desc("stock_value"), "p_partkey")
+    )
