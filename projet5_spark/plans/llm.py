@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -756,61 +759,75 @@ _DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
+        StructField("kind", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("channels", LongType()),
-        StructField("features", ArrayType(LongType())),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("features", ArrayType(DoubleType())),
     ]
 )
 
 
-@query("multimodal_decode_features")  # no oracle: decode stub is Spark-side only
+@query("multimodal_decode_features")  # no oracle: binary decode is Spark-side only
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode/feature-extract plumbing over ``mapInPandas``.
-
-    STUB DECODER: the real image/audio decode libraries are not in this
-    container, so the "decode" derives deterministic fake dimensions and
-    features from the payload's md5 — but the Spark-side shape is real:
-    BinaryType column in, Arrow batches through Python, typed struct out,
-    partition-parallel. Swapping the stub for PIL/ffmpeg changes only the
-    function body, not the plan.
+    """Multimodal decode/feature-extract over ``mapInPandas`` with a
+    REAL decoder (functions.multimodal): spec-valid PNG and WAV payloads
+    are synthesized per doc (the fixture has no binary column), then
+    decoded the hard way — chunk walk, CRC32 verification, zlib inflate,
+    filter-byte strip, PCM frame parse — and per-channel pixel means /
+    mean-absolute-amplitude come from the actual payload bytes. The
+    Spark-side shape is the production one: BinaryType column in, Arrow
+    batches through Python, typed struct out, partition-parallel;
+    swapping in PIL/ffmpeg for more formats changes only
+    ``decode_payload``, not the plan.
     """
-    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+
+    def synth_batch(it):
+        # absolute import: the closure executes on executor workers
+        from projet5_spark.functions.multimodal import synth_payload
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        synth_batch,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
     )
 
     def decode_batch(it):
-        import hashlib
+        from projet5_spark.functions.multimodal import decode_payload
 
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                digest = hashlib.md5(data).digest()
-                # deterministic fake "image" metadata from the digest
+                meta = decode_payload(data)
                 rows.append(
                     (
                         doc_id,
                         len(data),
-                        64 + digest[0] % 192,  # width
-                        64 + digest[1] % 192,  # height
-                        (1, 3, 4)[digest[2] % 3],  # channels
-                        [int(b) for b in digest[:8]],  # feature vector
+                        meta["kind"],
+                        meta["width"],
+                        meta["height"],
+                        meta["channels"],
+                        meta["sample_rate"],
+                        meta["n_frames"],
+                        meta["features"],
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "channels",
-                    "features",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
 
-    return docs.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+    return payloads.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
 
 
 @query(

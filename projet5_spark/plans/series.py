@@ -175,39 +175,56 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")  # no oracle: decode stub is Spark-side only
+@query("multimodal_frame_sample")  # no oracle: binary decode is Spark-side only
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: each binary
-    payload yields N deterministic "frames" (offset + digest-derived
-    feature), one output row per frame — the explode-shaped decode that
-    a real ffmpeg sampler would produce. STUB decode (container has no
-    media libs); the Spark-side shape — binary in, Arrow batches
-    through ``mapInPandas``, typed frame rows out — is real.
+    """Frame-sampling for video-like payloads with a REAL decoder: each
+    payload is a concatenated-PNG stream (intra-only "video"); the
+    sampler walks the stream by chunk framing (functions.multimodal.
+    iter_png_frames), keeps every 2nd frame, fully decodes it (CRC
+    verify + zlib inflate) and emits one typed row per sampled frame
+    with per-channel pixel means — the explode-shaped decode an ffmpeg
+    frame sampler produces, binary in → Arrow batches → typed rows out.
     """
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def sample_frames(it):
-        import hashlib
+        from projet5_spark.functions.multimodal import (
+            decode_png,
+            iter_png_frames,
+            synth_png_stream,
+        )
 
         for pdf in it:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                n_frames = 1 + len(data) % 4
-                step = max(1, len(data) // n_frames)
-                for i in range(n_frames):
-                    chunk = data[i * step : (i + 1) * step]
-                    digest = hashlib.md5(chunk).digest()
-                    rows.append((doc_id, i, i * step, int.from_bytes(digest[:4], "big")))
+            for doc_id in pdf["doc_id"]:
+                data = synth_png_stream(int(doc_id))
+                for frame_no, (offset, frame) in enumerate(iter_png_frames(data)):
+                    if frame_no % 2:  # sample every 2nd frame
+                        continue
+                    meta = decode_png(frame)
+                    rows.append(
+                        (
+                            doc_id,
+                            frame_no,
+                            offset,
+                            meta["width"],
+                            meta["height"],
+                            meta["features"],
+                        )
+                    )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_no", "byte_offset", "feature"]
+                rows,
+                columns=[
+                    "doc_id", "frame_no", "byte_offset", "width", "height", "features",
+                ],
             )
 
     return docs.mapInPandas(
         sample_frames,
-        schema="doc_id long, frame_no long, byte_offset long, feature long",
+        schema="doc_id long, frame_no long, byte_offset long, "
+        "width long, height long, features array<double>",
     )

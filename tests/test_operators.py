@@ -259,3 +259,79 @@ def test_simhash_near_dup_deterministic(spark):
     r2 = {tuple(r) for r in simhash_near_dup(spark, sf).collect()}
     assert r1 == r2
     assert all(a < b and h <= 3 for a, b, h in r1)
+
+
+def test_multimodal_codec_roundtrip_and_corruption():
+    """Encoders emit spec-valid bytes the decoders fully verify; any
+    corrupted byte in a CRC-protected region must raise."""
+    import pytest
+
+    from projet5_spark.functions.multimodal import (
+        decode_payload,
+        decode_png,
+        decode_wav,
+        synth_png,
+        synth_wav,
+    )
+
+    png = synth_png(9, 7, seed=3)
+    meta = decode_png(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (9, 7, 3)
+    assert len(meta["features"]) == 3 and all(0 <= f <= 255 for f in meta["features"])
+
+    wav = synth_wav(8000, 300, seed=5, channels=2)
+    w = decode_wav(wav)
+    assert (w["channels"], w["sample_rate"], w["n_frames"]) == (2, 8000, 300)
+    assert w["features"][0] > 0
+
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # inside IHDR/IDAT payload -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        decode_payload(b"\x00\x01\x02not-a-format")
+
+
+def test_multimodal_decode_features_real_values(spark):
+    """The Spark operator's output must equal the pure-Python decode of
+    the same synthesized payloads — proving the mapInPandas path runs
+    the real decoder, not a digest stub."""
+    from projet5_spark.functions.multimodal import decode_payload, synth_payload
+    from projet5_spark.plans.llm import multimodal_decode_features
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["doc_id"]: r.asDict() for r in multimodal_decode_features(spark, sf).collect()}
+    assert len(out) == 500
+    for doc_id in (0, 1, 2, 3, 42, 401):
+        payload = synth_payload(doc_id)
+        expect = decode_payload(payload)
+        got = out[doc_id]
+        assert got["n_bytes"] == len(payload)
+        for k in ("kind", "width", "height", "channels", "sample_rate", "n_frames"):
+            assert got[k] == expect[k], (doc_id, k)
+        assert got["features"] == expect["features"], doc_id
+
+
+def test_multimodal_frame_sample_real_decode(spark):
+    from projet5_spark.functions.multimodal import (
+        decode_png,
+        iter_png_frames,
+        synth_png_stream,
+    )
+    from projet5_spark.plans.series import multimodal_frame_sample
+
+    out = multimodal_frame_sample(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id in (0, 7, 123):
+        frames = list(iter_png_frames(synth_png_stream(doc_id)))
+        expect = [
+            (i, off, decode_png(fb)) for i, (off, fb) in enumerate(frames) if i % 2 == 0
+        ]
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_no"])
+        assert len(got) == len(expect)
+        for row, (i, off, meta) in zip(got, expect):
+            assert (row["frame_no"], row["byte_offset"]) == (i, off)
+            assert (row["width"], row["height"]) == (meta["width"], meta["height"])
+            assert row["features"] == meta["features"]
