@@ -80,6 +80,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # downstream correctness (cluster representatives) depends on
+        # full convergence — a chain longer than max_iter rounds would
+        # silently mislabel, so fail loudly instead
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter "
+            f"(diameter of the largest component exceeds the cap)"
+        )
     # final labels are materialized in cache by the convergence count;
     # the edge cache can go. (The returned frame stays cached — tiny.)
     sym.unpersist()

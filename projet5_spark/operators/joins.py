@@ -44,7 +44,17 @@ def salted_join(
     dim ``salt``×. AQE's skew-join splitting covers many cases
     automatically — this is the explicit tool for when it can't (e.g.
     aggregation-after-join keyed on the same skewed column).
+
+    Only ``inner`` and ``left`` are supported: the dim side is
+    replicated ``salt``×, so right/full-outer variants would emit every
+    unmatched dim row once per shard — silent duplicates.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            f"salt-replicated dim side would duplicate unmatched rows "
+            f"in outer variants"
+        )
     salted_fact = fact.withColumn(
         "__shard", (F.rand(seed=42) * salt).cast("int")
     )

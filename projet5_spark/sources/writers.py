@@ -61,10 +61,18 @@ def merge_upsert(
 
     Plan: one anti-join (surviving old rows) + union with the new batch,
     written to a staging path then swapped — the parquet-only stand-in
-    for ``MERGE INTO`` (a Delta/Iceberg table would make the swap
-    transactional; the dataflow is identical). The new batch must be
+    for ``MERGE INTO`` (a Delta/Iceberg table would make the swap a
+    metadata commit; the dataflow is identical). The new batch must be
     unique on ``key_cols``.
+
+    Swap protocol (no destructive step before the replacement is in
+    place): write staging → rename current table aside → rename staging
+    in → delete the set-aside copy. Each rename is a single atomic
+    ``os.rename``; a crash can leave a stale ``__old``/``__staging``
+    directory to garbage-collect but can never lose committed data —
+    unlike delete-then-move, whose crash window drops the table.
     """
+    import os
     import shutil
     import uuid
 
@@ -80,10 +88,17 @@ def merge_upsert(
     updated = n_old - n_surv
     inserted = new.count() - updated
 
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{token}"
+    backup = f"{path}__old_{token}"
     survivors.unionByName(new).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # roll the table back, then re-raise
+        raise
+    shutil.rmtree(backup)
     return updated, inserted
 
 

@@ -55,7 +55,8 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer division — same exactness note as sources.readers.read_events
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_tumbling_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -335,3 +335,50 @@ def test_multimodal_frame_sample_real_decode(spark):
             assert (row["frame_no"], row["byte_offset"]) == (i, off)
             assert (row["width"], row["height"]) == (meta["width"], meta["height"])
             assert row["features"] == meta["features"]
+
+
+def test_merge_upsert_crash_window_rolls_back(spark, tmp_path, monkeypatch):
+    """A crash between the two swap renames must leave the ORIGINAL
+    table readable (rolled back), never a missing/deleted table."""
+    import os as os_mod
+
+    import pytest
+
+    from projet5_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    base.write.parquet(path)
+
+    real_rename = os_mod.rename
+
+    def failing_rename(src, dst):
+        if "__staging_" in str(src):  # the commit rename
+            raise OSError("simulated crash at commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", failing_rename)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    with pytest.raises(OSError, match="simulated crash"):
+        merge_upsert(spark, upd, path, ["k"])
+    # original table intact after the failed commit
+    back = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert back == {(1, "a"), (2, "b")}
+
+    monkeypatch.setattr("os.rename", real_rename)
+    updated, inserted = merge_upsert(spark, upd, path, ["k"])
+    assert (updated, inserted) == (1, 1)
+    after = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_salted_join_rejects_outer_forms(spark):
+    import pytest
+
+    from projet5_spark.operators.joins import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(3).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", how)
