@@ -132,3 +132,42 @@ def append_if_absent(
     finally:
         to_insert.unpersist()
     return n
+
+
+def write_mongodb(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    mode: str = "append",
+) -> None:
+    """R15/R16 MongoDB sink parity (reference migration.py:185/:229
+    wrote one ``insert_one`` RPC per row into the collections named at
+    :121-122; here it is a single distributed batch write).
+
+    Requires the MongoDB Spark Connector
+    (``org.mongodb.spark:mongo-spark-connector``) on the session's
+    classpath — e.g. ``spark-submit --packages``. This sandbox ships
+    neither a mongod nor the connector jar, so the engine's default
+    sink mapping is Parquet (SURVEY.md §1.1); calling this without the
+    connector raises with a setup hint instead of a bare
+    ClassNotFoundException.
+    """
+    try:
+        (
+            df.write.format("mongodb")
+            .mode(mode)
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .save()
+        )
+    except Exception as e:
+        if "mongodb" in str(e).lower() or "ClassNotFound" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
+            raise RuntimeError(
+                "MongoDB Spark Connector not available on this session's "
+                "classpath; add org.mongodb.spark:mongo-spark-connector "
+                "via --packages, or use write_parquet (the engine's "
+                "documented sink mapping for the reference's collections)"
+            ) from e
+        raise

@@ -101,3 +101,15 @@ def test_binary_file_source(spark, tmp_path):
     assert back.count() >= 1
     row = back.select("length", "content").first()
     assert row["length"] == len(row["content"])
+
+
+def test_write_mongodb_raises_actionable_error_without_connector(spark):
+    """The Mongo sink exists for reference parity; without the connector
+    jar it must fail with a setup hint, not a bare class-load error."""
+    import pytest
+
+    from projet5_spark.sources.writers import write_mongodb
+
+    df = spark.range(3)
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        write_mongodb(df, "mongodb://localhost", "db", "c")
