@@ -72,6 +72,8 @@ HEADLINE = [
     "q08_market_share",
     "q15_top_supplier",
     "q21_waiting_orders",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
     "token_count_bpe_regex",
     "training_set_selection",
     # near_dup_clusters excluded: iterative (multi-action convergence

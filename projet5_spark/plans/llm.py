@@ -915,3 +915,195 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("text")
         .select("doc_id", "n_copies")
     )
+
+
+@query(
+    "doc_repetition_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+      FROM tf GROUP BY doc_id),
+    bg AS (
+      SELECT doc_id,
+             CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+                    FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_bigrams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+      WHERE len(toks) >= 2)
+    SELECT u.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 1e4) / 1e4
+             AS distinct_token_ratio,
+           floor((CAST(top_c AS DOUBLE) / n_tokens) * 1e4) / 1e4
+             AS top_token_share,
+           floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 1e4) / 1e4
+             AS dup_bigram_frac
+    FROM uni u JOIN bg USING (doc_id)
+    """,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio, most-frequent-token share, duplicate-bigram fraction — the
+    boilerplate/spam filters a pretraining pipeline applies before
+    near-dup dedup.
+
+    Shape: one token explode → (doc, term) count aggregate → per-doc
+    rollup (all map-side-combinable), plus a bigram pass over the array
+    column in pure expressions. One doc_id-keyed shuffle total; ratios
+    are integer-over-integer doubles, engine-identical.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    toks = _toks()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    )
+    bg = docs.select(
+        "doc_id",
+        (F.size(toks) - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    ).where(F.size(toks) >= 2)
+    return uni.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        _q(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4).alias(
+            "distinct_token_ratio"
+        ),
+        _q(F.col("top_c").cast("double") / F.col("n_tokens"), 4).alias(
+            "top_token_share"
+        ),
+        _q(
+            1.0 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1) t2),
+    eval_sh AS (SELECT doc_id, s FROM sh WHERE doc_id < 10),
+    corpus_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 10)
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           floor((CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1e4) / 1e4 AS contamination_frac
+    FROM eval_sh e LEFT JOIN corpus_sh c ON e.s = c.s
+    GROUP BY e.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for each held-out "eval" doc
+    (doc_id < 10 stands in for an eval set), the fraction of its
+    distinct 3-gram shingles that appear anywhere in the training
+    corpus (doc_id ≥ 10).
+
+    Shape: the eval side is tiny and the corpus side reduces to its
+    DISTINCT shingle set before the join, so the join input is bounded
+    by corpus vocabulary, not corpus size; the shuffle key is the
+    shingle. This is the decontamination pass run before training-set
+    selection at scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_rows(spark, docs).distinct()
+    eval_sh = sh.where(F.col("doc_id") < 10)
+    corpus_sh = (
+        sh.where(F.col("doc_id") >= 10).select("s").distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    return (
+        eval_sh.join(corpus_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            _q(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 4
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@query(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH sims AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+               / ({_DUCK_NORM.format(a='a.embedding')} * {_DUCK_NORM.format(a='b.embedding')}) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, floor((sim) * 1e4) / 1e4 AS sim
+    FROM sims WHERE sim >= 0.4
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs — the SemDeDup-style
+    dedup signal: all pairs with cosine ≥ τ (τ=0.4 against this
+    fixture's random embeddings; real corpora use ~0.95+).
+
+    Exact block-matrix pass: the corpus's L2-normalized vectors ship to
+    every task as one broadcast float64 matrix, each Arrow batch of
+    rows computes a vectorized (batch × corpus) matmul in numpy, and
+    only upper-triangle pairs above τ are emitted. That keeps Python
+    work fully vectorized and the output linear in matches. Contract:
+    the broadcast side must fit in executor memory (same bound as a
+    broadcast join); past that, this is the verification stage over
+    IVF/LSH candidate buckets (embedding_ann_*), exactly like
+    ngram_jaccard_near_dup verifies MinHash candidates.
+    """
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # bounded corpus side (see contract above)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    tau = 0.4
+
+    def pairs_batch(it):
+        b_ids, b_mat = bc.value
+        for pdf in it:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ b_mat.T
+            ai, bi = np.nonzero((sims >= tau) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "sim": np.floor(sims[ai, bi] * 1e4) / 1e4,
+                }
+            )
+
+    out = _spread(spark, emb).mapInPandas(
+        pairs_batch, schema="vec_a long, vec_b long, sim double"
+    )
+    return out

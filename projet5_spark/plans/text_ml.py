@@ -58,12 +58,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar: fixture-sized; at scale use a broadcast agg
+    # corpus size as a broadcast single-row aggregate — no driver-side
+    # action, the scalar stays inside the plan
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     tfidf = F.floor(
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))) * 1e6
+        (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))) * 1e6
     ) / 1e6
-    scored = tf.join(dfreq, "term").select(
-        "doc_id", "term", tfidf.alias("tfidf")
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "term", tfidf.alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

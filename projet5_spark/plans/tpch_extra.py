@@ -581,12 +581,14 @@ def _partsupp_proxy(li: DataFrame) -> DataFrame:
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated min-over-join — for each qualifying
     part, the supplier(s) in one region achieving the minimum supply
-    cost. Decorrelated the Spark way: the region-eligible partsupp
-    subplan materializes once, its per-part min re-joins on
-    (part, cost) equality. region/nation are the only broadcast hints;
-    the partsupp proxy and supplier scale with SF, so their joins
-    shuffle and AQE upgrades small sides at runtime.
+    cost. Decorrelated the Spark way: the correlated min becomes a
+    window min over the part key on the region-eligible subplan.
+    region/nation are the only broadcast hints; the partsupp proxy and
+    supplier scale with SF, so their joins shuffle and AQE upgrades
+    small sides at runtime.
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
@@ -597,20 +599,22 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_in_region = nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name")
+    # part filter joins in FIRST: it prunes the partsupp proxy before
+    # the supplier attach, and per-part mins are unaffected by which
+    # parts survive. The correlated min is a window over pk — one
+    # shuffle, no second pass over the eligible subplan (a min-agg +
+    # re-join form computes the whole proxy twice).
     eligible = (
         _partsupp_proxy(li)
+        .join(part, F.col("pk") == part.p_partkey)
         .join(supp, F.col("sk") == supp.s_suppkey)
         .join(F.broadcast(nat_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("pk", "cost_c", "s_acctbal", "s_name", "n_name")
+        .select("pk", "p_partkey", "p_name", "cost_c", "s_acctbal", "s_name", "n_name")
     )
-    min_per_part = eligible.groupBy("pk").agg(F.min("cost_c").alias("min_c"))
+    min_c = F.min("cost_c").over(Window.partitionBy("pk"))
     return (
-        eligible.join(
-            min_per_part,
-            (eligible.pk == min_per_part.pk) & (F.col("cost_c") == F.col("min_c")),
-        )
-        .drop(min_per_part.pk)
-        .join(part, F.col("pk") == part.p_partkey)
+        eligible.withColumn("__min_c", min_c)
+        .where(F.col("cost_c") == F.col("__min_c"))
         .select(
             _q(F.col("s_acctbal"), 2).alias("s_acctbal"),
             "s_name",
@@ -643,9 +647,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: group-HAVING against a scalar-subquery
     threshold — parts whose summed supply cost within one nation
-    exceeds a fraction of the nation's total. The eligible subplan
-    feeds both the per-part aggregate and the single-row total; the
-    total joins back as a broadcast scalar (one row by construction).
+    exceeds a fraction of the nation's total. The scalar total is
+    summed from the (small) per-part aggregate, not from a second pass
+    over the eligible subplan — Σ_parts Σ_pairs = Σ_pairs — so the
+    expensive lineitem aggregation below it runs once and its shuffle
+    is reused; the single-row threshold joins back as a broadcast.
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
@@ -656,14 +662,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("pk", "cost_c")
     )
-    total = eligible.agg((F.sum("cost_c") * 0.001).alias("thr"))
+    pp = eligible.groupBy(F.col("pk").alias("p_partkey")).agg(
+        F.sum("cost_c").alias("__sum_c"),
+        (F.sum("cost_c") / 100.0).alias("stock_value"),
+    )
+    total = pp.agg((F.sum("__sum_c") * 0.001).alias("thr"))
     return (
-        eligible.groupBy(F.col("pk").alias("p_partkey"))
-        .agg(
-            F.sum("cost_c").alias("__sum_c"),
-            (F.sum("cost_c") / 100.0).alias("stock_value"),
-        )
-        .join(F.broadcast(total))
+        pp.join(F.broadcast(total))
         .where(F.col("__sum_c") > F.col("thr"))
         .select("p_partkey", "stock_value")
         .orderBy(F.desc("stock_value"), "p_partkey")
