@@ -30,14 +30,19 @@ def connected_components(
     ``edges`` (isolated nodes are trivially their own component — add
     them downstream if needed).
     """
-    # persist: the edge list is re-joined every round — without this the
-    # whole upstream lineage (e.g. a Jaccard-similarity pipeline)
-    # recomputes per iteration (measured 7s → 2s on the near-dup query)
+    # localCheckpoint (not just persist): the edge list is re-joined
+    # every round, and each round's convergence count re-ANALYZES the
+    # full logical tree even when execution hits the cache — with a
+    # deep upstream lineage (e.g. the DF-capped Jaccard pipeline) that
+    # driver-side analysis dominates the loop. Checkpointing truncates
+    # the lineage to a materialized scan, making every round's plan
+    # constant-size. (persist alone measured 7s → 2s; checkpoint cuts
+    # the remaining per-round analysis cost.)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -58,6 +63,9 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("component").alias("nmin"))
         )
+        # checkpoint per round: labels otherwise accumulate one nested
+        # join per iteration, so round k pays O(k) analysis — quadratic
+        # over the loop
         new_labels = (
             labels.join(hint(neighbor_min), labels.node == F.col("node2"), "left")
             .select(
@@ -66,7 +74,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
