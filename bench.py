@@ -74,6 +74,9 @@ HEADLINE = [
     "q21_waiting_orders",
     "q02_min_cost_supplier",
     "q11_important_stock",
+    "doc_repetition_quality",
+    "contamination_ngram_overlap",
+    "embedding_cosine_near_dup",
     "token_count_bpe_regex",
     "training_set_selection",
     # near_dup_clusters excluded: iterative (multi-action convergence

@@ -3,6 +3,7 @@ from .windows import (
     streaming_tumbling_stats,
     streaming_session_windows,
     streaming_dedup,
+    streaming_dedup_within_watermark,
     run_to_completion,
 )
 from .joins import purchase_view_join
@@ -14,6 +15,7 @@ __all__ = [
     "streaming_tumbling_stats",
     "streaming_session_windows",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "run_to_completion",
     "purchase_view_join",
     "stream_to_parquet_idempotent",

@@ -124,3 +124,17 @@ def run_to_completion(
     q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def streaming_dedup_within_watermark(
+    events: DataFrame, key: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: collapse duplicate keys whose
+    event times land within the watermark delay of each other. Unlike
+    :func:`streaming_dedup`, the event-time column need not be part of
+    the dedup key for state to expire — state for a key is dropped one
+    delay after its first sighting, so re-emissions farther apart than
+    the horizon are (deliberately) treated as new events. This is the
+    at-least-once-source dedup shape: upstream retries cluster within
+    seconds/minutes, and bounded state absorbs exactly that window."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])

@@ -105,7 +105,7 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
             spark.readStream.schema(EVENTS_FILE_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         out = str(tmp_path / "out")
         q = stream_to_parquet_idempotent(raw, out, ["event_id"], checkpoint)
@@ -205,3 +205,37 @@ def test_watermark_drops_late_data(spark, tmp_path):
     windows = {**out1, **out2}
     assert "08:00" not in windows, f"late event leaked into {windows}"
     assert windows.get("10:00") == 2
+
+
+def test_streaming_dedup_within_watermark_collapses_near_dups(spark, tmp_path):
+    """Duplicate keys within the watermark delay must collapse to one
+    row (the guaranteed direction of dropDuplicatesWithinWatermark)."""
+    import pyspark.sql.functions as F
+
+    from projet5_spark.streaming.windows import (
+        run_to_completion,
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "dupsrc")
+    base = "2024-01-01 10:00:00"
+    rows = [
+        ("a", base),
+        ("a", "2024-01-01 10:10:00"),  # retry 10 min later -> dropped
+        ("b", base),
+        ("c", "2024-01-01 10:20:00"),
+    ]
+    (
+        spark.createDataFrame(rows, ["event_id", "ts_s"])
+        .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp").parquet(src)
+    )
+    got = run_to_completion(
+        streaming_dedup_within_watermark(stream), "t_dedup_ww", output_mode="append"
+    )
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == ["a", "b", "c"]
