@@ -40,10 +40,6 @@ from .registry import query, quantize as _q
 
 _STOPWORDS = ("the", "a")
 
-#: holds the previous simhash signature cache so each invocation can
-#: release the last one (bounded memory in long-lived sessions)
-_SIMHASH_CACHE: list[DataFrame] = []
-
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -416,14 +412,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 token hashes, fixed block layout).
     """
     docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
-    # persist: both sides of the banded self-join read the signatures —
-    # without it the explode+agg pipeline runs twice (2× wall-clock
-    # measured). The previous invocation's cache is dropped so repeated
-    # runs in one long-lived session don't accumulate pinned memory.
-    while _SIMHASH_CACHE:
-        _SIMHASH_CACHE.pop().unpersist()
-    sigs = simhash_signatures(docs).persist()
-    _SIMHASH_CACHE.append(sigs)
+    # localCheckpoint: both sides of the banded self-join read the
+    # signatures — without materialization the explode+agg pipeline
+    # runs twice (2× wall-clock measured), and the checkpoint also
+    # truncates the (wide) signature lineage so the join analyzes a
+    # constant-size plan. Checkpoint blocks are released by the
+    # ContextCleaner once the frame is unreachable (the session pins
+    # periodicGC to 15s), so no manual cache bookkeeping is needed.
+    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
     bands = simhash_band_rows(sigs)
     # bucket-cardinality guard before the self-join: the window count
     # shuffles on exactly the join key, so it reuses the partitioning
