@@ -1103,3 +1103,58 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs_batch, schema="vec_a long, vec_b long, sim double"
     )
     return out
+
+
+@query(
+    "source_quality_rollup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang,
+             CAST(floor((0.5 * least(n_chars, 500) / 500.0
+                  + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                                      t -> t IN {_STOPWORDS})) AS DOUBLE)
+                                 / len(string_split(text, ' ')))) * 1e4) AS BIGINT) AS q_grid
+      FROM documents)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           floor((CAST(sum(q_grid) AS DOUBLE) / (1e4 * count(*))) * 1e6) / 1e6
+             AS avg_quality,
+           floor((CAST(sum(CASE WHEN q_grid >= 5500 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) * 1e4) / 1e4 AS keep_share
+    FROM scored
+    GROUP BY source, lang
+    """,
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-curation dashboard rollup: per (source, lang), document
+    count, mean quality, and the share that clears the training-set
+    threshold — the per-provenance view a pipeline operator uses to
+    decide which feeds to keep, re-crawl, or drop.
+
+    Quality is floor-quantized to a 1e-4 integer grid *per document*
+    before summation, so the mean is an exact integer ratio in both
+    engines (double summation order can't drift). Map-only scoring +
+    one small grouped aggregate.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = (
+        0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (1.0 - stop_ratio)
+    )
+    q_grid = F.floor(quality * 1e4).cast("long")
+    scored = docs.select("source", "lang", q_grid.alias("q_grid"))
+    return scored.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _q(F.sum("q_grid").cast("double") / (1e4 * F.count(F.lit(1))), 6).alias(
+            "avg_quality"
+        ),
+        _q(
+            F.sum(F.when(F.col("q_grid") >= 5500, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("keep_share"),
+    )

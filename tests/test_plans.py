@@ -218,3 +218,28 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_contamination_eval_filter_pushdown(spark):
+    """The eval-set predicate (doc_id < 10) must reach the parquet scan
+    so the eval side never materializes the corpus."""
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(doc_id,10)" in ln for ln in pushed), pushed
+
+
+def test_embedding_cosine_near_dup_is_map_side(spark):
+    """The block-matrix pass must not plan a join: the corpus ships as
+    a broadcast variable, so the physical plan is scan -> repartition ->
+    mapInPandas — one exchange, zero joins."""
+    plan = plan_of(spark, "embedding_cosine_near_dup")
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2  # the explicit fan-out repartition
+
+
+def test_source_quality_rollup_single_aggregate(spark):
+    """Scoring is map-only: exactly one aggregate (the source/lang
+    rollup), no joins, no windows."""
+    plan = plan_of(spark, "source_quality_rollup")
+    assert "Join" not in plan and "Window" not in plan
