@@ -145,6 +145,7 @@ def _split_shingles_by_df(
     docs: DataFrame,
     max_df_frac: float = _NGRAM_MAX_DF_FRAC,
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Partition the distinct (doc_id, s) shingle rows into rare vs stop
     shingles by document frequency.
@@ -152,9 +153,14 @@ def _split_shingles_by_df(
     Returns ``(all_rows, rare_rows, stop_shingles)``. The DF threshold
     is ``max(min_df_cap, max_df_frac · n_docs)``, computed fully
     declaratively (single-row count aggregate broadcast into the DF
-    table — no driver action).
+    table — no driver action). ``materialize`` localCheckpoints the
+    shingle rows: every downstream branch (sizes, both pair-join
+    sides, DF counts, stop-set arrays) re-reads the materialized rows
+    instead of re-running the explode+window pipeline ~5×.
     """
     sh = shingle_rows(spark, docs).distinct()
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     stop = (
@@ -169,6 +175,15 @@ def _split_shingles_by_df(
     return sh, rare, stop
 
 
+def _pairs_from_rare(rare: DataFrame) -> DataFrame:
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common_rare"))
+    )
+
+
 def ngram_candidate_pairs(
     spark: SparkSession,
     docs: DataFrame,
@@ -181,12 +196,7 @@ def ngram_candidate_pairs(
     ``max_df_frac·n`` bounds the join output at ``distinct_shingles ×
     cap²/2`` instead of degenerating quadratically in corpus size."""
     _, rare, _ = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
-    a, b = rare.alias("a"), rare.alias("b")
-    return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common_rare"))
-    )
+    return _pairs_from_rare(rare)
 
 
 def ngram_near_dup_pairs(
@@ -209,9 +219,11 @@ def ngram_near_dup_pairs(
     built almost entirely from boilerplate shared by >10% of the corpus
     — exactly the pairs near-dup dedup should not link on.
     """
-    sh, _, stop = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
+    sh, rare, stop = _split_shingles_by_df(
+        spark, docs, max_df_frac, min_df_cap, materialize=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = ngram_candidate_pairs(spark, docs, max_df_frac, min_df_cap)
+    pairs = _pairs_from_rare(rare)
     stop_sets = (
         sh.join(stop, "s", "left_semi")
         .groupBy("doc_id")
