@@ -1170,3 +1170,46 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("keep_share"),
     )
+
+
+@query(
+    "sequence_packing_bins",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM tok)
+    SELECT doc_id, source, n_tokens,
+           CAST(start_off // 2048 AS BIGINT) AS bin
+    FROM packed
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: greedy-concatenate documents into
+    fixed 2048-token windows, assigning each doc the bin its starting
+    offset falls in. Packing is PER SOURCE (partitioned window ordered
+    by doc_id) — the shard-local packing real pipelines use, so the
+    window never needs a global single-partition sort; a 100 TB corpus
+    packs each shard independently and in parallel. Integer token
+    counts and offsets make the bin assignment engine-exact.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_toks()).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    start_off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tok.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start_off / 2048).cast("long").alias("bin"),
+    )
