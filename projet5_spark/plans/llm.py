@@ -1213,3 +1213,48 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(start_off / 2048).cast("long").alias("bin"),
     )
+
+
+@query(
+    "mixture_token_budget_selection",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    offs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
+      FROM tok)
+    SELECT doc_id, lang, n_tokens, start_off
+    FROM offs
+    WHERE start_off < (CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END)
+    """,
+)
+def mixture_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture selection under per-language token budgets: take
+    documents (deterministic doc_id order) per language until the
+    language's budget is exhausted — the up-/down-sampling step that
+    sets a pretraining mixture (e.g. 4 000 English tokens for every
+    1 500 of each other language here).
+
+    Same partitioned-window shape as sequence_packing_bins: cumulative
+    offsets per language, a doc is kept iff its start offset is inside
+    the budget — no global sort, integer-exact in both engines.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_toks()).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    start_off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    budget = F.when(F.col("lang") == "en", F.lit(4000)).otherwise(F.lit(1500))
+    return (
+        tok.select("doc_id", "lang", "n_tokens", start_off)
+        .where(F.col("start_off") < budget)
+    )

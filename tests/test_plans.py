@@ -243,3 +243,12 @@ def test_source_quality_rollup_single_aggregate(spark):
     rollup), no joins, no windows."""
     plan = plan_of(spark, "source_quality_rollup")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """Packing must partition by source — a global (single-partition or
+    range) sort would serialize the whole corpus through one task."""
+    plan = plan_of(spark, "sequence_packing_bins")
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
