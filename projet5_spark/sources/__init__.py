@@ -6,7 +6,7 @@ from .readers import (
     read_events,
     read_parquet,
 )
-from .writers import append_if_absent, merge_upsert, write_mongodb, write_parquet
+from .writers import append_if_absent, merge_upsert, scd2_upsert, write_mongodb, write_parquet
 
 __all__ = [
     "TABLES",
@@ -18,5 +18,6 @@ __all__ = [
     "write_parquet",
     "append_if_absent",
     "merge_upsert",
+    "scd2_upsert",
     "write_mongodb",
 ]

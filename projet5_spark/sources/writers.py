@@ -171,3 +171,77 @@ def write_mongodb(
                 "documented sink mapping for the reference's collections)"
             ) from e
         raise
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+) -> tuple[int, int]:
+    """SCD-2 merge onto a parquet dimension: history is preserved.
+
+    Each row carries ``__valid_from`` / ``__valid_to`` / ``__current``.
+    For an incoming key that exists and changed, the current version is
+    closed out (``__valid_to`` = the new row's ``ts_col``) and the new
+    version opens; unseen keys insert as current. Returns
+    (versions_closed, versions_inserted).
+
+    Dataflow is set-based like :func:`merge_upsert` — one join to
+    classify current rows, a union of (untouched history + closed-out
+    rows + new versions) — and the write uses the same two-rename
+    crash-safe swap. On Delta/Iceberg this becomes MERGE with the same
+    branches. The new batch must be unique on ``key_cols``.
+    """
+    import os
+    import shutil
+    import uuid
+
+    far_future = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    stamped = (
+        new.withColumn("__valid_from", F.col(ts_col).cast("timestamp"))
+        .withColumn("__valid_to", far_future)
+        .withColumn("__current", F.lit(True))
+    )
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        stamped.write.mode("overwrite").parquet(path)
+        return 0, stamped.count()
+
+    incoming_keys = new.select(*key_cols)
+    current = existing.where(F.col("__current"))
+    history = existing.where(~F.col("__current"))
+    # current rows whose key re-arrives close out at the new version's
+    # timestamp; everything else is untouched
+    arriving_ts = new.select(
+        *key_cols, F.col(ts_col).cast("timestamp").alias("__new_ts")
+    )
+    closed = (
+        current.join(arriving_ts, on=key_cols, how="inner")
+        .withColumn("__valid_to", F.col("__new_ts"))
+        .withColumn("__current", F.lit(False))
+        .drop("__new_ts")
+    )
+    untouched_current = current.join(incoming_keys, on=key_cols, how="left_anti")
+    out = (
+        history.unionByName(untouched_current)
+        .unionByName(closed)
+        .unionByName(stamped.select(*closed.columns))
+    )
+    n_closed = closed.count()
+    n_inserted = stamped.count()
+
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{token}"
+    backup = f"{path}__old_{token}"
+    out.write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)
+        raise
+    shutil.rmtree(backup)
+    return n_closed, n_inserted

@@ -382,3 +382,33 @@ def test_salted_join_rejects_outer_forms(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(fact, dim, "k", how)
+
+
+def test_scd2_upsert_preserves_history(spark, tmp_path):
+    """SCD-2 merge: re-arriving keys close out their current version at
+    the new timestamp; history rows are never rewritten."""
+    from projet5_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim")
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    first = spark.createDataFrame(
+        [(1, "alice", t0), (2, "bob", t0)], ["k", "v", "ts"]
+    )
+    closed, inserted = scd2_upsert(spark, first, path, ["k"], "ts")
+    assert (closed, inserted) == (0, 2)
+
+    second = spark.createDataFrame(
+        [(2, "bobby", t1), (3, "carol", t1)], ["k", "v", "ts"]
+    )
+    closed, inserted = scd2_upsert(spark, second, path, ["k"], "ts")
+    assert (closed, inserted) == (1, 2)
+
+    rows = {
+        (r["k"], r["v"], r["__current"], str(r["__valid_to"]))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert (1, "alice", True, "9999-12-31 00:00:00") in rows
+    assert (2, "bob", False, "2024-02-01 00:00:00") in rows  # closed out
+    assert (2, "bobby", True, "9999-12-31 00:00:00") in rows
+    assert (3, "carol", True, "9999-12-31 00:00:00") in rows
+    assert len(rows) == 4
