@@ -412,3 +412,62 @@ def test_scd2_upsert_preserves_history(spark, tmp_path):
     assert (2, "bobby", True, "9999-12-31 00:00:00") in rows
     assert (3, "carol", True, "9999-12-31 00:00:00") in rows
     assert len(rows) == 4
+
+
+def test_multimodal_codec_roundtrip_properties():
+    """Property roundtrips (no Spark): any synth output decodes back to
+    its parameters; the stream walker recovers every frame boundary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet5_spark.functions.multimodal import (
+        decode_png,
+        decode_wav,
+        iter_png_frames,
+        synth_png,
+        synth_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_roundtrip(w, h, seed):
+        meta = decode_png(synth_png(w, h, seed))
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert all(0 <= f <= 255 for f in meta["features"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sr=st.integers(4000, 48000),
+        n=st.integers(1, 512),
+        seed=st.integers(0, 2**31 - 1),
+        ch=st.integers(1, 2),
+    )
+    def wav_roundtrip(sr, n, seed, ch):
+        meta = decode_wav(synth_wav(sr, n, seed, channels=ch))
+        assert (meta["sample_rate"], meta["n_frames"], meta["channels"]) == (sr, n, ch)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        dims=st.lists(
+            st.tuples(st.integers(1, 12), st.integers(1, 10), st.integers(0, 10**6)),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def stream_walk(dims):
+        frames = [synth_png(w, h, s) for w, h, s in dims]
+        stream = b"".join(frames)
+        walked = list(iter_png_frames(stream))
+        assert len(walked) == len(frames)
+        off = 0
+        for (got_off, got_bytes), fb in zip(walked, frames):
+            assert got_off == off and got_bytes == fb
+            off += len(fb)
+
+    png_roundtrip()
+    wav_roundtrip()
+    stream_walk()
