@@ -81,11 +81,13 @@ _FACT_COL = re.compile(r"FileScan parquet \[(?:l_|o_|c_|s_|p_)")
 @pytest.mark.parametrize(
     "name",
     [
+        "q02_min_cost_supplier",
         "q03_shipping_priority",
         "q05_region_revenue",
         "q07_volume_shipping",
         "q09_profit_by_nation_year",
         "q10_returned_items",
+        "q11_important_stock",
         "q18_large_volume_customers",
         "q21_waiting_orders",
     ],
