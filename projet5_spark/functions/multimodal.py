@@ -48,6 +48,23 @@ def synth_png(width: int, height: int, seed: int) -> bytes:
     )
 
 
+def _valueerror_on_corruption(fn):
+    """Decoder contract: ANY malformed input raises ValueError — incl.
+    truncation (struct.error) and corrupt deflate streams (zlib.error),
+    so quarantine logic can catch one exception type."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except (struct.error, zlib.error, IndexError) as e:
+            raise ValueError(f"corrupt payload: {e}") from e
+
+    return wrapped
+
+
+@_valueerror_on_corruption
 def decode_png(data: bytes) -> dict:
     """Parse a PNG: walk chunks, verify every CRC, inflate IDAT, strip
     filter bytes, and compute per-channel pixel means from the actual
@@ -121,6 +138,7 @@ def synth_wav(sample_rate: int, n_samples: int, seed: int, channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_valueerror_on_corruption
 def decode_wav(data: bytes) -> dict:
     """Parse a WAV: RIFF framing, fmt chunk, PCM samples; feature is the
     mean absolute sample amplitude. Raises ``ValueError`` on corruption."""
@@ -192,17 +210,23 @@ def synth_png_stream(doc_id: int) -> bytes:
 def iter_png_frames(data: bytes):
     """Walk a concatenated-PNG stream, yielding ``(byte_offset,
     frame_bytes)`` per frame by parsing chunk framing to each IEND —
-    no signature scanning heuristics, the chunk lengths drive the walk."""
+    no signature scanning heuristics, the chunk lengths drive the walk.
+    Raises ``ValueError`` on desync or truncation."""
     pos = 0
     while pos < len(data):
         if data[pos : pos + 8] != _PNG_SIG:
             raise ValueError(f"stream desync at offset {pos}")
         start, p = pos, pos + 8
         while True:
-            (length,) = struct.unpack_from(">I", data, p)
+            try:
+                (length,) = struct.unpack_from(">I", data, p)
+            except struct.error as e:
+                raise ValueError(f"truncated stream at offset {p}") from e
             tag = data[p + 4 : p + 8]
             p += 12 + length
             if tag == b"IEND":
                 break
+            if p >= len(data):
+                raise ValueError(f"frame at {start} has no IEND before EOF")
         yield start, data[start:p]
         pos = p

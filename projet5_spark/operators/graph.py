@@ -55,7 +55,19 @@ def connected_components(
     small = sym.count() < 5_000_000
     hint = F.broadcast if small else (lambda df: df)
 
-    prev_cached: DataFrame | None = None
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
+    # Block lifecycle note: localCheckpoint blocks are NOT released by
+    # DataFrame.unpersist() (that only uncaches CacheManager entries);
+    # they are dropped by the ContextCleaner once the checkpointed RDD
+    # becomes unreachable, i.e. one round after each `labels` rebind
+    # here. The engine session pins periodicGC to 15s so that cleanup
+    # is prompt; on an untuned session the per-round label frames
+    # (node count × 2 longs) linger until a JVM GC — small, bounded by
+    # round count, and still far cheaper than the O(k) re-analysis the
+    # checkpoint removes.
+    changed = -1
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -82,9 +94,6 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
@@ -92,13 +101,9 @@ def connected_components(
         # downstream correctness (cluster representatives) depends on
         # full convergence — a chain longer than max_iter rounds would
         # silently mislabel, so fail loudly instead
-        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter "
             f"(diameter of the largest component exceeds the cap)"
         )
-    # final labels are materialized in cache by the convergence count;
-    # the edge cache can go. (The returned frame stays cached — tiny.)
-    sym.unpersist()
     return labels

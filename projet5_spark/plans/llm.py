@@ -184,19 +184,45 @@ def _pairs_from_rare(rare: DataFrame) -> DataFrame:
     )
 
 
+def _stop_chain_pairs(sh: DataFrame, stop: DataFrame) -> DataFrame:
+    """Linear-cost safety net for clusters bigger than the DF cap: for
+    each stop shingle, link ADJACENT sharers (doc_id order) instead of
+    all k²/2 pairs — k−1 chain edges keep every group of stop-shingle
+    sharers connected in the candidate graph, so a duplicate cluster
+    whose shared shingles all crossed the DF threshold still collapses
+    (its chain pairs score J≈1 and survive verification), while output
+    stays linear in the stop-row count."""
+    srows = sh.join(stop, "s")
+    w = Window.partitionBy("s").orderBy("doc_id")
+    nxt = F.lead("doc_id").over(w)
+    return (
+        srows.select(F.col("doc_id").alias("doc_a"), nxt.alias("doc_b"))
+        .where(F.col("doc_b").isNotNull())
+        .distinct()
+    )
+
+
 def ngram_candidate_pairs(
     spark: SparkSession,
     docs: DataFrame,
     max_df_frac: float = _NGRAM_MAX_DF_FRAC,
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
 ) -> DataFrame:
-    """Candidate (doc_a, doc_b, common_rare) pairs from the DF-capped
-    shingle self-join — the bounded-cost candidate generator. A shingle
-    shared by k docs emits ~k²/2 pair rows, so capping k at
-    ``max_df_frac·n`` bounds the join output at ``distinct_shingles ×
-    cap²/2`` instead of degenerating quadratically in corpus size."""
-    _, rare, _ = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
-    return _pairs_from_rare(rare)
+    """Candidate (doc_a, doc_b, common_rare) pairs: the DF-capped
+    shingle self-join plus stop-shingle chain links. A shingle shared
+    by k docs emits ~k²/2 pair rows in the naive join, so rare-only
+    pairing bounds that at ``distinct_shingles × cap²/2``; the chain
+    links add at most one edge per stop-shingle row. A chain pair that
+    shares no rare shingle carries ``common_rare = 0`` — exact, since
+    by construction its overlap is stop-only and reconstructed later."""
+    sh, rare, stop = _split_shingles_by_df(spark, docs, max_df_frac, min_df_cap)
+    chains = _stop_chain_pairs(sh, stop).withColumn("common_rare", F.lit(0).cast("long"))
+    return (
+        _pairs_from_rare(rare)
+        .unionByName(chains)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("common_rare").alias("common_rare"))
+    )
 
 
 def ngram_near_dup_pairs(
@@ -214,16 +240,27 @@ def ngram_near_dup_pairs(
     shingles, and the shared-stop count is ``array_intersect`` size at
     the pair level. So every emitted pair has its true Jaccard.
 
-    Contract: a pair whose overlap consists *only* of stop shingles is
-    never generated. At threshold ≥0.5 such a pair would be two docs
-    built almost entirely from boilerplate shared by >10% of the corpus
-    — exactly the pairs near-dup dedup should not link on.
+    Contract: candidates are rare-shingle pairs plus stop-shingle
+    CHAIN links (adjacent sharers — see :func:`_stop_chain_pairs`), so
+    a duplicate cluster whose shared shingles all crossed the DF
+    threshold still yields qualifying pairs and collapses in
+    clustering. A NON-adjacent pair whose overlap is stop-only is still
+    never generated directly: at threshold ≥0.5 it is boilerplate-only
+    overlap, and its cluster connectivity arrives via the chain.
     """
     sh, rare, stop = _split_shingles_by_df(
         spark, docs, max_df_frac, min_df_cap, materialize=True
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = _pairs_from_rare(rare)
+    chains = _stop_chain_pairs(sh, stop).withColumn(
+        "common_rare", F.lit(0).cast("long")
+    )
+    pairs = (
+        _pairs_from_rare(rare)
+        .unionByName(chains)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("common_rare").alias("common_rare"))
+    )
     stop_sets = (
         sh.join(stop, "s", "left_semi")
         .groupBy("doc_id")
@@ -1084,6 +1121,15 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join); past that, this is the verification stage over
     IVF/LSH candidate buckets (embedding_ann_*), exactly like
     ngram_jaccard_near_dup verifies MinHash candidates.
+
+    Determinism note: BLAS matmul may sum in a different order than the
+    oracle's sequential reduction — identical across runs on one host,
+    but a pair whose sim sits within ULPs of the τ cut or a 1e-4 grid
+    edge could floor differently than DuckDB. The fixture's sims sit
+    nowhere near those edges; for adversarial data, pin τ away from
+    attainable values (as here) or verify candidates with a sequential
+    reduction. Zero-norm vectors are excluded on both engines (their
+    sim is NaN / 0-division and every comparison is false).
     """
     import numpy as np
 
@@ -1091,7 +1137,9 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = emb.collect()  # bounded corpus side (see contract above)
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.inf  # zero vectors -> sim 0, never ±inf/NaN
+    mat /= norms
     bc = spark.sparkContext.broadcast((ids, mat))
     tau = 0.4
 
@@ -1100,7 +1148,9 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a_norms = np.linalg.norm(a, axis=1, keepdims=True)
+            a_norms[a_norms == 0.0] = np.inf
+            a /= a_norms
             sims = a @ b_mat.T
             ai, bi = np.nonzero((sims >= tau) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame(

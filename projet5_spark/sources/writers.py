@@ -49,6 +49,55 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _existing_or_none(spark: SparkSession, path: str):
+    """Read the merge target, distinguishing 'absent' from 'broken'.
+
+    A missing table means first load. Anything else — corrupt footer,
+    transient FS error, a crash that left the table renamed aside —
+    must RAISE, never be treated as first load: silently overwriting
+    would destroy the existing data/history. Crash leftovers from an
+    interrupted swap are detected explicitly with a recovery hint.
+    """
+    import glob
+    import os
+
+    if not os.path.exists(path):
+        leftovers = glob.glob(f"{path}__old_*") + glob.glob(f"{path}__staging_*")
+        if leftovers:
+            raise RuntimeError(
+                f"merge target {path} is missing but a prior run left "
+                f"{leftovers}: a swap was interrupted mid-commit. Recover "
+                f"by renaming the newest __old_* (or a complete "
+                f"__staging_*) back to {path} before merging again."
+            )
+        return None
+    return spark.read.parquet(path)
+
+
+def _swap_commit(out: DataFrame, path: str) -> None:
+    """Crash-safe table replacement: write staging → rename current
+    aside → rename staging in → delete the set-aside copy. Each rename
+    is a single atomic ``os.rename``; a crash can leave a stale
+    ``__old``/``__staging`` directory (detected on the next merge) but
+    never a destroyed table — unlike delete-then-move. An in-process
+    failure of the commit rename rolls the original back."""
+    import os
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{token}"
+    backup = f"{path}__old_{token}"
+    out.write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # roll the table back, then re-raise
+        raise
+    shutil.rmtree(backup)
+
+
 def merge_upsert(
     spark: SparkSession,
     new: DataFrame,
@@ -60,25 +109,13 @@ def merge_upsert(
     (updated, inserted) counts.
 
     Plan: one anti-join (surviving old rows) + union with the new batch,
-    written to a staging path then swapped — the parquet-only stand-in
-    for ``MERGE INTO`` (a Delta/Iceberg table would make the swap a
-    metadata commit; the dataflow is identical). The new batch must be
-    unique on ``key_cols``.
-
-    Swap protocol (no destructive step before the replacement is in
-    place): write staging → rename current table aside → rename staging
-    in → delete the set-aside copy. Each rename is a single atomic
-    ``os.rename``; a crash can leave a stale ``__old``/``__staging``
-    directory to garbage-collect but can never lose committed data —
-    unlike delete-then-move, whose crash window drops the table.
+    written to a staging path then swapped via :func:`_swap_commit` —
+    the parquet-only stand-in for ``MERGE INTO`` (a Delta/Iceberg table
+    would make the swap a metadata commit; the dataflow is identical).
+    The new batch must be unique on ``key_cols``.
     """
-    import os
-    import shutil
-    import uuid
-
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    existing = _existing_or_none(spark, path)
+    if existing is None:
         new.write.mode("overwrite").parquet(path)
         return 0, new.count()
 
@@ -87,18 +124,7 @@ def merge_upsert(
     n_surv = survivors.count()
     updated = n_old - n_surv
     inserted = new.count() - updated
-
-    token = uuid.uuid4().hex[:8]
-    staging = f"{path}__staging_{token}"
-    backup = f"{path}__old_{token}"
-    survivors.unionByName(new).write.mode("overwrite").parquet(staging)
-    os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except BaseException:
-        os.rename(backup, path)  # roll the table back, then re-raise
-        raise
-    shutil.rmtree(backup)
+    _swap_commit(survivors.unionByName(new), path)
     return updated, inserted
 
 
@@ -116,11 +142,11 @@ def append_if_absent(
     reads only the key bytes from Parquet (column pruning) and AQE
     broadcasts it when small.
     """
-    try:
-        existing = spark.read.parquet(path).select(*key_cols)
-    except Exception:  # target doesn't exist yet -> plain write
+    existing = _existing_or_none(spark, path)
+    if existing is None:  # target doesn't exist yet -> plain write
         new.write.mode("overwrite").parquet(path)
         return new.count()
+    existing = existing.select(*key_cols)
     to_insert = new.join(existing, on=key_cols, how="left_anti")
     # Cache: the frame is both written and counted; without it the
     # anti-join would run twice.
@@ -163,7 +189,16 @@ def write_mongodb(
             .save()
         )
     except Exception as e:
-        if "mongodb" in str(e).lower() or "ClassNotFound" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
+        # Only rewrite genuine data-source-resolution failures — a
+        # reachable connector with a down/misconfigured mongod must
+        # surface its real error, not a bogus "install the jar" hint.
+        msg = str(e)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+            or "Failed to find the data source" in msg
+            or "Failed to find data source" in msg
+        ):
             raise RuntimeError(
                 "MongoDB Spark Connector not available on this session's "
                 "classpath; add org.mongodb.spark:mongo-spark-connector "
@@ -193,55 +228,61 @@ def scd2_upsert(
     rows + new versions) — and the write uses the same two-rename
     crash-safe swap. On Delta/Iceberg this becomes MERGE with the same
     branches. The new batch must be unique on ``key_cols``.
-    """
-    import os
-    import shutil
-    import uuid
 
+    Change detection: a re-arriving key only versions when a non-key,
+    non-``ts_col`` attribute actually changed (sha2 digest compare), so
+    replayed or full-snapshot batches where most rows are unchanged do
+    NOT fabricate phantom versions — idempotent under redelivery.
+    """
     far_future = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    val_cols = sorted(c for c in new.columns if c not in set(key_cols) | {ts_col})
+    digest = F.sha2(
+        F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                              for c in val_cols]),
+        256,
+    )
     stamped = (
         new.withColumn("__valid_from", F.col(ts_col).cast("timestamp"))
         .withColumn("__valid_to", far_future)
         .withColumn("__current", F.lit(True))
     )
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    existing = _existing_or_none(spark, path)
+    if existing is None:
         stamped.write.mode("overwrite").parquet(path)
         return 0, stamped.count()
 
-    incoming_keys = new.select(*key_cols)
     current = existing.where(F.col("__current"))
     history = existing.where(~F.col("__current"))
-    # current rows whose key re-arrives close out at the new version's
-    # timestamp; everything else is untouched
-    arriving_ts = new.select(
-        *key_cols, F.col(ts_col).cast("timestamp").alias("__new_ts")
+    arriving = new.select(
+        *key_cols,
+        F.col(ts_col).cast("timestamp").alias("__new_ts"),
+        digest.alias("__new_digest"),
     )
+    cur_digested = current.withColumn("__cur_digest", digest)
+    # changed current rows close out at the new version's timestamp
     closed = (
-        current.join(arriving_ts, on=key_cols, how="inner")
+        cur_digested.join(arriving, on=key_cols, how="inner")
+        .where(F.col("__cur_digest") != F.col("__new_digest"))
         .withColumn("__valid_to", F.col("__new_ts"))
         .withColumn("__current", F.lit(False))
-        .drop("__new_ts")
+        .drop("__new_ts", "__new_digest", "__cur_digest")
     )
-    untouched_current = current.join(incoming_keys, on=key_cols, how="left_anti")
+    changed_keys = closed.select(*key_cols)
+    # current rows stay untouched when their key is absent OR unchanged
+    untouched_current = current.join(changed_keys, on=key_cols, how="left_anti")
+    # only genuinely new content inserts: unseen keys + changed keys
+    known_unchanged = (
+        cur_digested.join(arriving, on=key_cols, how="inner")
+        .where(F.col("__cur_digest") == F.col("__new_digest"))
+        .select(*key_cols)
+    )
+    inserts = stamped.join(known_unchanged, on=key_cols, how="left_anti")
     out = (
         history.unionByName(untouched_current)
         .unionByName(closed)
-        .unionByName(stamped.select(*closed.columns))
+        .unionByName(inserts.select(*closed.columns))
     )
     n_closed = closed.count()
-    n_inserted = stamped.count()
-
-    token = uuid.uuid4().hex[:8]
-    staging = f"{path}__staging_{token}"
-    backup = f"{path}__old_{token}"
-    out.write.mode("overwrite").parquet(staging)
-    os.rename(path, backup)
-    try:
-        os.rename(staging, path)
-    except BaseException:
-        os.rename(backup, path)
-        raise
-    shutil.rmtree(backup)
+    n_inserted = inserts.count()
+    _swap_commit(out, path)
     return n_closed, n_inserted

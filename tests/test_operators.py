@@ -196,8 +196,11 @@ def test_ngram_df_cap_bounds_candidates_keeps_recall(spark):
     ).count()
     assert uncapped >= 528
 
-    cands = ngram_candidate_pairs(spark, docs).collect()
-    assert {(r["doc_a"], r["doc_b"]) for r in cands} == set(planted)
+    # capped: the planted pairs (via rare shingles) plus at most one
+    # CHAIN link per boilerplate sharer (linear, not quadratic)
+    cands = {(r["doc_a"], r["doc_b"]) for r in ngram_candidate_pairs(spark, docs).collect()}
+    assert set(planted) <= cands
+    assert len(cands) <= len(planted) + 33
 
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -471,3 +474,61 @@ def test_multimodal_codec_roundtrip_properties():
     png_roundtrip()
     wav_roundtrip()
     stream_walk()
+
+
+def test_ngram_over_cap_cluster_still_collapses(spark):
+    """A near-dup cluster LARGER than the DF threshold (its shared
+    shingles all become stop shingles) must still produce qualifying
+    pairs via chain links and collapse to one connected component."""
+    from projet5_spark.operators.graph import connected_components
+    from projet5_spark.plans.llm import ngram_near_dup_pairs
+
+    core = " ".join(f"core{j}" for j in range(30))
+    rows = [(i, f"{core} tail{i}") for i in range(12)]  # 12 near-identical
+    rows += [(100 + i, " ".join(f"bg{i}x{j}" for j in range(20))) for i in range(28)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # threshold = max(5, 0.1*40) = 5 < 12 -> every core shingle is "stop"
+    pairs = ngram_near_dup_pairs(spark, docs, threshold=0.5)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("dst" if False else "doc_b").alias("dst")
+    )
+    comp = connected_components(edges, "src", "dst")
+    clusters = {}
+    for r in comp.collect():
+        clusters.setdefault(r["component"], set()).add(r["node"])
+    assert set(range(12)) in clusters.values(), clusters
+
+
+def test_scd2_upsert_idempotent_on_replay(spark, tmp_path):
+    """Redelivered batches with unchanged values must not fabricate
+    versions (change detection via value digest)."""
+    from projet5_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim2")
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    batch = spark.createDataFrame([(1, "alice", t0), (2, "bob", t0)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, batch, path, ["k"], "ts") == (0, 2)
+    # exact replay (even with a newer ts): nothing closes, nothing inserts
+    replay = spark.createDataFrame([(1, "alice", t1), (2, "bob", t1)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, replay, path, ["k"], "ts") == (0, 0)
+    assert spark.read.parquet(path).count() == 2
+    # one real change -> exactly one close + one insert
+    mixed = spark.createDataFrame([(1, "alice", t1), (2, "bobby", t1)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, mixed, path, ["k"], "ts") == (1, 1)
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_merge_target_missing_with_leftovers_raises(spark, tmp_path):
+    """If the table is gone but a crash leftover exists, merging must
+    refuse (recovery hint) instead of silently re-initializing."""
+    import os
+
+    import pytest
+
+    from projet5_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "t2")
+    os.makedirs(f"{path}__old_deadbeef")
+    new = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(RuntimeError, match="interrupted mid-commit"):
+        merge_upsert(spark, new, path, ["k"])
