@@ -94,15 +94,18 @@ def asof_join(
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
     payload = F.struct(*[F.col(c) for c in right_vals])
-    tb = (
-        F.col(right_tiebreak).cast("double")
-        if right_tiebreak
-        else F.lit(0.0)
-    )
+    # tie-break orders on the column's NATURAL type — casting a 64-bit
+    # id to double would collapse values above 2^53 into equal keys and
+    # silently break the determinism the tiebreak exists to provide
+    if right_tiebreak:
+        tb = F.col(right_tiebreak)
+        tb_type = right.schema[right_tiebreak].dataType.simpleString()
+    else:
+        tb, tb_type = F.lit(0.0), "double"
 
     l_tag = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
         "__src", F.lit(1)
-    ).withColumn("__tb", F.lit(None).cast("double")).withColumn(
+    ).withColumn("__tb", F.lit(None).cast(tb_type)).withColumn(
         "__payload",
         F.lit(None).cast(right.select(payload.alias("p")).schema["p"].dataType),
     )

@@ -29,22 +29,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _sql_tables(sf_dir: str) -> dict[str, str]:
-    """FROM-clause targets for spark.sql queries (no view registration)."""
-    return {
-        n: f"parquet.`{sf_dir}/{n}.parquet`"
-        for n in (
-            "region",
-            "nation",
-            "customer",
-            "supplier",
-            "part",
-            "orders",
-            "lineitem",
-            "events",
-            "documents",
-            "embeddings",
-        )
-    }
+    """FROM-clause targets for spark.sql queries (no view registration).
+    Table list comes from sources.readers.TABLES — the single fixture
+    inventory — so adding a table cannot silently skip one consumer."""
+    from ..sources.readers import TABLES
+
+    return {n: f"parquet.`{sf_dir}/{n}.parquet`" for n in TABLES}
 
 
 _D2 = lambda c: _q(c, 2)  # noqa: E731  money-scale rounding (both sides)
@@ -964,18 +954,25 @@ def math_conditional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, floor((o_totalprice) * 1e2) / 1e2 AS o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT 1.5 * (sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                                        / (1e2 * count(o_totalprice)))
+                          FROM orders)
     """,
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery through the SQL front-end: Catalyst plans the
-    subquery once and broadcasts the scalar."""
+    subquery once and broadcasts the scalar. The threshold averages the
+    exact cents grid (not raw doubles) so both engines compute the
+    bit-identical cutoff — a ULP of summation-order drift on a raw avg
+    could flip rows sitting at the boundary."""
     t = _sql_tables(sf_dir)
     return spark.sql(
         f"""
         SELECT o_orderkey, floor((o_totalprice) * 1e2) / 1e2 AS o_totalprice
         FROM {t['orders']}
-        WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM {t['orders']})
+        WHERE o_totalprice > (SELECT 1.5 * (sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                                            / (1e2 * count(o_totalprice)))
+                              FROM {t['orders']})
         """
     )
 

@@ -15,19 +15,12 @@ from .registry import query
 
 
 def _tables(sf_dir: str) -> dict[str, str]:
+    # single fixture inventory: sources.readers.TABLES
+    from ..sources.readers import TABLES
+
     return {
         n: f"parquet.`{sf_dir}/{n}.parquet`"
-        for n in (
-            "region",
-            "nation",
-            "customer",
-            "supplier",
-            "part",
-            "orders",
-            "lineitem",
-            "documents",
-            "embeddings",
-        )
+        for n in TABLES
     }
 
 

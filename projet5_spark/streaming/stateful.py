@@ -61,15 +61,25 @@ def _update_user_profile(
     else:
         n, sum_cents, last_ts_us, max_gap_us = 0, 0, None, 0
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
+    import math
+
+    # Concatenate the WHOLE micro-batch before sorting: the runtime
+    # delivers a group's rows as an iterator of Arrow-sized chunks in
+    # arbitrary order, so sorting each chunk alone would compute gaps
+    # across wrong neighbors once a group spans multiple chunks.
+    chunks = list(pdfs)
+    batch = pd.concat(chunks) if chunks else pd.DataFrame()
+    if len(batch):
+        batch = batch.sort_values("ts")
+        for ts, value in zip(batch["ts"], batch["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if last_ts_us is not None:
                 max_gap_us = max(max_gap_us, ts_us - last_ts_us)
             last_ts_us = ts_us
             n += 1
-            sum_cents += int(value * 100 + 0.5)
+            # floor (not int(): that truncates toward zero) to match
+            # the batch twin's F.floor cents grid on negative values
+            sum_cents += math.floor(value * 100 + 0.5)
 
     state.update((n, sum_cents, last_ts_us, max_gap_us))
     yield pd.DataFrame(

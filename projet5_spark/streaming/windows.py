@@ -59,15 +59,22 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _gridsum2(col: str) -> F.Column:
+    # EXACT cents-grid sum — the same expression as the batch twins'
+    # registry.gridsum(col, 2). Using round(sum(double)) here instead
+    # would make stream/batch equivalence summation-order-dependent.
+    return F.sum(F.floor(F.col(col) * 100.0 + F.lit(0.5)).cast("long")) / 100.0
+
+
 def streaming_tumbling_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """10-minute tumbling counts/sums per event_type — batch twin:
-    plans.events.tumbling_window_event_stats."""
+    plans.events.tumbling_window_event_stats (bit-identical grid sum)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _gridsum2("value").alias("sum_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -80,13 +87,13 @@ def streaming_tumbling_stats(events: DataFrame, watermark: str = "1 hour") -> Da
 
 def streaming_session_windows(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """30-minute-gap session windows per user — batch twin:
-    plans.events.session_windows_per_user."""
+    plans.events.session_windows_per_user (bit-identical grid sum)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _gridsum2("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -99,10 +106,19 @@ def streaming_session_windows(events: DataFrame, watermark: str = "1 hour") -> D
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Stateful exact-once dedup on event_id within the watermark horizon
-    — the streaming form of R7/R13: state holds only keys younger than
-    the watermark, so memory is bounded by rate × horizon, not history."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Stateful exactly-once dedup on (event_id, ts) within the
+    watermark horizon — the streaming form of R7/R13.
+
+    The event-time column MUST be part of the dedup key: Spark's
+    streaming dropDuplicates only evicts state for keys whose
+    event-time has passed the watermark when the watermarked column is
+    in the key — with ``["event_id"]`` alone every id ever seen stays
+    in the state store forever. With (id, ts) the state is bounded by
+    rate × horizon; exact re-emissions (same id AND ts — the at-least-
+    once redelivery case) dedup, while an id reused with a new
+    timestamp counts as a new event (use
+    :func:`streaming_dedup_within_watermark` to collapse those too)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
 def run_to_completion(
@@ -113,7 +129,11 @@ def run_to_completion(
 ) -> DataFrame:
     """Drive a file-replay streaming query until the source is exhausted
     and return the collected sink as a (batch) DataFrame via the memory
-    sink. Test harness helper — real deployments use a real sink."""
+    sink. Test harness helper — real deployments use a real sink.
+
+    Raises on timeout instead of returning a partial sink: the
+    still-running query would keep mutating the memory table under the
+    caller's comparison."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -121,7 +141,13 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} still running after {timeout_s}s; "
+            f"result would be partial"
+        )
     spark = stream_df.sparkSession
     return spark.table(query_name)
 

@@ -239,3 +239,30 @@ def test_streaming_dedup_within_watermark_collapses_near_dups(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == ["a", "b", "c"]
+
+
+def test_stateful_profiles_survive_multi_chunk_groups(spark):
+    """Force tiny Arrow batches so every user's micro-batch arrives as
+    MANY unordered chunks — max_gap must still match the batch twin
+    (regression: per-chunk sorting computed gaps across wrong
+    neighbors)."""
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.stateful import (
+        batch_user_profiles,
+        streaming_user_profiles,
+    )
+    from projet5_spark.streaming.windows import run_to_completion, stream_events
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = stream_events(spark, SF)
+        got = run_to_completion(
+            streaming_user_profiles(stream), "t_stateful_chunks", output_mode="update"
+        )
+        want = batch_user_profiles(read_events(spark, SF))
+        assert _norm(got.select(*sorted(got.columns))) == _norm(
+            want.select(*sorted(want.columns))
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
