@@ -99,7 +99,10 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # unknown scale factor — still bench, just flag it
     spark = get_spark(app_name="projet5-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -17,9 +17,9 @@ from .registry import gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 @query(

@@ -25,9 +25,9 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 @query(

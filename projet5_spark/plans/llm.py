@@ -42,7 +42,9 @@ _STOPWORDS = ("the", "a")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 

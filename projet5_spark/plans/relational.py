@@ -25,7 +25,9 @@ from .registry import gridavg, gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 def _sql_tables(sf_dir: str) -> dict[str, str]:

@@ -15,7 +15,9 @@ from .registry import gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 @query(
@@ -52,9 +54,13 @@ def series_monthly_orders_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         gridsum("o_totalprice", 2).alias("total"),
     )
+    # RIGHT join with the calendar on the build side: Spark cannot
+    # broadcast the row-preserved side of an outer join, so the
+    # months-LEFT-join-actual form silently ignored the hint and
+    # sort-merged both sides. actual ⟶ right-join ⟶ broadcast(months)
+    # is the same result with the aggregate streaming map-side.
     return (
-        F.broadcast(months)
-        .join(actual, "month", "left")
+        actual.join(F.broadcast(months), "month", "right")
         .select(
             "month",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
@@ -116,8 +122,12 @@ def sample_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, hence rows-only. At scale this is the pushdown-friendly
     way to subsample (no shuffle, evaluated at scan)."""
     orders = _t(spark, sf_dir, "orders")
+    # exact-grid read (+0.5 before floor): plain floor(x*100)/100 on a
+    # 2dp double stored as 828.999… would emit one cent low; there is
+    # no oracle mirroring the error here, so the value must be faithful
+    faithful = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)) / 100.0
     return orders.sample(fraction=0.1, seed=42).select(
-        "o_orderkey", "o_custkey", _q(F.col("o_totalprice"), 2).alias("o_totalprice")
+        "o_orderkey", "o_custkey", faithful.alias("o_totalprice")
     )
 
 

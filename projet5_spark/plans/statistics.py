@@ -18,7 +18,9 @@ from .registry import query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 _CENTS = "CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)"

@@ -14,11 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import gridsum, query, quantize as _q
+from .registry import _cents, gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
 
 
 @query(
@@ -156,7 +158,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    cents = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    cents = lambda c: _cents(c, 4)  # noqa: E731 — shared grid encoding
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
@@ -211,7 +213,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part_avg = li.groupBy("l_partkey").agg(
         (F.sum(F.col("l_quantity").cast("long")) / F.count("l_quantity")).alias("avg_qty")
     ).withColumnRenamed("l_partkey", "pp_key")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    cents = _cents("l_extendedprice", 2)
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == F.col("pp_key"))
@@ -278,7 +280,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast scalar, broadcast anti side at sf)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    cents = _cents("c_acctbal", 2)
     avg_pos = (
         cust.where(F.col("c_acctbal") > 0.0)
         .agg((F.avg(cents) / 100.0).alias("thr"))
@@ -420,9 +422,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    v = F.floor(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0 + F.lit(0.5)
-    ).cast("long")
+    v = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     vol = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)

@@ -73,13 +73,28 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 nanos (``nanosAsLong``, a runtime-settable SQL conf) and
     convert to the engine's µs TimestampType. Truncation (floor to µs)
     matches DuckDB's ns→string truncation, so oracles line up."""
+    # Set the ns-as-long conf only around plan analysis, then restore:
+    # the converted schema is baked into the analyzed plan (verified —
+    # execution succeeds after the unset), and leaving the flag on
+    # session-wide would silently turn every LATER ns-timestamp parquet
+    # read into bigint columns instead of Spark's default loud error.
+    # (The streaming reader keeps it set: micro-batches plan new files
+    # for the lifetime of the query.)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        # integer division, NOT `/1000` through double: epoch-ns values
-        # (~1.7e18) exceed double's 2^53 exact range (ulp ≈ 256 ns), so
-        # the double path can be off by 1 µs vs DuckDB's exact truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division, NOT `/1000` through double: epoch-ns
+            # values (~1.7e18) exceed double's 2^53 exact range
+            # (ulp ≈ 256 ns), so the double path can be off by 1 µs vs
+            # DuckDB's exact truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return df
 
 
@@ -92,3 +107,14 @@ def load_tables(
     action runs, and each query's plan only scans the tables it uses.
     """
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The one fixture-table reader every plan module should use: routes
+    ``events`` through :func:`read_events` (nanosecond timestamps need
+    the legacy conf + ns→µs conversion); a direct parquet read of that
+    file either errors or silently yields bigint ts depending on
+    session history."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
