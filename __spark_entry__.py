@@ -24,10 +24,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: TPC-H Q1-shape pricing summary on sf0.001 (scan →
-    pushdown filter → hash aggregate; SURVEY.md §7.1)."""
+    """Flagship (SURVEY.md §7.1): the composed reference-parity healthcare
+    pipeline — scan → rename → full-row dedup → normalize → surrogate
+    keys → first-seen admission dedup — on sf0.001."""
     ensure_utc(spark)
-    return QUERIES["q01_pricing_summary"](spark, SF0001)
+    return QUERIES["hc_admissions_first_seen"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

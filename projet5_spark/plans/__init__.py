@@ -10,6 +10,7 @@
 
 from .registry import QUERIES, ORACLE, query
 
+from . import healthcare  # noqa: E402,F401  (flagship parity pipeline first)
 from . import relational  # noqa: E402,F401  (registers queries on import)
 from . import llm  # noqa: E402,F401
 from . import statistics  # noqa: E402,F401

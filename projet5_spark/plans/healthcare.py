@@ -115,3 +115,187 @@ def duplicate_patients_check(patients: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing registrations (SURVEY.md §7.1 flagship): the composed
+# reference-parity pipeline run over a healthcare-shaped frame DERIVED
+# deterministically from the `orders` fixture, so the DuckDB oracle can
+# mirror the derivation and the full composition is hash-checked by the
+# correctness gate — not just each Rn in isolation.
+#
+# Derivation (every attribute a pure function of order columns, mirrored
+# 1:1 in the oracle SQL):
+#   pid   = o_custkey % 400      → 400 distinct patients, ~4 customers
+#                                  collapse onto each (planted R10 dupes)
+#   name  = '  pAtIeNt 00NNN mC-D  '  → messy case/whitespace/punctuation
+#                                  so R8 title-case parity actually bites
+#                                  (initcap would get 'mc-5' wrong)
+#   admission date = month-truncated o_orderdate → coarse enough that
+#                                  distinct orders collide on the R13
+#                                  admission key (~1.3k dup rows at
+#                                  sf0.01), exercising first-seen-wins
+#   ordinal = o_orderkey         → explicit, engine-independent input
+#                                  order (SURVEY.md §7.4.3)
+# ---------------------------------------------------------------------------
+
+from .registry import query, quantize as _q  # noqa: E402
+
+BLOOD_TYPES = ["A+", "A-", "B+", "B-", "AB+", "AB-", "O+", "O-"]
+CONDITIONS = ["diabetes", "hypertension", "asthma", "arthritis", "cancer", "obesity"]
+HOSPITALS = ["general hospital", "st mary", "unity clinic"]
+INSURERS = ["aetna", "cigna", "medicare", "unitedhealth"]
+MEDICATIONS = ["aspirin", "ibuprofen", "paracetamol", "penicillin", "lipitor"]
+ADMISSION_TYPES = ["Emergency", "Elective", "Urgent"]
+TEST_RESULTS = ["Normal", "Abnormal", "Inconclusive"]
+
+
+def _pick(options: list[str], idx) -> F.Column:
+    """1-based element_at over a literal array; idx is a 0-based column."""
+    return F.element_at(F.array(*[F.lit(x) for x in options]), (idx + 1).cast("int"))
+
+
+def healthcare_raw_from_orders(spark, sf_dir: str) -> DataFrame:
+    """Healthcare-shaped raw frame (reference CSV shape, migration.py:130):
+    one row per admission with patient attributes inlined, messy column
+    names (exercises R2), string dates (exercises R9), duplicate natural
+    keys (exercises R7/R10/R13)."""
+    from ..sources.readers import fixture_table
+
+    o = fixture_table(spark, sf_dir, "orders")
+    pid = F.col("o_custkey") % 400
+    k = F.col("o_orderkey")
+    adm = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return o.select(
+        k.alias("__ord"),
+        F.concat(
+            F.lit("  pAtIeNt "),
+            F.lpad(pid.cast("string"), 5, "0"),
+            F.lit(" mC-"),
+            (pid % 7).cast("string"),
+            F.lit("  "),
+        ).alias("Name"),
+        (F.lit(18) + pid % 70).alias("Age"),
+        F.when(pid % 2 == 0, F.lit("Male")).otherwise(F.lit("Female")).alias("Gender"),
+        _pick(BLOOD_TYPES, pid % 8).alias("Blood Type"),
+        _pick(CONDITIONS, k % 6).alias("Medical Condition"),
+        F.date_format(adm, "yyyy-MM-dd").alias("Date of Admission"),
+        F.concat(F.lit("Dr "), (k % 40).cast("string")).alias("Doctor"),
+        _pick(HOSPITALS, F.col("o_custkey") % 3).alias("Hospital"),
+        _pick(INSURERS, k % 4).alias("Insurance Provider"),
+        F.col("o_totalprice").alias("Billing Amount"),
+        (pid % 20 + 100).alias("Room Number"),
+        _pick(ADMISSION_TYPES, k % 3).alias("Admission Type"),
+        F.date_format(F.date_add(adm, (k % 14 + 1).cast("int")), "yyyy-MM-dd").alias(
+            "Discharge Date"
+        ),
+        _pick(MEDICATIONS, k % 5).alias("Medication"),
+        _pick(TEST_RESULTS, F.floor(k / F.lit(3)).cast("long") % 3).alias("Test Results"),
+    )
+
+
+def _sql_case(expr: str, options: list[str]) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(options))
+    return f"CASE {expr} {whens} END"
+
+
+#: shared oracle fragment: distinct-patient attributes from pid
+_P_ATTRS = f"""
+       'Patient ' || lpad(CAST(pid AS VARCHAR), 5, '0') || ' Mc-' || CAST(pid % 7 AS VARCHAR) AS name,
+       18 + pid % 70 AS age,
+       CASE WHEN pid % 2 = 0 THEN 'Male' ELSE 'Female' END AS gender,
+       {_sql_case('pid % 8', BLOOD_TYPES)} AS blood_type
+"""
+
+_P_KEY_SQL = "sha256(concat_ws(chr(31), name, CAST(age AS VARCHAR), gender, blood_type))"
+
+
+@query(
+    "hc_patients_dim",
+    oracle=f"""
+    WITH raw AS (SELECT DISTINCT o_custkey % 400 AS pid FROM orders),
+    p AS (SELECT {_P_ATTRS} FROM raw)
+    SELECT name, age, gender, blood_type, {_P_KEY_SQL} AS patient_id
+    FROM p
+    """,
+)
+def hc_patients_dim(spark, sf_dir: str) -> DataFrame:
+    """R2+R7+R8+R10+R11 composed: the patients dimension produced by the
+    full reference-parity pipeline (migration.py:160-187)."""
+    res = healthcare_pipeline(healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord")
+    return res.patients.select("name", "age", "gender", "blood_type", "patient_id")
+
+
+@query(
+    "hc_admissions_first_seen",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey AS ord,
+             o_custkey % 400 AS pid,
+             o_custkey % 3 AS h,
+             o_orderkey AS k,
+             o_totalprice,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS adm
+      FROM orders
+    ), pat AS (
+      SELECT pid, {_P_KEY_SQL} AS patient_id
+      FROM (SELECT pid, {_P_ATTRS}
+            FROM (SELECT DISTINCT pid FROM raw) d) p
+    ), enr AS (
+      SELECT ord,
+             pat.patient_id,
+             {_sql_case('k % 6', CONDITIONS)} AS medical_condition,
+             adm AS date_of_admission,
+             'Dr ' || CAST(k % 40 AS VARCHAR) AS doctor,
+             {_sql_case('h', HOSPITALS)} AS hospital,
+             {_sql_case('k % 4', INSURERS)} AS insurance_provider,
+             floor((o_totalprice) * 1e2) / 1e2 AS billing_amount,
+             pid % 20 + 100 AS room_number,
+             {_sql_case('k % 3', ADMISSION_TYPES)} AS admission_type,
+             adm + CAST(k % 14 + 1 AS INTEGER) AS discharge_date,
+             {_sql_case('k % 5', MEDICATIONS)} AS medication,
+             {_sql_case('(k // 3) % 3', TEST_RESULTS)} AS test_results
+      FROM raw JOIN pat USING (pid)
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY patient_id, date_of_admission, hospital, room_number
+        ORDER BY ord) AS rn
+      FROM enr
+    )
+    SELECT patient_id, medical_condition,
+           strftime(date_of_admission, '%Y-%m-%d') AS date_of_admission,
+           doctor, hospital,
+           insurance_provider, billing_amount, room_number, admission_type,
+           strftime(discharge_date, '%Y-%m-%d') AS discharge_date,
+           medication, test_results,
+           sha256(concat_ws(chr(31), patient_id, CAST(date_of_admission AS VARCHAR),
+                            hospital, CAST(room_number AS VARCHAR))) AS admission_id
+    FROM dedup WHERE rn = 1
+    """,
+)
+def hc_admissions_first_seen(spark, sf_dir: str) -> DataFrame:
+    """The full composed pipeline's fact output: R2 rename → R7 full-row
+    dedup → R8/R9 normalize → R11 surrogate keys → R13 first-seen-wins
+    admission dedup (migration.py:196-236), hash-checked end-to-end."""
+    res = healthcare_pipeline(healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord")
+    return (
+        res.admissions.withColumn("billing_amount", _q(F.col("billing_amount"), 2))
+        .withColumn("date_of_admission", F.date_format("date_of_admission", "yyyy-MM-dd"))
+        .withColumn("discharge_date", F.date_format("discharge_date", "yyyy-MM-dd"))
+    )
+
+
+@query(
+    "hc_duplicate_patients_check",
+    oracle=f"""
+    WITH raw AS (SELECT DISTINCT o_custkey % 400 AS pid FROM orders),
+    p AS (SELECT {_P_ATTRS} FROM raw)
+    SELECT name, age, gender, blood_type, count(*) AS n
+    FROM p GROUP BY name, age, gender, blood_type HAVING count(*) > 1
+    """,
+)
+def hc_duplicate_patients_check(spark, sf_dir: str) -> DataFrame:
+    """R19 flagship invariant (reference test_migration.py:29-34): the
+    patients dim has no duplicate natural keys — empty on both engines."""
+    res = healthcare_pipeline(healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord")
+    return duplicate_patients_check(res.patients)
