@@ -943,7 +943,14 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set selection: language filter + quality
     threshold + exact dedup keeping the lowest doc_id — the composed
     filter-then-dedup pass of a data pipeline, one declarative plan
-    (filters reach the scan; dedup is one digest-keyed aggregate)."""
+    (filters reach the scan; dedup is one digest-keyed aggregate).
+
+    The dedup groups on ``sha2(text, 256)``, never the raw body: the
+    shuffle carries a 32-byte key per row regardless of document size
+    (operators/dedup.py doctrine — at 100 TB this is the difference
+    between shuffling hashes and shuffling the corpus). Grouping by
+    digest ≡ grouping by text up to SHA-256 collisions (~2⁻¹²⁸ at any
+    realistic corpus size)."""
     docs = _t(spark, sf_dir, "documents")
     toks = _toks()
     stop_ratio = (
@@ -954,12 +961,11 @@ def training_set_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.where(F.col("lang").isin("en", "de"))
         .where(q >= 0.55)
-        .groupBy("text")
+        .groupBy(F.sha2(F.col("text"), 256).alias("__h"))
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .drop("text")
         .select("doc_id", "n_copies")
     )
 
@@ -1114,36 +1120,129 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup signal: all pairs with cosine ≥ τ (τ=0.4 against this
     fixture's random embeddings; real corpora use ~0.95+).
 
-    Exact block-matrix pass: the corpus's L2-normalized vectors ship to
-    every task as one broadcast float64 matrix, each Arrow batch of
-    rows computes a vectorized (batch × corpus) matmul in numpy, and
-    only upper-triangle pairs above τ are emitted. That keeps Python
-    work fully vectorized and the output linear in matches. Contract:
-    the broadcast side must fit in executor memory (same bound as a
-    broadcast join); past that, this is the verification stage over
-    IVF/LSH candidate buckets (embedding_ann_*), exactly like
-    ngram_jaccard_near_dup verifies MinHash candidates.
+    Exact and fully distributed via :func:`cosine_pairs_blocked`: no
+    driver collect, no corpus broadcast — the corpus is replicated B
+    times across B(B+1)/2 co-located block-pair partitions (shuffle
+    O(n·B), per-task memory O(n/B)), and each pair's cosine runs as a
+    JVM expression inside the join residual, streamed — the O(n²) pair
+    space is never materialized. τ-recall is exact (unlike the ANN
+    candidate paths, whose recall is probabilistic); for the bounded
+    corpora where a dense matmul wins, :func:`verify_pairs_dense` is the
+    explicitly-guarded variant.
 
-    Determinism note: BLAS matmul may sum in a different order than the
-    oracle's sequential reduction — identical across runs on one host,
-    but a pair whose sim sits within ULPs of the τ cut or a 1e-4 grid
-    edge could floor differently than DuckDB. The fixture's sims sit
-    nowhere near those edges; for adversarial data, pin τ away from
-    attainable values (as here) or verify candidates with a sequential
-    reduction. Zero-norm vectors are excluded on both engines (their
-    sim is NaN / 0-division and every comparison is false).
+    Determinism: ``zip_with``/``aggregate`` accumulate left-to-right
+    exactly like the oracle's ``list_aggregate`` — no BLAS
+    reassociation, so the 1e-4 floor grid cannot flip vs DuckDB.
+    Zero-norm vectors are excluded on both engines (NULL sim here,
+    NaN/0-division there; every comparison false).
+    """
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_pairs_blocked(spark, emb, tau=0.4)
+
+
+def cosine_pairs_blocked(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ τ via block-pair co-location.
+
+    Classic distributed all-pairs: hash every vector to one of B blocks,
+    enumerate the B(B+1)/2 unordered block pairs (a tiny broadcast
+    table), replicate each vector into every block pair it belongs to,
+    and equi-join on the pair key so each task sees exactly two blocks.
+    The cosine + τ filter evaluate as join residuals — pairs stream
+    through codegen and only matches materialize.
+
+    Scale: shuffle is O(n·B) rows, per-task memory O(n/B) vectors,
+    compute O(n²) spread over B(B+1)/2 independent tasks. Pick
+    B ≈ √(2·cluster cores) at scale; 8 keeps fixture partitions busy.
+    """
+    B = n_blocks
+    keys = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "i int, j int"
+    )
+    blk = F.pmod(F.col(id_col), F.lit(B)).cast("int")
+    lhs = (
+        emb.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("emb_a"),
+            blk.alias("blk_a"),
+        )
+        .join(F.broadcast(keys), F.col("blk_a") == F.col("i"))
+    )
+    rhs = (
+        emb.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("emb_b"),
+            blk.alias("blk_b"),
+        )
+        .join(
+            F.broadcast(keys.select(F.col("i").alias("ri"), F.col("j").alias("rj"))),
+            F.col("blk_b") == F.col("rj"),
+        )
+    )
+    sim = cosine_similarity("emb_a", "emb_b")
+    pairs = lhs.join(
+        rhs,
+        (F.col("i") == F.col("ri"))
+        & (F.col("j") == F.col("rj"))
+        # same block → strict id order; distinct blocks → every
+        # unordered pair appears exactly once (normalized below)
+        & ((F.col("blk_a") != F.col("blk_b")) | (F.col("id_a") < F.col("id_b"))),
+    )
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") >= tau)
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            _q("sim", 4).alias("sim"),
+        )
+    )
+
+
+def verify_pairs_dense(
+    spark: SparkSession,
+    emb: DataFrame,
+    tau: float,
+    max_cells: int = 50_000_000,
+) -> DataFrame:
+    """Dense-matmul variant of :func:`cosine_pairs_blocked` for provably
+    bounded corpora: broadcast the L2-normalized float64 corpus matrix,
+    then each Arrow batch computes a vectorized (batch × corpus) matmul.
+
+    Hard guard BEFORE any collect: ``rows × dim`` must not exceed
+    ``max_cells`` (default 5e7 cells = 400 MB float64), else ValueError —
+    the unbounded path is the blocked join above. The two scalar actions
+    (count + head) are bounded; the collect is what the guard licenses.
+
+    Determinism caveat (why this is not the oracle-paired path): BLAS
+    may reassociate the reduction, so a sim within ULPs of the τ cut or
+    a grid edge can floor differently than a sequential engine.
     """
     import numpy as np
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # bounded corpus side (see contract above)
+    n = emb.count()
+    head = emb.select("embedding").head()
+    dim = len(head["embedding"]) if head else 0
+    if n * max(dim, 1) > max_cells:
+        raise ValueError(
+            f"verify_pairs_dense: corpus {n} rows × {dim} dims = "
+            f"{n * dim} cells exceeds max_cells={max_cells}; "
+            "use cosine_pairs_blocked (exact, distributed) or the "
+            "embedding_ann_* candidate paths"
+        )
+    rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = np.inf  # zero vectors -> sim 0, never ±inf/NaN
     mat /= norms
     bc = spark.sparkContext.broadcast((ids, mat))
-    tau = 0.4
 
     def pairs_batch(it):
         b_ids, b_mat = bc.value
@@ -1163,10 +1262,9 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    out = _spread(spark, emb).mapInPandas(
+    return _spread(spark, emb).mapInPandas(
         pairs_batch, schema="vec_a long, vec_b long, sim double"
     )
-    return out
 
 
 @query(

@@ -532,3 +532,35 @@ def test_merge_target_missing_with_leftovers_raises(spark, tmp_path):
     new = spark.createDataFrame([(1, "a")], ["k", "v"])
     with pytest.raises(RuntimeError, match="interrupted mid-commit"):
         merge_upsert(spark, new, path, ["k"])
+
+
+def test_verify_pairs_dense_guard_and_parity(spark):
+    """verify_pairs_dense must refuse an over-budget corpus BEFORE any
+    collect, and on a within-budget corpus agree with the distributed
+    cosine_pairs_blocked path pair-for-pair."""
+    import pytest
+
+    from projet5_spark.plans.llm import cosine_pairs_blocked, verify_pairs_dense
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.95, 0.05]),
+            (5, [0.0, 0.0, 0.0]),  # zero-norm: excluded on both paths
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exceeds max_cells"):
+        verify_pairs_dense(spark, emb, tau=0.8, max_cells=10)
+
+    dense = {
+        (r["vec_a"], r["vec_b"])
+        for r in verify_pairs_dense(spark, emb, tau=0.8).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_blocked(spark, emb, tau=0.8).collect()
+    }
+    assert dense == blocked == {(1, 2), (3, 4)}

@@ -230,14 +230,21 @@ def test_contamination_eval_filter_pushdown(spark):
     assert any("LessThan(doc_id,10)" in ln for ln in pushed), pushed
 
 
-def test_embedding_cosine_near_dup_is_map_side(spark):
-    """The block-matrix pass must not plan a join: the corpus ships as
-    a broadcast variable, so the physical plan is scan -> repartition ->
-    mapInPandas — one exchange, zero joins."""
+def test_embedding_cosine_near_dup_is_blocked_join(spark):
+    """The all-pairs cosine must be the distributed block-pair join:
+    no driver collect, no Python stage — the block-pair key table is
+    the only broadcast, the corpus sides shuffle on the (i, j) pair
+    key, and the cosine runs as a JVM join residual (zip_with +
+    aggregate inside codegen)."""
     plan = plan_of(spark, "embedding_cosine_near_dup")
-    assert "Join" not in plan, plan
-    assert "MapInPandas" in plan
-    assert plan.count("Exchange") <= 2  # the explicit fan-out repartition
+    assert "MapInPandas" not in plan, plan  # no Python / no collect path
+    assert "BatchEvalPython" not in plan
+    # two broadcast joins (blk -> pair keys) + one shuffled pair join
+    # (formatted explain lists each node twice: tree line + detail block)
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # the tau filter must ride the join, not a post-materialize filter
+    assert "zip_with" in plan or "aggregate" in plan
 
 
 def test_source_quality_rollup_single_aggregate(spark):
