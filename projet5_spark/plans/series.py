@@ -131,20 +131,71 @@ def sample_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ann_ivf")  # no oracle: partition assignment is engine-side
+def _ivf_oracle() -> str:
+    """DuckDB mirror of the deterministic IVF search (shared by the
+    ann query's oracle and the recall metric's oracle)."""
+    from .llm import _DUCK_DOT, _DUCK_NORM
+
+    dot_ec = _DUCK_DOT.format(a="e.embedding", b="c.cent_emb")
+    n_e = _DUCK_NORM.format(a="e.embedding")
+    n_c = _DUCK_NORM.format(a="c.cent_emb")
+    dot_pc = _DUCK_DOT.format(a="p.q_emb", b="c.embedding")
+    n_p = _DUCK_NORM.format(a="p.q_emb")
+    n_cv = _DUCK_NORM.format(a="c.embedding")
+    return f"""
+    emb0 AS (SELECT vec_id, embedding FROM embeddings
+             WHERE {_DUCK_NORM.format(a='embedding')} > 0),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+              FROM emb0 WHERE vec_id < 16),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cent_id,
+             {dot_ec} / ({n_e} * {n_c}) AS csim
+      FROM emb0 e CROSS JOIN cents c),
+    cranked AS (
+      SELECT vec_id, embedding, cent_id, csim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cent_id) AS crk
+      FROM assigned),
+    cells AS (SELECT vec_id, embedding, cent_id AS cell
+              FROM cranked WHERE crk = 1),
+    probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell
+               FROM cranked WHERE vec_id < 5 AND crk <= 2),
+    ivf_sims AS (
+      SELECT p.q_id, c.vec_id, {dot_pc} / ({n_p} * {n_cv}) AS sim
+      FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.q_id),
+    ivf_out AS (
+      SELECT q_id, vec_id, floor((sim) * 1e6) / 1e6 AS sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      FROM ivf_sims)
+    """
+
+
+@query(
+    "embedding_ann_ivf",
+    oracle=f"""
+    WITH {_ivf_oracle()}
+    SELECT q_id, vec_id, sim, rk FROM ivf_out WHERE rk <= 5
+    """,
+)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus to seeded centroids
-    (here: the 16 lowest-vec_id vectors — deterministic), then search
-    each query only in its ``nprobe=2`` nearest cells.
+    """IVF-style ANN: coarse-quantize the corpus to deterministic
+    centroids (the 16 lowest-vec_id vectors), then search each query
+    only in its ``nprobe=2`` nearest cells.
 
     The scale shape: centroid table broadcasts, cell assignment is a
-    map-only argmin over 16 dot products, and the candidate join is an
+    map-only argmax over 16 dot products, and the candidate join is an
     equi-join on cell id — the corpus never cross-joins the queries.
-    Recall vs brute force is asserted in tests.
-    """
-    from ..functions.vectors import cosine_similarity
+    Every step is plain deterministic double math (zip_with/aggregate
+    accumulates left-to-right exactly like the oracle's list_aggregate),
+    so unlike seeded-RNG LSH the whole search is oracle-paired: ranking
+    uses the RAW cosine (quantization happens only on output), and
+    zero-norm vectors are excluded up front on both engines (their
+    NULL-vs-NaN sims would order differently). Recall vs brute force is
+    additionally a driver-checked metric (ann_recall_ivf_at5)."""
+    from ..functions.vectors import cosine_similarity, l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
@@ -176,12 +227,252 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = cand.select(
         "q_id",
         "vec_id",
-        F.round(cosine_similarity("q_emb", "embedding"), 6).alias("sim"),
+        cosine_similarity("q_emb", "embedding").alias("sim"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         sims.withColumn("rk", F.row_number().over(wq).cast("long"))
         .where(F.col("rk") <= 5)
+        .select("q_id", "vec_id", _q("sim", 6).alias("sim"), "rk")
+    )
+
+
+def _recall_ivf_oracle() -> str:
+    from .llm import _DUCK_DOT, _DUCK_NORM
+
+    dot_qe = _DUCK_DOT.format(a="q_emb", b="e.embedding")
+    n_q = _DUCK_NORM.format(a="q_emb")
+    n_e = _DUCK_NORM.format(a="e.embedding")
+    return f"""
+    WITH {_ivf_oracle()},
+    ivf5 AS (SELECT q_id, vec_id FROM ivf_out WHERE rk <= 5),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 5),
+    bf_sims AS (
+      SELECT q_id, e.vec_id,
+             {dot_qe} / ({n_q} * {n_e}) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id),
+    bf5 AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM bf_sims) WHERE rk <= 5),
+    hits AS (
+      SELECT b.q_id, count(i.vec_id) AS n_hits
+      FROM bf5 b LEFT JOIN ivf5 i USING (q_id, vec_id)
+      GROUP BY b.q_id)
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits / 5.0 AS recall_at_5
+    FROM hits
+    """
+
+
+@query("ann_recall_ivf_at5", oracle=_recall_ivf_oracle())
+def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ANN quality metric: recall@5 of the IVF search
+    against the brute-force top-5, computed inside the query. Both
+    sides are deterministic, so the oracle re-derives the identical
+    metric end-to-end in SQL — an ANN accuracy gate the driver can
+    hash-check, not just row-count. (n_hits/5.0 divides identically
+    under IEEE-754 on both engines — no grid needed.)"""
+    from .llm import embedding_topk_cosine
+
+    ivf5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
+    bf5 = embedding_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        bf5.join(ivf5.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("__hit").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+def _signlsh_oracle() -> str:
+    """DuckDB mirror of the deterministic sign-LSH search: 2 tables x
+    4 sign bits against data-derived hyperplanes (vec_id 100..107)."""
+    from .llm import _DUCK_DOT, _DUCK_NORM
+
+    dot_ep = _DUCK_DOT.format(a="e.embedding", b="p.plane")
+    dot_qc = _DUCK_DOT.format(a="qe.embedding", b="ce.embedding")
+    n_q = _DUCK_NORM.format(a="qe.embedding")
+    n_c = _DUCK_NORM.format(a="ce.embedding")
+    return f"""
+    emb0 AS (SELECT vec_id, embedding FROM embeddings
+             WHERE {_DUCK_NORM.format(a='embedding')} > 0),
+    planes AS (
+      SELECT CAST(floor((vec_id - 100) / 4) AS INT) AS t,
+             CAST((vec_id - 100) % 4 AS INT) AS j,
+             embedding AS plane
+      FROM emb0 WHERE vec_id >= 100 AND vec_id < 108),
+    sigs AS (
+      SELECT e.vec_id, p.t,
+             CAST(sum(CASE WHEN {dot_ep} >= 0
+                           THEN power(2, p.j) ELSE 0 END) AS BIGINT) AS sig
+      FROM emb0 e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.t),
+    masks AS (SELECT unnest([0, 1, 2, 4, 8]) AS mask),
+    qprobe AS (
+      SELECT q.vec_id, q.t, xor(q.sig, CAST(m.mask AS BIGINT)) AS sig
+      FROM sigs q CROSS JOIN masks m WHERE q.vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      FROM qprobe q JOIN sigs c ON q.t = c.t AND q.sig = c.sig
+      WHERE c.vec_id <> q.vec_id),
+    lsh_sims AS (
+      SELECT cand.q_id, cand.vec_id,
+             {dot_qc} / ({n_q} * {n_c}) AS sim
+      FROM cand
+      JOIN emb0 qe ON qe.vec_id = cand.q_id
+      JOIN emb0 ce ON ce.vec_id = cand.vec_id),
+    lsh_out AS (
+      SELECT q_id, vec_id, floor((sim) * 1e6) / 1e6 AS sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      FROM lsh_sims)
+    """
+
+
+def _signlsh_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side pieces of the sign-LSH search: (candidate
+    pairs, norm-filtered corpus)."""
+    from ..functions.vectors import dot, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    vid = F.col("vec_id")
+    planes = emb.where((vid >= 100) & (vid < 108)).select(
+        F.floor((vid - 100) / 4).cast("int").alias("t"),
+        ((vid - 100) % 4).cast("int").alias("j"),
+        F.col("embedding").alias("plane"),
+    )
+    sigs = (
+        emb.join(F.broadcast(planes))
+        .select("vec_id", "t", "j", dot("embedding", "plane").alias("d"))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(0.0)
+            )
+            .cast("long")
+            .alias("sig")
+        )
+    )
+    # hamming-1 multi-probe (Lv et al., VLDB'07): each query also scans
+    # the 4 buckets one sign-bit away — 5x the probes, zero extra
+    # signature computation, still an equi-join on (t, sig)
+    masks = spark.createDataFrame([(m,) for m in (0, 1, 2, 4, 8)], "mask long")
+    q_sigs = (
+        sigs.where(F.col("vec_id") < 5)
+        .join(F.broadcast(masks))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "t",
+            F.col("sig").bitwiseXOR(F.col("mask")).alias("sig"),
+        )
+    )
+    cand = (
+        q_sigs.join(sigs, ["t", "sig"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    return cand, emb
+
+
+@query(
+    "embedding_ann_signlsh",
+    oracle=f"""
+    WITH {_signlsh_oracle()}
+    SELECT q_id, vec_id, sim, rk FROM lsh_out WHERE rk <= 5
+    """,
+)
+def embedding_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign-bit) LSH ANN, fully deterministic: the
+    hyperplanes are data-derived (corpus vectors 100..107 → 2 hash
+    tables × 4 bits), so unlike the seeded-RNG pyspark.ml variant
+    (embedding_ann_lsh) the whole search — signature, bucket join,
+    candidate top-5 — is reproducible in ANSI SQL and hash-checked by
+    the driver.
+
+    Scale shape is the production LSH one: signatures are a map-side
+    broadcast-join + 8 dot products per row, buckets are an equi-join
+    on (table, signature) — the corpus never cross-joins the queries,
+    and candidate count is bounded by bucket occupancy. Charikar
+    (STOC'02) sign-LSH; cosine collision prob = 1 − θ/π per bit.
+    Queries probe hamming-1 neighbor buckets too (multi-probe LSH, Lv
+    et al. VLDB'07): 5× the probes per table at zero extra signature
+    cost — on this fixture it lifts mean recall@5 from 0.2 to 0.72."""
+    from ..functions.vectors import cosine_similarity
+
+    cand, emb = _signlsh_frames(spark, sf_dir)
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select("vec_id", "embedding")
+    sims = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(ce, "vec_id")
+        .select("q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("sim"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("q_id", "vec_id", _q("sim", 6).alias("sim"), "rk")
+    )
+
+
+def _recall_signlsh_oracle() -> str:
+    from .llm import _DUCK_DOT, _DUCK_NORM
+
+    dot_qe = _DUCK_DOT.format(a="q_emb", b="e.embedding")
+    n_q = _DUCK_NORM.format(a="q_emb")
+    n_e = _DUCK_NORM.format(a="e.embedding")
+    return f"""
+    WITH {_signlsh_oracle()},
+    lsh5 AS (SELECT q_id, vec_id FROM lsh_out WHERE rk <= 5),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 5),
+    bf_sims AS (
+      SELECT q_id, e.vec_id,
+             {dot_qe} / ({n_q} * {n_e}) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id),
+    bf5 AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM bf_sims) WHERE rk <= 5),
+    hits AS (
+      SELECT b.q_id, count(l.vec_id) AS n_hits
+      FROM bf5 b LEFT JOIN lsh5 l USING (q_id, vec_id)
+      GROUP BY b.q_id)
+    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits / 5.0 AS recall_at_5
+    FROM hits
+    """
+
+
+@query("ann_recall_signlsh_at5", oracle=_recall_signlsh_oracle())
+def ann_recall_signlsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the deterministic sign-LSH search vs brute force —
+    the second driver-hash-checked ANN accuracy gate (see
+    ann_recall_ivf_at5)."""
+    from .llm import embedding_topk_cosine
+
+    lsh5 = embedding_ann_signlsh(spark, sf_dir).select("q_id", "vec_id")
+    bf5 = embedding_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        bf5.join(lsh5.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("__hit").alias("n_hits"))
+    )
+    return hits.select(
+        "q_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
     )
 
 

@@ -564,3 +564,16 @@ def test_verify_pairs_dense_guard_and_parity(spark):
         for r in cosine_pairs_blocked(spark, emb, tau=0.8).collect()
     }
     assert dense == blocked == {(1, 2), (3, 4)}
+
+
+def test_signlsh_ann_recall_floor(spark):
+    """The deterministic sign-LSH (2 tables x 4 bits, hamming-1
+    multi-probe) must keep mean recall@5 >= 0.5 vs brute force on the
+    fixture — the quality bar the driver's hash check then pins
+    exactly via ann_recall_signlsh_at5."""
+    from projet5_spark.plans.series import ann_recall_signlsh_at5
+
+    rows = ann_recall_signlsh_at5(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    mean = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean >= 0.5, f"sign-LSH mean recall collapsed: {mean}"
