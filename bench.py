@@ -79,6 +79,10 @@ HEADLINE = [
     "embedding_cosine_near_dup",
     "token_count_bpe_regex",
     "training_set_selection",
+    "hc_patients_dim",
+    "hc_admissions_first_seen",
+    "embedding_ann_signlsh",
+    "ann_recall_ivf_at5",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path
@@ -106,9 +110,19 @@ def main() -> None:
     spark = get_spark(app_name="projet5-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from projet5_spark.instrumentation import run_logged, run_stats_summary
+
     queries: dict[str, float] = {}
-    for name in HEADLINE:
-        queries[name] = round(time_query(spark, name, sf_dir), 4)
+    # run_logged = the R20 instrumentation surface: stderr gets the
+    # reference-format wall-clock/stage/shuffle banner, stdout stays
+    # the single JSON contract line
+    with run_logged(spark, "bench"):
+        for name in HEADLINE:
+            queries[name] = round(time_query(spark, name, sf_dir), 4)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "RUNSTATS.json"), "w") as f:
+        json.dump(run_stats_summary(spark), f, indent=1, sort_keys=True)
 
     total = round(sum(queries.values()), 4)
     print(

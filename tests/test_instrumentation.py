@@ -1,0 +1,72 @@
+"""R20 instrumentation: AppStatusStore-backed run metrics (the
+reference's migration.log counters — migration.py:27-48, :245-251 —
+done Spark-natively)."""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import functions as F
+
+from projet5_spark.instrumentation import (
+    run_logged,
+    run_stats_summary,
+    stage_stats,
+)
+
+
+def _burn(spark):
+    """One job with a real shuffle so stage metrics are non-trivial."""
+    return (
+        spark.range(0, 200_000)
+        .select((F.col("id") % 13).alias("k"))
+        .groupBy("k")
+        .count()
+        .count()
+    )
+
+
+def test_stage_stats_dataframe(spark):
+    _burn(spark)
+    df = stage_stats(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = set(df.columns)
+    assert {"stage_id", "status", "num_tasks", "shuffle_read_bytes",
+            "shuffle_write_bytes", "executor_run_time_ms"} <= cols
+    done = [r for r in rows if r["status"] == "COMPLETE"]
+    assert done and all(r["num_tasks"] > 0 for r in done)
+    # the groupBy shuffled: some completed stage wrote shuffle bytes
+    assert any(r["shuffle_write_bytes"] > 0 for r in done)
+
+
+def test_run_stats_summary_totals(spark):
+    before = run_stats_summary(spark)
+    _burn(spark)
+    after = run_stats_summary(spark)
+    assert after["num_stages"] > before["num_stages"]
+    assert after["num_complete_tasks"] > before["num_complete_tasks"]
+    assert after["shuffle_write_bytes"] >= before["shuffle_write_bytes"]
+
+
+def test_run_logged_banner_and_deltas(spark, caplog):
+    with caplog.at_level(logging.INFO, logger="projet5_spark.run"):
+        with run_logged(spark, "unit-run") as report:
+            _burn(spark)
+    assert report.seconds > 0
+    # deltas reflect only the block's work
+    assert report.delta["num_stages"] >= 2  # shuffle map + reduce
+    assert report.delta["num_failed_tasks"] == 0
+    assert report.delta["shuffle_write_bytes"] > 0
+    text = caplog.text
+    assert "=== unit-run start ===" in text
+    assert "=== unit-run end (" in text and "seconds) ===" in text
+
+
+def test_run_logged_file_handler(spark, tmp_path):
+    with run_logged(spark, "file-run", log_dir=str(tmp_path)):
+        _burn(spark)
+    log = (tmp_path / "run.log").read_text()
+    assert "=== file-run end (" in log
+    # reference log format: asctime [LEVEL] message
+    assert "[INFO]" in log

@@ -230,21 +230,20 @@ def test_contamination_eval_filter_pushdown(spark):
     assert any("LessThan(doc_id,10)" in ln for ln in pushed), pushed
 
 
-def test_embedding_cosine_near_dup_is_blocked_join(spark):
-    """The all-pairs cosine must be the distributed block-pair join:
-    no driver collect, no Python stage — the block-pair key table is
-    the only broadcast, the corpus sides shuffle on the (i, j) pair
-    key, and the cosine runs as a JVM join residual (zip_with +
-    aggregate inside codegen)."""
+def test_embedding_cosine_near_dup_is_blocked_groups(spark):
+    """The all-pairs cosine must be the distributed block-pair scheme:
+    the block map is the only broadcast, the corpus shuffles ONCE on
+    the (i, j) pair key, and the quadratic kernel runs vectorized in
+    FlatMapGroupsInPandas — no driver collect, no corpus broadcast
+    variable, no per-pair JVM expression evaluation."""
     plan = plan_of(spark, "embedding_cosine_near_dup")
-    assert "MapInPandas" not in plan, plan  # no Python / no collect path
-    assert "BatchEvalPython" not in plan
-    # two broadcast joins (blk -> pair keys) + one shuffled pair join
-    # (formatted explain lists each node twice: tree line + detail block)
-    assert plan.count("BroadcastHashJoin") == 4, plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
-    # the tau filter must ride the join, not a post-materialize filter
-    assert "zip_with" in plan or "aggregate" in plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # one broadcast join: the B^2-row block map (formatted explain
+    # lists each node twice: tree line + detail block)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # ... and exactly one hash shuffle, keyed by the pair id
+    assert plan.count("hashpartitioning(i#") == 1, plan
 
 
 def test_source_quality_rollup_single_aggregate(spark):
