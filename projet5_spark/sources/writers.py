@@ -59,7 +59,9 @@ def _existing_or_none(spark: SparkSession, path: str):
     interrupted swap are detected explicitly with a recovery hint.
     """
     import glob
+    import logging
     import os
+    import shutil
 
     if not os.path.exists(path):
         leftovers = glob.glob(f"{path}__old_*") + glob.glob(f"{path}__staging_*")
@@ -71,6 +73,20 @@ def _existing_or_none(spark: SparkSession, path: str):
                 f"__staging_*) back to {path} before merging again."
             )
         return None
+    # target present: any __old_* is garbage from a commit whose final
+    # cleanup died — delete it now so the mid-swap detector above stays
+    # unambiguous (exactly one candidate) for a future genuine crash.
+    # __staging_* is only warned about: it may belong to an in-flight
+    # writer, and a stale one is harmlessly superseded by the next swap.
+    log = logging.getLogger("projet5_spark.run")
+    for stale in glob.glob(f"{path}__old_*"):
+        log.warning("removing stale swap backup %s (commit completed)", stale)
+        shutil.rmtree(stale)
+    for stale in glob.glob(f"{path}__staging_*"):
+        log.warning(
+            "stale staging dir %s left behind (crashed or in-flight "
+            "writer); it will be superseded, not reused", stale
+        )
     return spark.read.parquet(path)
 
 
@@ -233,6 +249,12 @@ def scd2_upsert(
     non-``ts_col`` attribute actually changed (sha2 digest compare), so
     replayed or full-snapshot batches where most rows are unchanged do
     NOT fabricate phantom versions — idempotent under redelivery.
+
+    Out-of-order guard: an arrival whose ``ts_col`` is not strictly
+    newer than the open version's ``__valid_from`` is skipped even when
+    its content differs — replaying an older snapshot can neither close
+    the current row with ``__valid_to < __valid_from`` nor install
+    stale values as the current version.
     """
     far_future = F.lit("9999-12-31 00:00:00").cast("timestamp")
     val_cols = sorted(c for c in new.columns if c not in set(key_cols) | {ts_col})
@@ -259,24 +281,29 @@ def scd2_upsert(
         digest.alias("__new_digest"),
     )
     cur_digested = current.withColumn("__cur_digest", digest)
+    matched = cur_digested.join(arriving, on=key_cols, how="inner")
+    # a key only versions when the content changed AND the arrival is
+    # strictly newer than the open version — a replayed older snapshot
+    # (out-of-order delivery) must not close the current row with
+    # __valid_to < __valid_from and install stale values as current
+    versioning = (F.col("__cur_digest") != F.col("__new_digest")) & (
+        F.col("__new_ts") > F.col("__valid_from")
+    )
     # changed current rows close out at the new version's timestamp
     closed = (
-        cur_digested.join(arriving, on=key_cols, how="inner")
-        .where(F.col("__cur_digest") != F.col("__new_digest"))
+        matched.where(versioning)
         .withColumn("__valid_to", F.col("__new_ts"))
         .withColumn("__current", F.lit(False))
         .drop("__new_ts", "__new_digest", "__cur_digest")
     )
     changed_keys = closed.select(*key_cols)
-    # current rows stay untouched when their key is absent OR unchanged
+    # current rows stay untouched when their key is absent, unchanged,
+    # or only matched by a stale (not-strictly-newer) arrival
     untouched_current = current.join(changed_keys, on=key_cols, how="left_anti")
-    # only genuinely new content inserts: unseen keys + changed keys
-    known_unchanged = (
-        cur_digested.join(arriving, on=key_cols, how="inner")
-        .where(F.col("__cur_digest") == F.col("__new_digest"))
-        .select(*key_cols)
-    )
-    inserts = stamped.join(known_unchanged, on=key_cols, how="left_anti")
+    # only genuinely new content inserts: unseen keys + versioning keys;
+    # unchanged and stale arrivals are both skipped
+    no_insert_keys = matched.where(~versioning).select(*key_cols)
+    inserts = stamped.join(no_insert_keys, on=key_cols, how="left_anti")
     out = (
         history.unionByName(untouched_current)
         .unionByName(closed)

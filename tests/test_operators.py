@@ -577,3 +577,84 @@ def test_signlsh_ann_recall_floor(spark):
     assert len(rows) == 5
     mean = sum(r["recall_at_5"] for r in rows) / len(rows)
     assert mean >= 0.5, f"sign-LSH mean recall collapsed: {mean}"
+
+
+def test_swap_crash_recovery_drill(spark, tmp_path):
+    """Hard-crash drill: process died between the two swap renames
+    (no in-process rollback ran). The next merge must refuse with the
+    recovery hint, and the DOCUMENTED recovery — rename __old_* back —
+    must actually restore a mergeable table."""
+    import os
+
+    import pytest
+
+    from projet5_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).write.parquet(path)
+    # simulate: rename-aside happened, then the process died
+    os.rename(path, f"{path}__old_deadbeef")
+
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    with pytest.raises(RuntimeError, match="interrupted mid-commit"):
+        merge_upsert(spark, upd, path, ["k"])
+
+    os.rename(f"{path}__old_deadbeef", path)  # the documented recovery
+    updated, inserted = merge_upsert(spark, upd, path, ["k"])
+    assert (updated, inserted) == (1, 1)
+    after = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_stale_swap_leftovers_cleaned_when_target_exists(spark, tmp_path):
+    """A __old_* surviving next to an intact target (cleanup died after
+    the commit rename) is garbage: the next merge must remove it —
+    keeping the mid-swap detector unambiguous — while __staging_* is
+    only warned about (it may belong to an in-flight writer)."""
+    import os
+
+    from projet5_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(path)
+    os.makedirs(f"{path}__old_cafe")
+    os.makedirs(f"{path}__staging_f00d")
+
+    upd = spark.createDataFrame([(2, "b")], ["k", "v"])
+    assert merge_upsert(spark, upd, path, ["k"]) == (0, 1)
+    assert not os.path.exists(f"{path}__old_cafe")  # garbage removed
+    assert os.path.exists(f"{path}__staging_f00d")  # left (warned only)
+    after = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == {(1, "a"), (2, "b")}
+
+
+def test_scd2_upsert_rejects_out_of_order_replay(spark, tmp_path):
+    """Replaying an OLDER snapshot with different values must be a
+    no-op: no closed version with __valid_to < __valid_from, no stale
+    row installed as current."""
+    from projet5_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim")
+    t0, t1 = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+    first = spark.createDataFrame([(1, "new-name", t1)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, first, path, ["k"], "ts") == (0, 1)
+
+    # late batch: older ts, conflicting value
+    late = spark.createDataFrame([(1, "old-name", t0)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, late, path, ["k"], "ts") == (0, 0)
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["v"] == "new-name" and r["__current"]
+    assert r["__valid_to"] > r["__valid_from"]
+
+    # equal-ts different content is ambiguous -> also skipped
+    tie = spark.createDataFrame([(1, "tie-name", t1)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, tie, path, ["k"], "ts") == (0, 0)
+
+    # a genuinely newer change still versions
+    t2 = "2024-03-01 00:00:00"
+    newer = spark.createDataFrame([(1, "newest", t2)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, newer, path, ["k"], "ts") == (1, 1)
+    cur = [r for r in spark.read.parquet(path).collect() if r["__current"]]
+    assert len(cur) == 1 and cur[0]["v"] == "newest"
