@@ -93,6 +93,11 @@ def decode_png(data: bytes) -> dict:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if width < 1 or height < 1:
+        # a CRC-valid IHDR can still declare a degenerate geometry; the
+        # spec requires both dimensions nonzero, and letting it through
+        # would divide by zero below — outside the ValueError contract
+        raise ValueError("PNG declares zero width or height")
     raw = zlib.decompress(bytes(idat))
     stride = 1 + width * channels
     if len(raw) != stride * height:

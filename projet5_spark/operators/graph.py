@@ -13,8 +13,28 @@ of the (static) edge table is the only recurring cost.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger("projet5_spark.run")
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'d frame's blocks.
+
+    ``DataFrame.unpersist()`` only touches CacheManager entries — the
+    checkpoint blocks belong to the plan's underlying ``LogicalRDD``.
+    Reach that RDD through the analyzed plan and unpersist it directly
+    so iterative loops return memory deterministically instead of
+    waiting for the ContextCleaner's next periodic GC (30 min on an
+    untuned session). Falls back silently to the cleaner if the plan
+    shape ever stops being a bare LogicalRDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - depends on internal plan API
+        pass
 
 
 def connected_components(
@@ -38,6 +58,14 @@ def connected_components(
     # the lineage to a materialized scan, making every round's plan
     # constant-size. (persist alone measured 7s → 2s; checkpoint cuts
     # the remaining per-round analysis cost.)
+    session = edges.sparkSession
+    if session.conf.get("spark.cleaner.periodicGC.interval", None) is None:
+        _log.warning(
+            "connected_components: spark.cleaner.periodicGC.interval is "
+            "unset; any localCheckpoint blocks the explicit release "
+            "below cannot reach will linger until an untuned JVM GC "
+            "(the engine session factory pins the interval to 15s)"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -58,16 +86,13 @@ def connected_components(
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
-    # Block lifecycle note: localCheckpoint blocks are NOT released by
-    # DataFrame.unpersist() (that only uncaches CacheManager entries);
-    # they are dropped by the ContextCleaner once the checkpointed RDD
-    # becomes unreachable, i.e. one round after each `labels` rebind
-    # here. The engine session pins periodicGC to 15s so that cleanup
-    # is prompt; on an untuned session the per-round label frames
-    # (node count × 2 longs) linger until a JVM GC — small, bounded by
-    # round count, and still far cheaper than the O(k) re-analysis the
-    # checkpoint removes.
+    # Block lifecycle: each superseded round's label checkpoint is
+    # released EXPLICITLY below via its LogicalRDD handle (see
+    # _release_checkpoint) — DataFrame.unpersist() can't reach those
+    # blocks, and relying on the ContextCleaner alone makes memory
+    # return a function of the session's periodicGC tuning.
     changed = -1
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
@@ -94,6 +119,11 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the previous round's checkpoint is now fully consumed (this
+        # round's join + count were its last readers) — drop its blocks
+        if prev_ckpt is not None:
+            _release_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break
@@ -106,4 +136,5 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter "
             f"(diameter of the largest component exceeds the cap)"
         )
+    _release_checkpoint(sym)  # edge table: no readers after convergence
     return labels

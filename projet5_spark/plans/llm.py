@@ -227,6 +227,42 @@ def ngram_candidate_pairs(
     )
 
 
+def _heavy_stop_pairs(
+    sh: DataFrame, stop: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """All-pairs candidates among *boilerplate-heavy* docs — the exact
+    completion of DF-capped candidate generation.
+
+    Lemma: if a pair qualifies at J ≥ t but shares NO rare shingle,
+    every common shingle is a stop shingle, so
+    ``|stop(A)| ≥ |A∩B| ≥ t·|A∪B| ≥ t·|A|`` — BOTH docs are
+    ≥ t-fraction stop ("heavy"), and they share ≥ 1 stop shingle.
+    Hence pairing heavy docs that co-occur on a stop shingle ⊇ every
+    qualifying pair the rare join misses, restoring exact all-pairs
+    semantics for over-cap duplicate clusters (where the true output
+    is itself quadratic in the cluster size). The quadratic term is
+    confined to heavy docs: ordinary boilerplate (a nav bar on diverse
+    pages) leaves docs far below t-fraction stop and contributes
+    nothing here; a corpus that is wall-to-wall boilerplate pays the
+    cost its exact answer requires — the bounded scale path remains
+    minhash_lsh_near_dup."""
+    srows = sh.join(stop, "s")
+    heavy = (
+        srows.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+        .join(sizes, "doc_id")
+        .where(F.col("n_stop") >= F.lit(threshold) * F.col("n"))
+        .select("doc_id")
+    )
+    hrows = srows.join(heavy, "doc_id", "left_semi")
+    a, b = hrows.alias("a"), hrows.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_near_dup_pairs(
     spark: SparkSession,
     docs: DataFrame,
@@ -236,30 +272,33 @@ def ngram_near_dup_pairs(
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs with DF-capped candidate generation.
 
-    Stop shingles are excluded from the pair join (bounded candidates)
-    but their contribution to Jaccard is reconstructed *exactly*: each
-    doc carries its (small, ≤ distinct-stop-shingle-count) array of stop
-    shingles, and the shared-stop count is ``array_intersect`` size at
-    the pair level. So every emitted pair has its true Jaccard.
+    Stop shingles are excluded from the main pair join (bounded
+    candidates) but their contribution to Jaccard is reconstructed
+    *exactly*: each doc carries its (small, ≤ distinct-stop-shingle-
+    count) array of stop shingles, and the shared-stop count is
+    ``array_intersect`` size at the pair level. So every emitted pair
+    has its true Jaccard.
 
-    Contract: candidates are rare-shingle pairs plus stop-shingle
-    CHAIN links (adjacent sharers — see :func:`_stop_chain_pairs`), so
-    a duplicate cluster whose shared shingles all crossed the DF
-    threshold still yields qualifying pairs and collapses in
-    clustering. A NON-adjacent pair whose overlap is stop-only is still
-    never generated directly: at threshold ≥0.5 it is boilerplate-only
-    overlap, and its cluster connectivity arrives via the chain.
+    Candidate completeness (what makes the all-pairs oracle sound for
+    EVERY input, not just the fixture): candidates are the rare-shingle
+    pairs — covering every pair that shares ≥ 1 rare shingle — plus
+    :func:`_heavy_stop_pairs`, which by the lemma there covers every
+    qualifying pair whose overlap is stop-only (e.g. a mass-duplicate
+    cluster bigger than the DF cap, where ALL shared shingles crossed
+    the threshold). Union ⊇ every pair with J ≥ threshold; the exact
+    Jaccard filter then makes the output identical to the naive
+    all-pairs join.
     """
     sh, rare, stop = _split_shingles_by_df(
         spark, docs, max_df_frac, min_df_cap, materialize=True
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    chains = _stop_chain_pairs(sh, stop).withColumn(
+    heavies = _heavy_stop_pairs(sh, stop, sizes, threshold).withColumn(
         "common_rare", F.lit(0).cast("long")
     )
     pairs = (
         _pairs_from_rare(rare)
-        .unionByName(chains)
+        .unionByName(heavies)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("common_rare").alias("common_rare"))
     )

@@ -476,10 +476,12 @@ def test_multimodal_codec_roundtrip_properties():
     stream_walk()
 
 
-def test_ngram_over_cap_cluster_still_collapses(spark):
+def test_ngram_over_cap_cluster_emits_exact_all_pairs(spark):
     """A near-dup cluster LARGER than the DF threshold (its shared
-    shingles all become stop shingles) must still produce qualifying
-    pairs via chain links and collapse to one connected component."""
+    shingles all become stop shingles) must emit EVERY qualifying pair
+    — non-adjacent stop-only pairs included — exactly matching the
+    naive all-pairs Jaccard (the oracle contract), via the
+    boilerplate-heavy completion; and collapse to one component."""
     from projet5_spark.operators.graph import connected_components
     from projet5_spark.plans.llm import ngram_near_dup_pairs
 
@@ -489,9 +491,24 @@ def test_ngram_over_cap_cluster_still_collapses(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     # threshold = max(5, 0.1*40) = 5 < 12 -> every core shingle is "stop"
     pairs = ngram_near_dup_pairs(spark, docs, threshold=0.5)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("dst" if False else "doc_b").alias("dst")
-    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+
+    # ground truth: naive all-pairs Jaccard over the same shingle sets
+    sets = {i: _shingle_set(t) for i, t in rows}
+    expect = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                expect[(a, b)] = j
+    assert set(got) == set(expect), (set(expect) - set(got), set(got) - set(expect))
+    assert len(expect) == 12 * 11 // 2  # the full non-adjacent pair set
+    for k, j in expect.items():
+        assert math.isclose(got[k], j, abs_tol=1e-12), k
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges, "src", "dst")
     clusters = {}
     for r in comp.collect():
@@ -658,3 +675,16 @@ def test_scd2_upsert_rejects_out_of_order_replay(spark, tmp_path):
     assert scd2_upsert(spark, newer, path, ["k"], "ts") == (1, 1)
     cur = [r for r in spark.read.parquet(path).collect() if r["__current"]]
     assert len(cur) == 1 and cur[0]["v"] == "newest"
+
+
+def test_decode_png_zero_dimension_raises_valueerror():
+    """A CRC-valid PNG declaring width or height 0 must raise the
+    contract's ValueError (quarantine-catchable), never leak a
+    ZeroDivisionError from the feature division."""
+    import pytest
+
+    from projet5_spark.functions.multimodal import decode_png, synth_png
+
+    for w, h in [(0, 0), (0, 3), (3, 0)]:
+        with pytest.raises(ValueError, match="zero width or height"):
+            decode_png(synth_png(w, h, seed=1))
