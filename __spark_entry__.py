@@ -46,6 +46,10 @@ _FRONT = [
     "doc_fingerprint_minshingle",
     "token_count_bpe_regex",
     "near_dup_clusters",
+    # round-3: splits / corpus stats / attribution
+    "doc_stratified_hash_split",
+    "doc_vocab_growth_by_source",
+    "event_attribution_last_touch",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

@@ -83,6 +83,9 @@ HEADLINE = [
     "hc_admissions_first_seen",
     "embedding_ann_signlsh",
     "ann_recall_ivf_at5",
+    "doc_stratified_hash_split",
+    "doc_vocab_growth_by_source",
+    "event_attribution_last_touch",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path

@@ -20,5 +20,6 @@ from . import text_ml  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import splits  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

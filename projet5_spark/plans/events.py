@@ -240,3 +240,69 @@ def map_explode_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select("event_id", F.explode(m).alias("key", "value"))
+
+
+@query(
+    "event_attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events)
+    SELECT event_id, user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           touch_type,
+           CAST(date_diff('second', touch_ts, ts) AS BIGINT) AS touch_gap_seconds
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR view/click (marketing touch), with the touch-to-
+    conversion gap in whole seconds — NULL when the purchase had no
+    prior touch.
+
+    One window pass (``last(..., ignorenulls=True)`` over an unbounded-
+    preceding frame excluding the current row) — no self-join, no
+    as-of join: the 2-billion-event scale shape is a single shuffle on
+    user_id. Ties on ts break by event_id so the frame is total-ordered
+    on both engines; gaps compare whole-second epochs (both engines
+    floor to the second before differencing)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            touch_type.alias("touch_type"),
+            touch_ts.alias("touch_ts"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+            "touch_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts"))
+            .cast("long")
+            .alias("touch_gap_seconds"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Batch 5: dataset-split and corpus-statistics operators for the
+training-data pipeline — deterministic hash-based train/holdout
+splitting (the reproducible alternative to seeded ``rand()``) and
+vocabulary-growth profiling per source.
+
+Both are map-side + one aggregate: no joins, no windows, shuffle keyed
+on the (tiny) group columns — the shapes scale linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, quantize as _q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+#: first-byte cutoff of sha256("split:<doc_id>"): hex "cc" = 0xcc/0x100
+#: ≈ 79.7% of keyspace → ~80/20 train/holdout
+_SPLIT_CUT = "cc"
+
+
+@query(
+    "doc_stratified_hash_split",
+    oracle=f"""
+    SELECT source, lang,
+           CASE WHEN substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '{_SPLIT_CUT}'
+                THEN 'train' ELSE 'holdout' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+)
+def doc_stratified_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split with per-(source, lang)
+    stratification counts.
+
+    The assignment is content-addressed — first byte of
+    ``sha256("split:" || doc_id)`` against a fixed cutoff — NOT
+    ``rand(seed)``: hash splits are reproducible across engines, runs,
+    partitionings, and retries (a seeded ``rand`` changes with split
+    planning), and a doc keeps its split when the corpus grows — the
+    property a training pipeline needs so holdout data can never leak
+    into a later training run. Map-side expression + one aggregate on
+    (source, lang, split); at 100 TB the split column is free and the
+    aggregate output is bounded by the group-key cardinality.
+
+    The hex-prefix comparison is engine-neutral (lowercase hex in both
+    Spark's ``sha2`` and DuckDB's ``sha256``; ASCII ordering).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256)
+    split = F.when(F.substring(h, 1, 2) < _SPLIT_CUT, "train").otherwise("holdout")
+    return (
+        docs.groupBy("source", "lang", split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+@query(
+    "doc_vocab_growth_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT tok) AS n_types,
+           floor((count(DISTINCT tok) * 1.0 / count(*)) * 1e4) / 1e4
+             AS type_token_ratio
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) t
+    GROUP BY source
+    """,
+)
+def doc_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth profile per source: token count, distinct-type
+    count, and type-token ratio — the Heaps-law curve input that flags
+    template-generated or duplicated sources (anomalously low TTR for
+    their size) in corpus triage.
+
+    One explode + one aggregate; the count-distinct is the only
+    expensive term and Spark executes it as a partial-then-final expand
+    aggregate keyed on source — no joins, linear in token volume.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        _q(F.countDistinct("tok") / F.count(F.lit(1)), 4).alias("type_token_ratio"),
+    )

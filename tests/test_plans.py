@@ -260,3 +260,22 @@ def test_sequence_packing_no_global_sort(spark):
     assert "hashpartitioning(source" in plan, plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_stratified_split_map_only_aggregate(spark):
+    """Hash-split assignment is a map-side expression: one aggregate,
+    no joins, no windows, no rand()."""
+    plan = plan_of(spark, "doc_stratified_hash_split")
+    assert "Join" not in plan and "Window" not in plan
+    assert "rand(" not in plan  # reproducibility: content-addressed, not seeded
+    assert "sha2" in plan
+
+
+def test_attribution_single_window_pass(spark):
+    """Last-touch attribution must be ONE window pass over user_id —
+    no self-join, no as-of join."""
+    plan = plan_of(spark, "event_attribution_last_touch")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+    # one shuffle: the user_id window partitioning
+    assert plan.count("Exchange") == 2  # tree line + detail block
