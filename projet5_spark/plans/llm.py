@@ -1047,7 +1047,10 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     column in pure expressions. One doc_id-keyed shuffle total; ratios
     are integer-over-integer doubles, engine-identical.
     """
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the bigram HOFs below are interpreted per-row compute —
+    # on the single-split fixture they run one-core without the fan-out
+    # (profiled 3.7 s of a 2.6 s wall on one task at sf0.1)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
