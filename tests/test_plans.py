@@ -279,3 +279,21 @@ def test_attribution_single_window_pass(spark):
     assert plan.count("Window") >= 1
     # one shuffle: the user_id window partitioning
     assert plan.count("Exchange") == 2  # tree line + detail block
+
+
+def test_ann_ivf_candidate_join_is_equi_on_cell(spark):
+    """IVF must never cross-join queries against the corpus: the only
+    unkeyed join is the broadcast against the 16-row centroid table;
+    candidates arrive through an equi-join on the cell id."""
+    plan = plan_of(spark, "embedding_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the bounded centroid cross product is broadcast, never shuffled
+    assert "hashpartitioning(cent_id" not in plan
+
+
+def test_ann_signlsh_bucket_join_is_equi(spark):
+    """Sign-LSH candidates come from an equi-join on (table, signature)
+    — no cross join of queries x corpus anywhere in the plan."""
+    plan = plan_of(spark, "embedding_ann_signlsh")
+    assert "CartesianProduct" not in plan, plan
