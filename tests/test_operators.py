@@ -688,3 +688,31 @@ def test_decode_png_zero_dimension_raises_valueerror():
     for w, h in [(0, 0), (0, 3), (3, 0)]:
         with pytest.raises(ValueError, match="zero width or height"):
             decode_png(synth_png(w, h, seed=1))
+
+
+def test_first_seen_dedup_agg_digest_path_matches_window(spark):
+    """The wide-key (digest-grouped) aggregate path must agree with the
+    window-based first-seen dedup, including NULL key columns (the
+    null-safe encoding must not conflate NULL with empty string)."""
+    from projet5_spark.operators.dedup import first_seen_dedup, first_seen_dedup_agg
+
+    cols = [f"c{i}" for i in range(8)] + ["ord", "val"]
+    rows = [
+        (1, 2, 3, 4, 5, 6, 7, 8, 10, "first"),
+        (1, 2, 3, 4, 5, 6, 7, 8, 20, "dup-of-first"),
+        (1, 2, 3, 4, 5, 6, 7, None, 5, "null-key"),
+        (1, 2, 3, 4, 5, 6, 7, None, 6, "null-key-dup"),
+        (9, 2, 3, 4, 5, 6, 7, 8, 1, "other"),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    keys = cols[:8]
+    via_agg = {
+        tuple(r[k] for k in keys): r["val"]
+        for r in first_seen_dedup_agg(df, keys, ["ord"]).collect()
+    }
+    via_win = {
+        tuple(r[k] for k in keys): r["val"]
+        for r in first_seen_dedup(df, keys, [F.col("ord")]).collect()
+    }
+    assert via_agg == via_win
+    assert via_agg[(1, 2, 3, 4, 5, 6, 7, None)] == "null-key"
