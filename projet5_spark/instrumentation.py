@@ -108,7 +108,14 @@ def stage_stats(spark: SparkSession) -> DataFrame:
 
 def run_stats_summary(spark: SparkSession) -> dict:
     """Application-wide totals of :func:`stage_stats`, plus the stage
-    count, as a plain dict (JSON-ready)."""
+    count, as a plain dict (JSON-ready).
+
+    The status store retains at most ``spark.ui.retainedStages``
+    entries (default 1000) and evicts the oldest past that, so on very
+    long-running applications these are totals over the retained
+    window; ``window_truncated`` flags when the store is at capacity
+    (the engine session factory raises the retention so bench-scale
+    runs stay complete)."""
     rows = _stage_rows(spark)
     # schema field order mirrors _STAGE_SCHEMA: summables start at idx 4
     totals = {f: 0 for f in _SUM_FIELDS}
@@ -116,6 +123,8 @@ def run_stats_summary(spark: SparkSession) -> dict:
         for f, v in zip(_SUM_FIELDS, r[4:]):
             totals[f] += v
     totals["num_stages"] = len(rows)
+    retained = int(spark.sparkContext.getConf().get("spark.ui.retainedStages", "1000"))
+    totals["window_truncated"] = len(rows) >= retained
     return totals
 
 
@@ -125,6 +134,9 @@ def configure_run_logger(log_dir: str | None = None) -> logging.Logger:
     asctime/levelname format. Idempotent per (logger, destination)."""
     logger = logging.getLogger("projet5_spark.run")
     logger.setLevel(logging.DEBUG)
+    # own handlers only: without this, a host app with root logging
+    # configured (logging.basicConfig, pytest) prints every banner twice
+    logger.propagate = False
     fmt = logging.Formatter(_LOG_FMT)
     have = {
         getattr(h, "baseFilename", "<console>")
@@ -174,7 +186,27 @@ def run_logged(spark: SparkSession, name: str, log_dir: str | None = None):
     finally:
         report.seconds = time.perf_counter() - t0
         after = run_stats_summary(spark)
-        report.delta = {k: after[k] - before.get(k, 0) for k in after}
+        report.delta = {
+            k: (after[k] - before.get(k, 0)) if not isinstance(after[k], bool) else after[k]
+            for k in after
+        }
+        # eviction guard: once the store hits its retention cap the
+        # after-minus-before arithmetic under-counts (and can go
+        # negative) — clamp and say so rather than print wrong numbers
+        approx = after.get("window_truncated") or any(
+            isinstance(v, int) and not isinstance(v, bool) and v < 0
+            for v in report.delta.values()
+        )
+        if approx:
+            report.delta = {
+                k: (max(v, 0) if isinstance(v, int) and not isinstance(v, bool) else v)
+                for k, v in report.delta.items()
+            }
+            report.delta["approximate"] = True
+            logger.warning(
+                "%s: status store hit spark.ui.retainedStages — deltas "
+                "are a lower bound over the retained window", name
+            )
         logger.info(
             "%s: %d stages, %d tasks (%d failed), "
             "input %d B / output %d B, shuffle read %d B / write %d B, "

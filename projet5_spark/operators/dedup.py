@@ -67,19 +67,29 @@ def first_seen_dedup_agg(
     null-safe sha256 digest of the key columns instead of the raw
     tuple: the hash-aggregate key drops to 32 bytes, which measured
     ~25% faster on the 15-column healthcare dedup at sf0.1 and shrinks
-    with key width at scale. Same answer up to SHA-256 collisions
-    (~2⁻¹²⁸); the payload struct still carries the full row out.
+    with key width at scale. The encoding is injective — each field is
+    length-prefixed (no separator-injection collisions) and NULL gets
+    its own tag (never conflated with any string value) — so the only
+    merge risk is a true SHA-256 collision (~2⁻¹²⁸). Float/double key
+    columns keep the raw-tuple branch regardless of width: grouping
+    normalizes ``-0.0 == 0.0`` while their string forms differ, and the
+    two branches must agree.
     """
     payload = F.struct(*[F.col(c) for c in df.columns])
     order = F.struct(*[F.col(c) for c in order_cols])
-    if len(keys) >= 8:
-        digest = F.sha2(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in keys],
-            ),
-            256,
-        )
+    dtypes = dict(df.dtypes)
+    has_float_key = any(dtypes[c] in ("float", "double") for c in keys)
+    if len(keys) >= 8 and not has_float_key:
+        # injective flattening: "N" for NULL, "V<len>:<value>" otherwise
+        parts = []
+        for c in keys:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("N")).otherwise(
+                    F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        digest = F.sha2(F.concat(*parts), 256)
         agg = (
             df.withColumn("__k", digest)
             .groupBy("__k")

@@ -1295,8 +1295,10 @@ def verify_pairs_dense(
 
     Hard guard BEFORE any collect: ``rows × dim`` must not exceed
     ``max_cells`` (default 5e7 cells = 400 MB float64), else ValueError —
-    the unbounded path is the blocked join above. The two scalar actions
-    (count + head) are bounded; the collect is what the guard licenses.
+    the unbounded path is the blocked scheme above. The size check is
+    ONE bounded aggregate job (count + first dim together, not separate
+    count/head actions re-running the upstream plan); the collect is
+    what the guard licenses.
 
     Determinism caveat (why this is not the oracle-paired path): BLAS
     may reassociate the reduction, so a sim within ULPs of the τ cut or
@@ -1304,9 +1306,11 @@ def verify_pairs_dense(
     """
     import numpy as np
 
-    n = emb.count()
-    head = emb.select("embedding").head()
-    dim = len(head["embedding"]) if head else 0
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("embedding"), ignorenulls=True).alias("dim"),
+    ).head()
+    n, dim = stats["n"], stats["dim"] or 0
     if n * max(dim, 1) > max_cells:
         raise ValueError(
             f"verify_pairs_dense: corpus {n} rows × {dim} dims = "

@@ -237,21 +237,26 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_ivf_oracle() -> str:
+def _recall_oracle(ann_cte: str, ann_out: str) -> str:
+    """Shared recall@5 oracle: LEFT-join the brute-force top-5 against
+    the given ANN CTE's top-5 and count hits per query. The bf side
+    filters zero-norm vectors with the same ``norm > 0`` predicate as
+    the ANN CTEs — Spark's NULL-guarded cosine and DuckDB's 0-division
+    would otherwise rank a zero-norm corpus differently in principle."""
     from .llm import _DUCK_DOT, _DUCK_NORM
 
     dot_qe = _DUCK_DOT.format(a="q_emb", b="e.embedding")
     n_q = _DUCK_NORM.format(a="q_emb")
     n_e = _DUCK_NORM.format(a="e.embedding")
     return f"""
-    WITH {_ivf_oracle()},
-    ivf5 AS (SELECT q_id, vec_id FROM ivf_out WHERE rk <= 5),
+    WITH {ann_cte},
+    ann5 AS (SELECT q_id, vec_id FROM {ann_out} WHERE rk <= 5),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb
-          FROM embeddings WHERE vec_id < 5),
+          FROM emb0 WHERE vec_id < 5),
     bf_sims AS (
       SELECT q_id, e.vec_id,
              {dot_qe} / ({n_q} * {n_e}) AS sim
-      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id),
+      FROM q CROSS JOIN emb0 e WHERE e.vec_id <> q_id),
     bf5 AS (
       SELECT q_id, vec_id FROM (
         SELECT q_id, vec_id,
@@ -259,8 +264,8 @@ def _recall_ivf_oracle() -> str:
                                   ORDER BY sim DESC, vec_id) AS rk
         FROM bf_sims) WHERE rk <= 5),
     hits AS (
-      SELECT b.q_id, count(i.vec_id) AS n_hits
-      FROM bf5 b LEFT JOIN ivf5 i USING (q_id, vec_id)
+      SELECT b.q_id, count(a.vec_id) AS n_hits
+      FROM bf5 b LEFT JOIN ann5 a USING (q_id, vec_id)
       GROUP BY b.q_id)
     SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
            n_hits / 5.0 AS recall_at_5
@@ -268,20 +273,28 @@ def _recall_ivf_oracle() -> str:
     """
 
 
-@query("ann_recall_ivf_at5", oracle=_recall_ivf_oracle())
-def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable ANN quality metric: recall@5 of the IVF search
-    against the brute-force top-5, computed inside the query. Both
-    sides are deterministic, so the oracle re-derives the identical
-    metric end-to-end in SQL — an ANN accuracy gate the driver can
-    hash-check, not just row-count. (n_hits/5.0 divides identically
-    under IEEE-754 on both engines — no grid needed.)"""
-    from .llm import embedding_topk_cosine
+def _recall_at5(spark: SparkSession, sf_dir: str, ann5: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_recall_oracle`: recall@5 of ``ann5``
+    (columns q_id, vec_id) vs the zero-norm-filtered brute-force top-5.
+    (n_hits/5.0 divides identically under IEEE-754 on both engines —
+    no grid needed.)"""
+    from ..functions.vectors import cosine_similarity, l2_norm
 
-    ivf5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
-    bf5 = embedding_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
+    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.join(F.broadcast(q), emb.vec_id != q.q_id).select(
+        "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    bf5 = (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("q_id", "vec_id")
+    )
     hits = (
-        bf5.join(ivf5.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left")
+        bf5.join(ann5.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(F.count("__hit").alias("n_hits"))
     )
@@ -290,6 +303,17 @@ def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+@query("ann_recall_ivf_at5", oracle=_recall_oracle(_ivf_oracle(), "ivf_out"))
+def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ANN quality metric: recall@5 of the IVF search
+    against the brute-force top-5, computed inside the query. Both
+    sides are deterministic, so the oracle re-derives the identical
+    metric end-to-end in SQL — an ANN accuracy gate the driver can
+    hash-check, not just row-count."""
+    ivf5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
+    return _recall_at5(spark, sf_dir, ivf5)
 
 
 def _signlsh_oracle() -> str:
@@ -424,56 +448,13 @@ def embedding_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_signlsh_oracle() -> str:
-    from .llm import _DUCK_DOT, _DUCK_NORM
-
-    dot_qe = _DUCK_DOT.format(a="q_emb", b="e.embedding")
-    n_q = _DUCK_NORM.format(a="q_emb")
-    n_e = _DUCK_NORM.format(a="e.embedding")
-    return f"""
-    WITH {_signlsh_oracle()},
-    lsh5 AS (SELECT q_id, vec_id FROM lsh_out WHERE rk <= 5),
-    q AS (SELECT vec_id AS q_id, embedding AS q_emb
-          FROM embeddings WHERE vec_id < 5),
-    bf_sims AS (
-      SELECT q_id, e.vec_id,
-             {dot_qe} / ({n_q} * {n_e}) AS sim
-      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q_id),
-    bf5 AS (
-      SELECT q_id, vec_id FROM (
-        SELECT q_id, vec_id,
-               row_number() OVER (PARTITION BY q_id
-                                  ORDER BY sim DESC, vec_id) AS rk
-        FROM bf_sims) WHERE rk <= 5),
-    hits AS (
-      SELECT b.q_id, count(l.vec_id) AS n_hits
-      FROM bf5 b LEFT JOIN lsh5 l USING (q_id, vec_id)
-      GROUP BY b.q_id)
-    SELECT q_id, CAST(n_hits AS BIGINT) AS n_hits,
-           n_hits / 5.0 AS recall_at_5
-    FROM hits
-    """
-
-
-@query("ann_recall_signlsh_at5", oracle=_recall_signlsh_oracle())
+@query("ann_recall_signlsh_at5", oracle=_recall_oracle(_signlsh_oracle(), "lsh_out"))
 def ann_recall_signlsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the deterministic sign-LSH search vs brute force —
     the second driver-hash-checked ANN accuracy gate (see
     ann_recall_ivf_at5)."""
-    from .llm import embedding_topk_cosine
-
     lsh5 = embedding_ann_signlsh(spark, sf_dir).select("q_id", "vec_id")
-    bf5 = embedding_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
-    hits = (
-        bf5.join(lsh5.withColumn("__hit", F.lit(1)), ["q_id", "vec_id"], "left")
-        .groupBy("q_id")
-        .agg(F.count("__hit").alias("n_hits"))
-    )
-    return hits.select(
-        "q_id",
-        F.col("n_hits").cast("long").alias("n_hits"),
-        (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
-    )
+    return _recall_at5(spark, sf_dir, lsh5)
 
 
 @query("multimodal_frame_sample")  # no oracle: binary decode is Spark-side only

@@ -58,6 +58,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # instrumentation reads the status store for run stats; the
+        # default 1000-stage retention evicts mid-bench (58 queries x 4
+        # executions), silently truncating the totals — retain enough
+        # for a full bench run (stage rows are tiny)
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.retainedJobs", "20000")
         # Long-lived sessions run hundreds of distinct queries; the
         # ContextCleaner only drives broadcast/shuffle cleanup off JVM
         # GC, and its default periodic GC is 30min — stale broadcast

@@ -285,9 +285,13 @@ def scd2_upsert(
     # a key only versions when the content changed AND the arrival is
     # strictly newer than the open version — a replayed older snapshot
     # (out-of-order delivery) must not close the current row with
-    # __valid_to < __valid_from and install stale values as current
-    versioning = (F.col("__cur_digest") != F.col("__new_digest")) & (
-        F.col("__new_ts") > F.col("__valid_from")
+    # __valid_to < __valid_from and install stale values as current.
+    # coalesce: a NULL ts (unparseable/absent) is "not newer" — without
+    # it the three-valued NULL comparison drops the key from BOTH the
+    # versioning and the skip branch, leaving the old row open while
+    # the new one still inserts (two __current rows for one key)
+    versioning = (F.col("__cur_digest") != F.col("__new_digest")) & F.coalesce(
+        F.col("__new_ts") > F.col("__valid_from"), F.lit(False)
     )
     # changed current rows close out at the new version's timestamp
     closed = (

@@ -50,9 +50,16 @@ def test_run_stats_summary_totals(spark):
 
 
 def test_run_logged_banner_and_deltas(spark, caplog):
-    with caplog.at_level(logging.INFO, logger="projet5_spark.run"):
-        with run_logged(spark, "unit-run") as report:
-            _burn(spark)
+    # the run logger sets propagate=False (no double-printing under a
+    # configured root logger), so attach caplog's handler directly
+    logger = logging.getLogger("projet5_spark.run")
+    logger.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.INFO, logger="projet5_spark.run"):
+            with run_logged(spark, "unit-run") as report:
+                _burn(spark)
+    finally:
+        logger.removeHandler(caplog.handler)
     assert report.seconds > 0
     # deltas reflect only the block's work
     assert report.delta["num_stages"] >= 2  # shuffle map + reduce

@@ -716,3 +716,56 @@ def test_first_seen_dedup_agg_digest_path_matches_window(spark):
     }
     assert via_agg == via_win
     assert via_agg[(1, 2, 3, 4, 5, 6, 7, None)] == "null-key"
+
+
+def test_scd2_upsert_null_ts_arrival_is_skipped(spark, tmp_path):
+    """A changed-content arrival with a NULL timestamp must be skipped
+    like a stale one — never leave the old version open AND insert the
+    new row (two __current rows for one key)."""
+    from projet5_spark.sources.writers import scd2_upsert
+
+    path = str(tmp_path / "dim")
+    t1 = "2024-02-01 00:00:00"
+    first = spark.createDataFrame([(1, "name", t1)], ["k", "v", "ts"])
+    assert scd2_upsert(spark, first, path, ["k"], "ts") == (0, 1)
+    null_ts = spark.createDataFrame(
+        [(1, "changed", None)], "k long, v string, ts string"
+    )
+    assert scd2_upsert(spark, null_ts, path, ["k"], "ts") == (0, 0)
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "name" and rows[0]["__current"]
+
+
+def test_first_seen_dedup_agg_digest_injective(spark):
+    """Separator-injection and NULL-vs-sentinel collisions must NOT
+    merge distinct key tuples on the digest path."""
+    from projet5_spark.operators.dedup import first_seen_dedup_agg
+
+    cols = [f"c{i}" for i in range(8)] + ["ord"]
+    rows = [
+        # adjacent-field injection: ('a\x1fb','c') vs ('a','b\x1fc')
+        ("a\x1fb", "c", "x", "x", "x", "x", "x", "x", 1),
+        ("a", "b\x1fc", "x", "x", "x", "x", "x", "x", 2),
+        # NULL vs the old sentinel byte as a real value
+        ("\x00", "z", "x", "x", "x", "x", "x", "x", 3),
+        (None, "z", "x", "x", "x", "x", "x", "x", 4),
+        # length-prefix boundary: ('ab','c') vs ('a','bc')
+        ("ab", "c", "y", "y", "y", "y", "y", "y", 5),
+        ("a", "bc", "y", "y", "y", "y", "y", "y", 6),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    assert first_seen_dedup_agg(df, cols[:8], ["ord"]).count() == 6
+
+
+def test_first_seen_dedup_agg_float_keys_use_raw_grouping(spark):
+    """Float keys must group like the raw-tuple branch (-0.0 == 0.0),
+    not by string form — the width heuristic may not change semantics."""
+    from projet5_spark.operators.dedup import first_seen_dedup_agg
+
+    cols = [f"c{i}" for i in range(7)] + ["f", "ord"]
+    rows = [
+        (1, 2, 3, 4, 5, 6, 7, 0.0, 1),
+        (1, 2, 3, 4, 5, 6, 7, -0.0, 2),
+    ]
+    df = spark.createDataFrame(rows, cols)
+    assert first_seen_dedup_agg(df, cols[:8], ["ord"]).count() == 1
