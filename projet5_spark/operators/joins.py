@@ -89,10 +89,24 @@ def asof_join(
     ``last(..., ignorenulls=True)``. Cost = one shuffle of (|L|+|R|) rows
     on the key — the same plan a dedicated time-series engine uses, and
     it survives arbitrarily many rows per key without a cross product.
+
+    NULL semantics mirror the SQL correlated form (``r.key = l.key AND
+    r.ts <= l.ts``): a right row with a NULL timestamp or NULL key can
+    never satisfy the predicate and is dropped from the match side (the
+    window would otherwise sort it FIRST and carry its payload into
+    every earlier left row); left rows with NULL ts/key simply get no
+    match. ``right_vals`` may not collide with left column names —
+    the attach would silently clobber the left column.
     """
     right_vals = right_vals or [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
+    clash = [c for c in right_vals if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: right_vals {clash} collide with left columns — "
+            "rename the right side (or pass aliased right_vals) first"
+        )
     payload = F.struct(*[F.col(c) for c in right_vals])
     # tie-break orders on the column's NATURAL type — casting a 64-bit
     # id to double would collapse values above 2^53 into equal keys and
@@ -109,8 +123,13 @@ def asof_join(
         "__payload",
         F.lit(None).cast(right.select(payload.alias("p")).schema["p"].dataType),
     )
+    null_key = F.lit(False)
+    for k in on:
+        null_key = null_key | F.col(k).isNull()
     r_tag = (
-        right.select(
+        # SQL predicate semantics: NULL ts / NULL key never matches
+        right.where(F.col(right_ts).isNotNull() & ~null_key)
+        .select(
             *on,
             F.col(right_ts).cast("timestamp").alias("__t"),
             F.lit(0).alias("__src"),
@@ -118,10 +137,14 @@ def asof_join(
             payload.alias("__payload"),
         )
     )
-    # Align schemas: right side lacks the left columns — fill with NULLs.
+    # Align schemas: right side lacks the left columns — fill with NULLs
+    # (one select, not a withColumn-per-column re-analysis loop).
+    l_types = dict(l_tag.dtypes)
     left_only = [c for c in l_tag.columns if c not in r_tag.columns]
-    for c in left_only:
-        r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(l_tag.dtypes)[c]))
+    r_tag = r_tag.select(
+        *r_tag.columns,
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in left_only],
+    )
     unioned = l_tag.select(*l_tag.columns).unionByName(r_tag.select(*l_tag.columns))
 
     # At equal timestamps: right rows sort before left for `<=`, after
@@ -137,6 +160,7 @@ def asof_join(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
     out = carried.where(F.col("__src") == 1).drop("__t", "__src", "__tb", "__payload")
-    for c in right_vals:
-        out = out.withColumn(c, F.col(f"__match.{c}"))
-    return out.drop("__match")
+    return out.select(
+        *[c for c in out.columns if c != "__match"],
+        *[F.col(f"__match.{c}").alias(c) for c in right_vals],
+    )

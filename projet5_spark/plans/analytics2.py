@@ -12,8 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import read_events
-from .registry import gridsum, query, quantize as _q
+from .registry import gridsum, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import query, quantize as _q
+from .registry import gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,22 +54,27 @@ def stats_percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment,
            count(*) AS n,
-           floor(((CAST(sum({_CENTS} * {_CENTS}) AS DOUBLE)
-                   - CAST(sum({_CENTS}) AS DOUBLE) * CAST(sum({_CENTS}) AS DOUBLE) / count(*))
-                  / (count(*) - 1) / 1e4) * 1e4) / 1e4 AS var_bal
+           CASE WHEN count(*) > 1 THEN
+             floor(((CAST(sum({_CENTS} * {_CENTS}) AS DOUBLE)
+                     - CAST(sum({_CENTS}) AS DOUBLE) * CAST(sum({_CENTS}) AS DOUBLE) / count(*))
+                    / (count(*) - 1) / 1e4) * 1e4) / 1e4
+           END AS var_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def stats_variance_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance from exact integer moments: Σc and Σc² summed as
-    BIGINT (order-independent), closed form evaluated in double."""
+    BIGINT (order-independent), closed form evaluated in double.
+    Single-row groups yield NULL on both engines (sample variance is
+    undefined at n=1; unguarded, ANSI mode would raise DIVIDE_BY_ZERO
+    instead of producing a comparable value)."""
     cust = _t(spark, sf_dir, "customer")
     c = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
     n = F.count(F.lit(1))
     s1 = F.sum(c).cast("double")
     s2 = F.sum(c * c).cast("double")
-    var = (s2 - s1 * s1 / n) / (n - 1) / 1e4
+    var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1) / 1e4)
     return cust.groupBy("c_mktsegment").agg(
         n.alias("n"), _q(var, 4).alias("var_bal")
     )
@@ -78,11 +83,13 @@ def stats_variance_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_corr_price_qty",
     oracle="""
-    SELECT floor((
+    SELECT CASE WHEN (count(*) * CAST(sum(cx * cx) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cx) AS DOUBLE))
+                   * (count(*) * CAST(sum(cy * cy) AS DOUBLE) - CAST(sum(cy) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)) > 0
+           THEN floor((
       (count(*) * CAST(sum(cx * cy) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cy) AS DOUBLE))
       / sqrt((count(*) * CAST(sum(cx * cx) AS DOUBLE) - CAST(sum(cx) AS DOUBLE) * CAST(sum(cx) AS DOUBLE))
            * (count(*) * CAST(sum(cy * cy) AS DOUBLE) - CAST(sum(cy) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)))
-      ) * 1e6) / 1e6 AS corr_price_qty
+      ) * 1e6) / 1e6 END AS corr_price_qty
     FROM (SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS cx,
                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS cy
           FROM lineitem) t
@@ -104,9 +111,10 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(F.col("cx") * F.col("cx")).cast("double")
     syy = F.sum(F.col("cy") * F.col("cy")).cast("double")
     sxy = F.sum(F.col("cx") * F.col("cy")).cast("double")
-    corr = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
+    # degenerate-variance guard: zero spread on either axis leaves
+    # correlation undefined — NULL on both engines, never a 0-division
+    denom_sq = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(denom_sq > 0, (n * sxy - sx * sy) / F.sqrt(denom_sq))
     return t.agg(_q(corr, 6).alias("corr_price_qty"))
 
 
@@ -232,10 +240,9 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt): the inverse of pivot, one output row
     per (key, metric)."""
     cust = _t(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
     m = cust.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("double").alias("n_customers"),
-        _q(F.sum(cents) / 100.0, 2).alias("sum_bal"),
+        _q(gridsum("c_acctbal", 2), 2).alias("sum_bal"),
         _q(F.max("c_acctbal"), 2).alias("max_bal"),
     )
     return m.unpivot(

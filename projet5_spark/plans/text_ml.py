@@ -110,8 +110,17 @@ def posexplode_tokens_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_pandas_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (Arrow-batched) scalar pandas UDF: a length+sigmoid
     quality score computed in numpy. Same IEEE double formula as the
-    oracle → bit-identical; demonstrates the 10-100×-faster-than-row-UDF
-    path for when Python math is genuinely needed."""
+    oracle; demonstrates the 10-100×-faster-than-row-UDF path for when
+    Python math is genuinely needed.
+
+    Transcendental-parity caveat (shared with tfidf_top_terms' log):
+    exp/ln are ≤1-ulp accurate but not correctly rounded, so numpy's
+    exp and DuckDB's libm exp may differ in the last bit; a score
+    landing within 1 ulp of a 1e-6 grid edge could floor apart. The
+    fixture's integer n_chars inputs sit far from grid edges (verified
+    by the gate three rounds running); sqrt-based queries are immune
+    (sqrt IS correctly rounded). If a platform bump ever flips one,
+    coarsen the grid rather than chase libm versions."""
     import numpy as np
 
     @pandas_udf("double")

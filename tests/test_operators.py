@@ -769,3 +769,39 @@ def test_first_seen_dedup_agg_float_keys_use_raw_grouping(spark):
     ]
     df = spark.createDataFrame(rows, cols)
     assert first_seen_dedup_agg(df, cols[:8], ["ord"]).count() == 1
+
+
+def test_asof_join_null_ts_and_null_key_never_match(spark):
+    """SQL predicate semantics: a right row with NULL ts or NULL key
+    can never be the as-of match, and NULL-key left rows match
+    nothing (NULL = NULL is not true)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1"), (None, "2024-01-01 10:00:00", "lnull")],
+        "k long, ts string, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, 999.0),            # NULL ts: must never match
+            (1, "2024-01-01 09:00:00", 10.0),
+            (None, "2024-01-01 08:00:00", 7.0),  # NULL key: never matches
+        ],
+        "k long, ts string, v double",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_vals=["v"]
+        ).collect()
+    }
+    assert out == {"l1": 10.0, "lnull": None}
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    """right_vals names present on the left must raise, not silently
+    clobber the left column."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00", 111.0)], "k long, ts string, v double")
+    right = spark.createDataFrame([(1, "2024-01-01 09:00:00", 5.0)], "k long, ts string, v double")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_vals=["v"])
