@@ -77,3 +77,21 @@ def test_run_logged_file_handler(spark, tmp_path):
     assert "=== file-run end (" in log
     # reference log format: asctime [LEVEL] message
     assert "[INFO]" in log
+
+
+def test_training_set_selection_shuffles_digests_not_bodies(spark):
+    """Empirical enforcement of the dedup doctrine ("the shuffle
+    carries the digest, never the body"): the composed training-set
+    selection at sf0.001 must shuffle well under 100 KB — a raw-text
+    groupBy key would ship the corpus (~15x more). Regression here
+    means someone re-keyed the dedup on the body."""
+    from projet5_spark.plans import QUERIES
+
+    with run_logged(spark, "shuffle-budget-probe") as rep:
+        (
+            QUERIES["training_set_selection"](spark, "/root/testdata/sf0.001")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    assert 0 < rep.delta["shuffle_write_bytes"] < 100_000, rep.delta
