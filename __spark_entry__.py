@@ -50,6 +50,7 @@ _FRONT = [
     "doc_stratified_hash_split",
     "doc_vocab_growth_by_source",
     "event_attribution_last_touch",
+    "lang_id_heuristic",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

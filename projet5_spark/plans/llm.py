@@ -633,22 +633,57 @@ def lang_filter_en_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lang_id_heuristic")  # no oracle: classifier internals engine-specific
+#: per-language marker-token profiles for the lang-ID heuristic —
+#: module-level so the DuckDB oracle derives from the SAME table
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "de"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "que"),
+    "zh": ("的", "了", "是"),
+}
+
+
+def _lang_id_oracle() -> str:
+    structs = ",\n           ".join(
+        "{'score': len(list_intersect(toks, ["
+        + ", ".join(f"'{m}'" for m in ms)
+        + f"])), 'lang': '{lang}'}}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled_lang,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, labeled_lang,
+             list_aggregate([
+           {structs}
+             ], 'max') AS best
+      FROM t)
+    SELECT doc_id, labeled_lang, best.lang AS predicted_lang,
+           CAST(best.score AS BIGINT) AS marker_hits
+    FROM s
+    """
+
+
+@query("lang_id_heuristic", oracle=_lang_id_oracle())
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-profile language ID heuristic: score each doc against
     per-language marker-token sets (expression-only: array intersect
     sizes), emit the argmax language. The fixture's text is synthetic
     word-soup, so this demonstrates the *operator shape* (deterministic,
     vectorized, no UDF); accuracy against the ``lang`` column is
-    reported, not asserted. Rows-only driver check."""
+    reported, not asserted.
+
+    Oracle-paired: the scoring is pure set arithmetic, and the argmax
+    struct (score, lang) compares lexicographically identically in
+    Spark (``array_max`` over structs) and DuckDB (``list_aggregate
+    'max'``) — ties resolve to the lexicographically greatest language
+    on both engines."""
     docs = _t(spark, sf_dir, "documents")
-    markers = {
-        "en": ("the", "a", "of"),
-        "fr": ("le", "la", "de"),
-        "de": ("der", "die", "das"),
-        "es": ("el", "la", "que"),
-        "zh": ("的", "了", "是"),
-    }
+    markers = _LANG_MARKERS
     toks = F.array_distinct(_toks())
     scores = F.array(
         *[
