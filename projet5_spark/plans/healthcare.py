@@ -78,24 +78,42 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     )
 
     typed = (
-        df.withColumn("name", normalize_name("name"))  # R8 :51-63, :160
-        .withColumn("date_of_admission", parse_date("date_of_admission"))  # R9 :196
+        df.withColumn("date_of_admission", parse_date("date_of_admission"))  # R9 :196
         .withColumn("discharge_date", parse_date("discharge_date"))
     )
 
-    # R10 dim extraction + R11 deterministic surrogate key (:160-187).
-    patients = (
-        typed.select(*PATIENT_KEY)
-        .dropDuplicates(PATIENT_KEY)
-        .withColumn("patient_id", surrogate_key(*PATIENT_KEY))
+    # R8 normalization + R10 dim extraction + R11 surrogate key, all
+    # DIM-SIDE: title_case is a regex-split + interpreted transform, so
+    # evaluating it per distinct patient tuple (hundreds) instead of
+    # per fact row (everything) is a ~fact/dim-ratio saving — and the
+    # result is identical because the normalized name (hence the key)
+    # is a pure function of the raw natural-key tuple. Two raw variants
+    # that normalize to the same name collapse in the post-normalize
+    # dedup exactly as the per-row form's dim dedup did.
+    dim_raw = typed.select(*PATIENT_KEY).dropDuplicates(PATIENT_KEY)
+    dim_norm = dim_raw.select(
+        *[F.col(c).alias(f"__raw_{c}") for c in PATIENT_KEY],
+        normalize_name("name").alias("name"),
+        *[F.col(c) for c in PATIENT_KEY if c != "name"],
+    ).withColumn("patient_id", surrogate_key(*PATIENT_KEY))
+    patients = dim_norm.select(*PATIENT_KEY, "patient_id").dropDuplicates(
+        PATIENT_KEY
     )
 
-    # R12 FK attach — broadcast: dim has one row per distinct patient.
-    # No join needed at all for the key itself (it is a pure function of
-    # the natural key), so compute it directly on the fact side — the
-    # broadcast join exists only in incremental mode / when the dim
-    # carries extra attributes.
-    fact = typed.withColumn("patient_id", surrogate_key(*PATIENT_KEY))
+    # R12 FK attach — broadcast of the (raw key → patient_id) map; the
+    # fact side never evaluates the normalizer. Null-safe equality so a
+    # NULL natural-key component still routes to its (NULL-keyed) id,
+    # matching the pure-function-per-row semantics.
+    key_map = dim_norm.select(
+        *[f"__raw_{c}" for c in PATIENT_KEY], "patient_id"
+    )
+    cond = None
+    for c in PATIENT_KEY:
+        e = typed[c].eqNullSafe(key_map[f"__raw_{c}"])
+        cond = e if cond is None else (cond & e)
+    fact = typed.join(F.broadcast(key_map), cond).drop(
+        *[f"__raw_{c}" for c in PATIENT_KEY]
+    )
 
     # R13 first-seen-wins admission dedup (:200-202) — deterministic via
     # the input ordinal (SURVEY.md §7.4.3).
