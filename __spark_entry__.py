@@ -51,6 +51,7 @@ _FRONT = [
     "doc_vocab_growth_by_source",
     "event_attribution_last_touch",
     "lang_id_heuristic",
+    "doc_chunk_windows",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

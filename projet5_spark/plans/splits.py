@@ -100,3 +100,49 @@ def doc_vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("n_types"),
         _q(F.countDistinct("tok") / F.count(F.lit(1)), 4).alias("type_token_ratio"),
     )
+
+
+_CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, s + 1, s + {_CHUNK})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+         (SELECT unnest(range(0, len(toks), {_STRIDE})) AS s)
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into {chunk}-token
+    windows advancing by {stride} tokens ({overlap}-token overlap so no
+    span is lost at a boundary) — the sequence-preparation step between
+    curation and tokenization in a pretraining pipeline.
+
+    One generated index array + posexplode + array slice, all Catalyst
+    expressions: no shuffle at all (chunking is embarrassingly map-side
+    — at 100 TB this runs at scan speed and the chunk count per task is
+    bounded by input-split size). chunk_idx derives arithmetically from
+    the window start, so no ordinality bookkeeping crosses engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, F.lit(_CHUNK))
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _STRIDE).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+doc_chunk_windows.__doc__ = doc_chunk_windows.__doc__.format(
+    chunk=_CHUNK, stride=_STRIDE, overlap=_CHUNK - _STRIDE
+)
