@@ -90,7 +90,13 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # is a pure function of the raw natural-key tuple. Two raw variants
     # that normalize to the same name collapse in the post-normalize
     # dedup exactly as the per-row form's dim dedup did.
-    dim_raw = typed.select(*PATIENT_KEY).dropDuplicates(PATIENT_KEY)
+    #
+    # The distinct comes off the PRE-dedup frame `df`: full-row dedup
+    # only removes duplicate rows, so the distinct natural-key set is
+    # identical — and this branch then costs a column-pruned scan, not
+    # a second evaluation of the R7 dedup aggregate (Spark does not
+    # reuse the exchange between the fact and key_map subtrees).
+    dim_raw = df.select(*PATIENT_KEY).dropDuplicates(PATIENT_KEY)
     dim_norm = dim_raw.select(
         *[F.col(c).alias(f"__raw_{c}") for c in PATIENT_KEY],
         normalize_name("name").alias("name"),
