@@ -210,16 +210,19 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    cells = (
-        assigned.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    # rank once; both branches derive from the same frame. (Exchange
+    # reuse still does not fire — the optimizer pushes probes'
+    # vec_id<5 through the window as a partition-key predicate, so the
+    # branch subtrees differ — but each branch scans/windows only what
+    # it needs, and the shared definition keeps the rank semantics in
+    # one place.)
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    cells = ranked.where(F.col("rk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
     )
     # queries probe their 2 nearest cells
     probes = (
-        assigned.where(F.col("vec_id") < 5)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 2)
+        ranked.where((F.col("vec_id") < 5) & (F.col("rk") <= 2))
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
                 F.col("cent_id").alias("cell"))
     )
