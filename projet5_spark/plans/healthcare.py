@@ -73,6 +73,7 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # (pandas drop_duplicates keeps first; a plain dropDuplicates keeps
     # an arbitrary copy, whose ordinal could then win a later
     # first-seen admission tie it shouldn't)
+    pre_dedup = df
     df = first_seen_dedup_agg(
         df, [c for c in df.columns if c != ordinal_col], [ordinal_col]
     )
@@ -91,12 +92,13 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # that normalize to the same name collapse in the post-normalize
     # dedup exactly as the per-row form's dim dedup did.
     #
-    # The distinct comes off the PRE-dedup frame `df`: full-row dedup
-    # only removes duplicate rows, so the distinct natural-key set is
-    # identical — and this branch then costs a column-pruned scan, not
-    # a second evaluation of the R7 dedup aggregate (Spark does not
-    # reuse the exchange between the fact and key_map subtrees).
-    dim_raw = df.select(*PATIENT_KEY).dropDuplicates(PATIENT_KEY)
+    # The distinct comes off the frame captured BEFORE the R7 dedup:
+    # full-row dedup only removes duplicate rows, so the distinct
+    # natural-key set is identical — and this branch then costs a
+    # column-pruned scan, not a second evaluation of the R7 dedup
+    # aggregate (Spark does not reuse the exchange between the fact
+    # and key_map subtrees).
+    dim_raw = pre_dedup.select(*PATIENT_KEY).dropDuplicates(PATIENT_KEY)
     dim_norm = dim_raw.select(
         *[F.col(c).alias(f"__raw_{c}") for c in PATIENT_KEY],
         normalize_name("name").alias("name"),

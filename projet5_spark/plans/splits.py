@@ -112,7 +112,8 @@ _CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap
            CAST(s // {_STRIDE} AS BIGINT) AS chunk_idx,
            CAST(len(list_slice(toks, s + 1, s + {_CHUNK})) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ') AS chunk_text
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL) d,
          (SELECT unnest(range(0, len(toks), {_STRIDE})) AS s)
     """,
 )
@@ -122,12 +123,15 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     span is lost at a boundary) — the sequence-preparation step between
     curation and tokenization in a pretraining pipeline.
 
-    One generated index array + posexplode + array slice, all Catalyst
+    One generated index array + explode + array slice, all Catalyst
     expressions: no shuffle at all (chunking is embarrassingly map-side
     — at 100 TB this runs at scan speed and the chunk count per task is
     bounded by input-split size). chunk_idx derives arithmetically from
-    the window start, so no ordinality bookkeeping crosses engines."""
-    docs = _t(spark, sf_dir, "documents")
+    the window start, so no ordinality bookkeeping crosses engines.
+    NULL text is excluded on both engines (the oracle's range(0, NULL)
+    unnests to nothing; Spark's greatest() would otherwise skip the
+    NULL and emit a spurious chunk)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split("text", " ")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_STRIDE))

@@ -94,4 +94,8 @@ def test_training_set_selection_shuffles_digests_not_bodies(spark):
             .mode("overwrite")
             .save()
         )
+        # the status store is fed asynchronously by the listener bus —
+        # drain it so the final stage's metrics have landed before the
+        # context manager snapshots the after-totals
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     assert 0 < rep.delta["shuffle_write_bytes"] < 100_000, rep.delta
