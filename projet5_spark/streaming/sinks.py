@@ -37,3 +37,37 @@ def stream_to_parquet_idempotent(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_scd2_dim(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain an SCD-2 dimension from a change stream: each
+    micro-batch merges through :func:`~projet5_spark.sources.writers.
+    scd2_upsert`, so the dimension accumulates full version history
+    (``__valid_from``/``__valid_to``/``__current``) as changes arrive.
+
+    Replay safety comes from the writer, not the checkpoint alone:
+    unchanged-content redeliveries are digest-skipped and
+    not-strictly-newer (late/NULL-ts) arrivals are rejected, so the
+    at-least-once window between sink write and offset commit cannot
+    fabricate versions or corrupt history. The batch must be unique on
+    ``key_cols`` (standard CDC compaction — keep the latest change per
+    key per batch before merging)."""
+    from ..sources.writers import scd2_upsert
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_upsert(batch_df.sparkSession, batch_df, path, key_cols, ts_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

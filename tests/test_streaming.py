@@ -266,3 +266,48 @@ def test_stateful_profiles_survive_multi_chunk_groups(spark):
         )
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_to_scd2_dim_builds_history_and_absorbs_replay(spark, tmp_path):
+    """A change stream merged through the SCD-2 sink accumulates
+    version history across micro-batches, and a full replay (fresh
+    checkpoint) fabricates nothing — digest + ordering guards make the
+    at-least-once window harmless."""
+    import pyspark.sql.functions as F
+
+    from projet5_spark.streaming.sinks import stream_to_scd2_dim
+
+    # two change batches for the same keys: v1 then v2, as two files
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(1, "alice", "2024-01-01 00:00:00"), (2, "bob", "2024-01-01 00:00:00")],
+        "k long, v string, ts string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "alicia", "2024-02-01 00:00:00"), (2, "bob", "2024-02-01 00:00:00")],
+        "k long, v string, ts string",
+    )
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+
+    dim = str(tmp_path / "dim")
+
+    def ingest(checkpoint: str):
+        raw = (
+            spark.readStream.schema("k long, v string, ts string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_to_scd2_dim(raw, dim, ["k"], "ts", checkpoint)
+        q.awaitTermination(120)
+
+    ingest(str(tmp_path / "ck1"))
+    rows = spark.read.parquet(dim).collect()
+    cur = {r["k"]: r["v"] for r in rows if r["__current"]}
+    # k=1 versioned (alice -> alicia), k=2 unchanged (digest skip)
+    assert cur == {1: "alicia", 2: "bob"}
+    assert len(rows) == 3  # closed alice + current alicia + current bob
+
+    # full replay from scratch: nothing closes, nothing inserts
+    ingest(str(tmp_path / "ck2"))
+    assert spark.read.parquet(dim).count() == 3
