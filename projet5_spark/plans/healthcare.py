@@ -124,7 +124,9 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     )
 
     # R13 first-seen-wins admission dedup (:200-202) — deterministic via
-    # the input ordinal (SURVEY.md §7.4.3).
+    # the input ordinal (SURVEY.md §7.4.3). The window form compiles to
+    # WindowGroupLimit, which already prunes to top-1 per key below the
+    # shuffle — measured equal to the min_by-aggregate variant here.
     admissions = first_seen_dedup(fact, ADMISSION_KEY, [F.col(ordinal_col)])
     admissions = admissions.select(*ADMISSION_COLS).withColumn(
         "admission_id", surrogate_key(*ADMISSION_KEY)
