@@ -52,6 +52,7 @@ _FRONT = [
     "event_attribution_last_touch",
     "lang_id_heuristic",
     "doc_chunk_windows",
+    "window_rolling_median_order_value",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

@@ -356,3 +356,40 @@ def selfjoin_multi_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "window_rolling_median_order_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           floor((quantile_cont(o_totalprice, 0.5) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) * 1e4) / 1e4
+             AS rolling_median
+    FROM orders
+    """,
+)
+def window_rolling_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (interpolated, last-5-orders frame) per
+    customer — the robust-center analytic a spend-anomaly monitor runs;
+    quantiles over moving frames are where sketches usually sneak in,
+    so the exact form is the oracle-checkable baseline.
+
+    ``percentile`` evaluates as a window aggregate over the row frame —
+    one customer-keyed shuffle, per-frame cost bounded by the 5-row
+    frame. Both engines interpolate from identical input doubles, so
+    the midpoint arithmetic is bit-identical (same rationale as
+    stats_percentiles_acctbal)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _q(F.percentile("o_totalprice", F.lit(0.5)).over(w), 4).alias(
+            "rolling_median"
+        ),
+    )
