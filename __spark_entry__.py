@@ -53,6 +53,7 @@ _FRONT = [
     "lang_id_heuristic",
     "doc_chunk_windows",
     "window_rolling_median_order_value",
+    "regex_funcs_part",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

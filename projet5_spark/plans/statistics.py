@@ -393,3 +393,43 @@ def window_rolling_median_order_value(spark: SparkSession, sf_dir: str) -> DataF
             "rolling_median"
         ),
     )
+
+
+@query(
+    "regex_funcs_part",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+           regexp_extract(p_brand, '(\d+)$', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           CAST(regexp_matches(p_name, 'widget$') AS BOOLEAN) AS is_widget,
+           CAST(len(p_name) - len(regexp_replace(p_name, '[aeiou]', '', 'g'))
+                AS BIGINT) AS n_vowels
+    FROM part
+    """,
+)
+def regex_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar battery: extract (group index), global
+    replace, anchored match, and match counting via replace-and-diff —
+    all JVM expressions evaluated inside codegen.
+
+    Patterns stay inside the dialect intersection of Java regex (Spark)
+    and RE2 (DuckDB): character classes, anchors, \\w, \\d, greedy
+    quantifiers — no lookaround or backreferences, which RE2 rejects.
+    Note DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default."""
+    part = _t(spark, sf_dir, "part")
+    devowel = F.regexp_replace("p_name", "[aeiou]", "*")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"(\d+)$", 1).alias("brand_num"),
+        devowel.alias("devoweled"),
+        F.col("p_name").rlike("widget$").alias("is_widget"),
+        (
+            F.length("p_name")
+            - F.length(F.regexp_replace("p_name", "[aeiou]", ""))
+        )
+        .cast("long")
+        .alias("n_vowels"),
+    )
