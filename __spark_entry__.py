@@ -54,6 +54,7 @@ _FRONT = [
     "doc_chunk_windows",
     "window_rolling_median_order_value",
     "regex_funcs_part",
+    "agg_filtered_order_stats",
     # round-2 TPC-H additions and events suite
     "q02_min_cost_supplier",
     "q11_important_stock",

@@ -433,3 +433,39 @@ def regex_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_vowels"),
     )
+
+
+@query(
+    "agg_filtered_order_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+                FILTER (WHERE year(o_orderdate) >= 1997) AS BIGINT)
+             AS cents_recent,
+           count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+             AS n_open_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the SQL FILTER clause): per-priority
+    totals where each aggregate applies its own predicate — expressed
+    as aggregates over ``when(cond, x)`` (NULLs are skipped by
+    count/sum, exactly FILTER's semantics). One hash aggregate, all
+    predicates map-side; the count-distinct branch expands like any
+    distinct aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(F.when(F.year("o_orderdate") >= 1997, cents))
+        .cast("long")
+        .alias("cents_recent"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("n_open_customers"),
+    )
