@@ -86,6 +86,10 @@ HEADLINE = [
     "doc_stratified_hash_split",
     "doc_vocab_growth_by_source",
     "event_attribution_last_touch",
+    "doc_chunk_windows",
+    "window_rolling_median_order_value",
+    "regex_funcs_part",
+    "agg_filtered_order_stats",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path
