@@ -84,12 +84,20 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
             # integer division, NOT `/1000` through double: epoch-ns
             # values (~1.7e18) exceed double's 2^53 exact range
             # (ulp ≈ 256 ns), so the double path can be off by 1 µs vs
             # DuckDB's exact truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # newer fixture generators write a native timestamp[us]
+            # column, which Spark reads as TIMESTAMP_NTZ. Normalize to
+            # TIMESTAMP so downstream event-time ops (watermarks,
+            # unix_micros, tz-aware window fns) all see one type; the
+            # session tz is pinned UTC so the wall-clock is unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -29,7 +29,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: on-disk schema: ts is int64 nanoseconds (see sources.readers.read_events)
+#: legacy on-disk schema: ts as int64 nanoseconds (older fixture
+#: generators; see sources.readers.read_events). Newer fixtures store a
+#: real timestamp[us] column — ``open_events_stream`` probes which.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -42,21 +44,57 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """events fixture as a file-replay stream (explicit schema — a
-    streaming source cannot infer). ns→µs conversion mirrors the batch
-    reader so streaming and batch twins see identical timestamps."""
+def open_events_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """events-shaped parquet as a file-replay stream, adapting to the
+    on-disk ts encoding (a streaming source cannot infer a schema).
+
+    A one-file batch read probes the footer: int64-nanosecond ``ts``
+    (legacy fixtures) gets the nanosAsLong conf + exact ns→µs integer
+    division, mirroring the batch reader so streaming and batch twins
+    see identical timestamps; a native timestamp column streams as-is."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source wants a directory; glob-filter down to the
-    # events table so the other fixture files in sf_dir are not picked up
-    raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    probe_path = f"{path}/{glob}" if glob else path
+    ts_is_ns_long = False
+    try:
+        probed = spark.read.parquet(probe_path)
+        ts_is_ns_long = dict(probed.dtypes).get("ts") == "bigint"
+    finally:
+        if not ts_is_ns_long:
+            # restore — the conf must stay set for the stream's lifetime
+            # only when micro-batches actually need the ns→long decode
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    reader = spark.readStream.schema(
+        EVENTS_FILE_SCHEMA if ts_is_ns_long else probed.schema
+    ).option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(path)
+    if ts_is_ns_long:
+        # integer division — same exactness note as sources.readers.read_events
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts", "").startswith("timestamp_ntz"):
+        # watermarks require TIMESTAMP (ltz); the session tz is pinned
+        # UTC (session.py) so this cast preserves the wall-clock values
+        # the batch twins see
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """events fixture as a file-replay stream. The glob filter keeps the
+    other fixture tables in sf_dir out of the source listing."""
+    return open_events_stream(
+        spark, sf_dir, glob="events.parquet", max_files_per_trigger=max_files_per_trigger
     )
-    # integer division — same exactness note as sources.readers.read_events
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _gridsum2(col: str) -> F.Column:

@@ -90,23 +90,17 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     replay (fresh checkpoint) inserts nothing new."""
     from projet5_spark.sources.readers import read_events
     from projet5_spark.streaming.sinks import stream_to_parquet_idempotent
-    from projet5_spark.streaming.windows import EVENTS_FILE_SCHEMA
-
-    import pyspark.sql.functions as F
+    from projet5_spark.streaming.windows import open_events_stream
 
     # split events into 4 files so the stream runs 4 micro-batches
+    # (write via read_events so the copy carries µs timestamps regardless
+    # of the fixture's on-disk ts encoding)
     src = str(tmp_path / "src")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{SF}/events.parquet").repartition(4).write.parquet(src)
+    read_events(spark, SF).repartition(4).write.parquet(src)
     expected = read_events(spark, SF).count()
 
     def ingest(checkpoint: str):
-        raw = (
-            spark.readStream.schema(EVENTS_FILE_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        raw = open_events_stream(spark, src)
         out = str(tmp_path / "out")
         q = stream_to_parquet_idempotent(raw, out, ["event_id"], checkpoint)
         q.awaitTermination(120)
