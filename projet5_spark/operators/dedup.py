@@ -75,6 +75,18 @@ def first_seen_dedup_agg(
     normalizes ``-0.0 == 0.0`` while their string forms differ, and the
     two branches must agree.
     """
+    payload_cols = [c for c in df.columns if c not in keys and c not in order_cols]
+    if not payload_cols and len(order_cols) == 1:
+        # full-row dedup: every row in a group IS the key tuple, so
+        # min_by(struct) degenerates to min(ordinal). That swaps the
+        # sort-based aggregate (struct buffers aren't hash-aggregable)
+        # for a pure HashAggregate with map-side partial min — no
+        # per-partition sorts, same shuffle key set.
+        return (
+            df.groupBy(*keys)
+            .agg(F.min(order_cols[0]).alias(order_cols[0]))
+            .select(*df.columns)
+        )
     payload = F.struct(*[F.col(c) for c in df.columns])
     order = F.struct(*[F.col(c) for c in order_cols])
     dtypes = dict(df.dtypes)
