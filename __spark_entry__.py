@@ -26,6 +26,15 @@ SF0001 = "/root/testdata/sf0.001"
 #: oracle-paired work each round (earlier rounds re-verified the
 #: classic set twice); everything else follows in registration order.
 _FRONT = [
+    # round-4: corpus curation + event analytics + graph/skew diagnostics
+    "pii_redact_customer_text",
+    "boilerplate_line_dedup",
+    "bigram_lm_doc_score",
+    "rolling_7d_active_users",
+    "event_transition_matrix",
+    "anomaly_zscore_event_values",
+    "key_skew_profile_orders",
+    "pagerank_nation_trade_3iter",
     # reference-parity healthcare composition (round-2 flagship)
     "hc_patients_dim",
     "hc_admissions_first_seen",

@@ -90,6 +90,14 @@ HEADLINE = [
     "window_rolling_median_order_value",
     "regex_funcs_part",
     "agg_filtered_order_stats",
+    "pii_redact_customer_text",
+    "boilerplate_line_dedup",
+    "bigram_lm_doc_score",
+    "rolling_7d_active_users",
+    "event_transition_matrix",
+    "anomaly_zscore_event_values",
+    "key_skew_profile_orders",
+    "pagerank_nation_trade_3iter",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path

@@ -21,5 +21,6 @@ from . import sql_surface  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import splits  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import gridsum, query
+from .registry import gridsum, query, quantize as _q
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -197,3 +197,107 @@ def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.s_suppkey == F.col("l_suppkey"),
         "left_semi",
     ).select("s_suppkey", "s_name")
+
+
+def _pagerank_edges_sql() -> str:
+    """Shared oracle fragment: nation→nation trade edges weighted by
+    lineitem count, plus per-source out-totals."""
+    return """
+    edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey),
+    outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT nk FROM (
+      SELECT src AS nk FROM edges UNION SELECT dst AS nk FROM edges)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    p AS (SELECT e.src, e.dst, e.w * 1.0 / o.wout AS p
+          FROM edges e JOIN outw o ON e.src = o.src)
+    """
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One damped PageRank step: out(dst) = 0.15/N + 0.85·Σ prev(src)·p."""
+    return f"""
+    {out} AS (
+      SELECT n.nk, 0.15 / nn.n + 0.85 * coalesce(m.acc, 0.0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (SELECT p.dst AS nk, sum({prev}.pr * p.p) AS acc
+                 FROM p JOIN {prev} ON p.src = {prev}.nk
+                 GROUP BY p.dst) m ON n.nk = m.nk)
+    """
+
+
+@query(
+    "pagerank_nation_trade_3iter",
+    oracle=f"""
+    WITH {_pagerank_edges_sql()},
+    nn1 AS (SELECT n FROM nn),
+    pr0 AS (SELECT nk, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {_pagerank_iter_sql('pr0', 'pr1')},
+    {_pagerank_iter_sql('pr1', 'pr2')},
+    {_pagerank_iter_sql('pr2', 'pr3')}
+    SELECT nk AS nationkey, floor(pr * 1e6) / 1e6 AS pagerank
+    FROM pr3
+    """,
+)
+def pagerank_nation_trade_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 unrolled iterations) over the
+    nation→nation trade graph (customer nation → supplier nation,
+    edge weight = lineitem count).
+
+    The expensive part is the one-time edge build — a fact-scale join
+    tree that aggregates down to |N|² rows at most; every iteration
+    after that is a join between the (tiny, broadcast-able) rank vector
+    and the edge list — the loop-unrolled DataFrame form of what
+    Pregel/GraphX do with messages. Edge weights are exact integers;
+    only the final rank is floored onto the 1e-6 grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        # the rank loop references this subtree ~7× (p in each iteration,
+        # nodes on both union sides, the node count); without truncation
+        # Spark re-runs the fact-scale join per reference. Eager
+        # localCheckpoint materializes the (≤|N|²-row) edge list once —
+        # same pattern as operators.graph.connected_components.
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    p = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") * F.lit(1.0) / F.col("wout")).alias("p")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("nk"))
+        .union(edges.select(F.col("dst").alias("nk")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # bounded: |nations| — a scalar, not a collect of data
+    pr = nodes.select("nk", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
+    for _ in range(3):
+        acc = (
+            p.join(pr, p.src == pr.nk)
+            .groupBy(F.col("dst").alias("t_nk"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("acc"))
+        )
+        pr = nodes.join(acc, nodes.nk == acc.t_nk, "left").select(
+            "nk",
+            (
+                F.lit(0.15 / float(n_nodes))
+                + F.lit(0.85) * F.coalesce(F.col("acc"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.select(
+        F.col("nk").alias("nationkey"), _q("pr", 6).alias("pagerank")
+    )

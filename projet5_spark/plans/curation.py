@@ -1,0 +1,282 @@
+"""Corpus-curation operators a training-data pipeline runs before the
+tokenizer: PII redaction, boilerplate (repeated-line) removal, and
+n-gram language-model scoring (SURVEY.md §2.7 text-analysis family).
+
+Scale design notes:
+- **PII redaction is map-only** — regex scan/replace per row, no
+  shuffle at all; at 100 TB it is bounded by scan + codegen'd regex
+  throughput. Patterns live in ONE place and are written in the
+  Java-regex ∩ RE2 common dialect so the DuckDB oracle runs them
+  verbatim.
+- **Boilerplate removal** shuffles line *content* only to count
+  line→document frequencies; the rebuild joins each exploded line
+  against the frequency table on the line value. At corpus scale the
+  join key should be a line digest (32 B) rather than the line text —
+  same pattern as ``operators.dedup.exact_text_dedup``; the fixture
+  lines here are two tokens, shorter than a digest, so the raw value
+  IS the compact key.
+- **Bigram LM**: two hash aggregates over (w1, w2) / (w1) — vocabulary-
+  sized, orders of magnitude smaller than the corpus — then a map-side
+  probability lookup joined back to the per-document bigram stream.
+  Per-document averaging uses the integer-grid sum trick
+  (``registry.gridsum``) so the score is summation-order independent
+  and oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, quantize as _q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: Java-regex ∩ RE2 dialect (no backrefs, no lookaround) — DuckDB runs
+#: these byte-for-byte in the oracle.
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+#: the fixtures carry no real PII, so the query PLANTS it
+#: deterministically from customer columns (email for 2/3 of rows,
+#: phone for 1/2) — the oracle mirrors the derivation, and the
+#: redaction counts then genuinely vary per row.
+_PII_TEXT_SQL = """
+    c_mktsegment || ' ticket ' ||
+    CASE WHEN c_custkey % 3 <> 0
+         THEN 'from ' || lower(replace(c_name, '#', '.')) || '@example.com '
+         ELSE '' END ||
+    CASE WHEN c_custkey % 2 = 0
+         THEN 'call ' || CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||
+              lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' '
+         ELSE '' END ||
+    'ref ' || CAST(c_custkey AS VARCHAR)
+"""
+
+
+def _pii_text_spark() -> F.Column:
+    email = F.concat(
+        F.lit("from "),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com "),
+    )
+    phone = F.concat(
+        F.lit("call "),
+        (F.lit(10) + F.col("c_custkey") % 90).cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+    )
+    return F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" ticket "),
+        F.when(F.col("c_custkey") % 3 != 0, email).otherwise(F.lit("")),
+        F.when(F.col("c_custkey") % 2 == 0, phone).otherwise(F.lit("")),
+        F.lit("ref "),
+        F.col("c_custkey").cast("string"),
+    )
+
+
+@query(
+    "pii_redact_customer_text",
+    oracle=f"""
+    WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS text FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redact_customer_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails/phones in free text. Map-only
+    (regex scan + global replace per row, whole-stage codegen'd); the
+    patterns are shared constants with the oracle, so the gate checks
+    the redacted text byte-for-byte."""
+    cust = _t(spark, sf_dir, "customer")
+    text = _pii_text_spark().alias("text")
+    t = cust.select("c_custkey", text)
+    return t.select(
+        "c_custkey",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate (repeated-line) removal
+# --------------------------------------------------------------------------
+
+#: "lines" = consecutive 2-token chunks (the fixture text is one long
+#: token stream; a real corpus would split on '\n'). A line present in
+#: ≥ _BOILER_MIN_DOCS distinct documents is boilerplate and is removed.
+_LINE_TOKENS = 2
+_BOILER_MIN_DOCS = 10
+
+_LINES_SQL = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk,
+                   unnest(range(1, CAST(ceil(len(tk) / {_LINE_TOKENS}.0) AS BIGINT) + 1)) AS i
+            FROM toks),
+    lines AS (SELECT doc_id, i,
+                     array_to_string(
+                       tk[(i-1)*{_LINE_TOKENS}+1 : least(CAST(i*{_LINE_TOKENS} AS BIGINT), len(tk))],
+                       ' ') AS line
+              FROM idx)
+"""
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, line): 1-based line index, line = space-joined chunk.
+    Built with sequence+transform+inline — stays in Catalyst, explodes
+    ~len/2 rows per document exactly like the oracle's unnest."""
+    tk = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size(tk) / float(_LINE_TOKENS)).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("i"),
+            F.array_join(
+                F.slice(tk, (i - 1) * _LINE_TOKENS + 1, _LINE_TOKENS), " "
+            ).alias("line"),
+        ),
+    )
+    return docs.select("doc_id", F.inline(chunks))
+
+
+@query(
+    "boilerplate_line_dedup",
+    oracle=f"""
+    WITH {_LINES_SQL},
+    freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line),
+    kept AS (
+      SELECT l.doc_id, l.i, l.line
+      FROM lines l JOIN freq f ON l.line = f.line
+      WHERE f.ndocs < {_BOILER_MIN_DOCS})
+    SELECT d.doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines,
+           CAST(count(k.i) AS BIGINT) AS n_kept,
+           coalesce(string_agg(k.line, ' ' ORDER BY k.i), '') AS cleaned
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: lines that occur in ≥ N distinct
+    documents are stripped everywhere; each document is reassembled
+    from its surviving lines in original order.
+
+    Shape: explode → line-frequency aggregate (line-content key, tiny
+    vs the corpus) → join back → ordered re-aggregation per doc_id.
+    The re-join uses the line value as the key; at real corpus scale
+    substitute a 32-byte digest (see module notes)."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = _doc_lines(docs)
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    kept = (
+        lines.join(freq, "line")
+        .where(F.col("ndocs") < _BOILER_MIN_DOCS)
+        .select("doc_id", "i", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(F.array_sort(F.collect_list(F.struct("i", "line"))).line, " ").alias(
+            "cleaned"
+        ),
+    )
+    tk = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.ceil(F.size(tk) / float(_LINE_TOKENS)).cast("long").alias("n_lines"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring
+# --------------------------------------------------------------------------
+
+_BIGRAMS_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    tpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+    big AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2 FROM tpos),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+    c1  AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1)
+"""
+
+
+@query(
+    "bigram_lm_doc_score",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    scored AS (
+      SELECT b.doc_id,
+             CAST(floor(ln(c12.n12 * 1.0 / c1.n1) * 1e6) AS BIGINT) AS nll_micro
+      FROM big b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                 JOIN c1 ON b.w1 = c1.w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((sum(nll_micro) * 1.0 / (1e6 * count(*))) * 1e4) / 1e4 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring: train a bigram MLE model on the
+    corpus (P(w2|w1) = c(w1,w2)/c(w1)) and score each document by its
+    mean log-probability — the classic perplexity-style quality filter.
+
+    The model tables are vocabulary-sized aggregates; the scoring pass
+    re-streams the corpus bigrams and joins the (small) model tables —
+    broadcast-able at scale. Each log term is floored onto a 1e-6 grid
+    and summed as BIGINT (``registry.gridsum`` pattern) so the per-doc
+    mean is independent of Spark's partial-aggregation order and
+    matches DuckDB bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs.select("doc_id", F.inline(pairs))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    nll_micro = F.floor(
+        F.log(F.col("n12") * F.lit(1.0) / F.col("n1")) * 1e6
+    ).cast("long")
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", nll_micro.alias("nll_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _q(F.sum("nll_micro") * F.lit(1.0) / (F.lit(1e6) * F.count(F.lit(1))), 4).alias(
+            "avg_logprob"
+        ),
+    )

@@ -306,3 +306,156 @@ def event_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("touch_gap_seconds"),
         )
     )
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           count(DISTINCT daily.user_id) AS n_active_7d
+    FROM days JOIN daily ON daily.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count-distinct (trailing-7-day active users per observed
+    day). COUNT(DISTINCT) is not window-able, so instead of a range
+    self-join the activity fans out: each (day, user) pair replicates
+    to the ≤7 target days it can contribute to (bounded constant-factor
+    explode, shuffle key = day), then one distinct count per day. A
+    semi-join restricts targets to observed days. At scale this beats
+    the interval join: no range-condition nested loop, and the explode
+    factor is the window length, not the data volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "day_d")
+    expanded = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day_d"),
+        "user_id",
+    )
+    return (
+        expanded.join(days, "day_d", "left_semi")
+        .groupBy("day_d")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .select(F.date_format("day_d", "yyyy-MM-dd").alias("day"), "n_active_7d")
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           floor((n * 1.0 / sum(n) OVER (PARTITION BY prev_type)) * 1e6) / 1e6 AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | prev) = pair count / prev-state total. One
+    lag window (shuffle on user_id), then a state-pair aggregate whose
+    cardinality is |event_type|² — constant, so the normalizing window
+    runs over a tiny frame regardless of event volume. Ties on ts
+    break by event_id, making prev_type total-ordered on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        _q(F.col("n") * F.lit(1.0) / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@query(
+    "anomaly_zscore_event_values",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc
+      FROM events),
+    w AS (
+      SELECT user_id, event_id, ts, value, vc,
+             count(vc)  OVER win AS n,
+             sum(vc)    OVER win AS s1,
+             sum(vc*vc) OVER win AS s2
+      FROM g
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT user_id, event_id, ts, value, n,
+             (vc - s1 * 1.0 / n) /
+             sqrt((s2 - (s1 * 1.0 / n) * s1) / (n - 1)) / 1e0 AS zraw
+      FROM w
+      WHERE n >= 10 AND (s2 - (s1 * 1.0 / n) * s1) > 0)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value,
+           floor(zraw * 1e4) / 1e4 AS zscore
+    FROM z WHERE abs(zraw) > 2.5
+    """,
+)
+def anomaly_zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event's value against the
+    mean/stddev of the user's previous ≤20 events; |z| > 2.5 with at
+    least 10 prior samples flags an outlier.
+
+    One shuffle on user_id, one ordered frame pass. Exactness trick:
+    the 2dp-grid values become integer cents, the frame sums are BIGINT
+    (associative, order-independent), and mean/variance/z are derived
+    from those exact integers with a fixed expression tree — so the
+    doubles are bit-identical on both engines and the 1e-4 floor grid
+    is safe."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long")
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    )
+    g = ev.select("user_id", "event_id", "ts", "value", vc.alias("vc"))
+    w = g.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "vc",
+        F.count("vc").over(win).alias("n"),
+        F.sum("vc").over(win).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("n")
+    var_num = F.col("s2") - mean * F.col("s1")
+    zraw = (F.col("vc") - mean) / F.sqrt(var_num / (F.col("n") - 1))
+    return (
+        w.where((F.col("n") >= 10) & (var_num > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+            "value",
+            zraw.alias("zraw"),
+        )
+        .where(F.abs(F.col("zraw")) > 2.5)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            _q("zraw", 4).alias("zscore"),
+        )
+    )

@@ -469,3 +469,44 @@ def agg_filtered_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
         ).alias("n_open_customers"),
     )
+
+
+@query(
+    "key_skew_profile_orders",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY o_custkey),
+    tot AS (SELECT count(*) AS total FROM orders),
+    ranked AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk FROM counts)
+    SELECT CAST(rk AS BIGINT) AS rk, key, CAST(n AS BIGINT) AS n,
+           floor((n * 1.0 / total) * 1e6) / 1e6 AS share
+    FROM ranked, tot WHERE rk <= 10
+    """,
+)
+def key_skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the top-10 heaviest keys with their
+    share of the table — the profile you run BEFORE a big shuffle to
+    decide between a plain join, salting, or AQE skew handling.
+
+    Per-key counts are one hash aggregate; the top-10 is takeOrdered
+    (per-partition heaps + a 10-row driver merge), never a global
+    sort; the rank is minted on the 10 surviving rows. The total-count
+    scalar joins by broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(10)
+    tot = orders.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        top.join(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            "rk",
+            "key",
+            F.col("n").cast("long").alias("n"),
+            _q(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        )
+    )
