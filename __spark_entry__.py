@@ -35,6 +35,11 @@ _FRONT = [
     "anomaly_zscore_event_values",
     "key_skew_profile_orders",
     "pagerank_nation_trade_3iter",
+    "dq_constraint_checks",
+    "snapshot_diff_orders",
+    "shuffle_balance_profile",
+    "ewma_event_values",
+    "inverted_index_terms",
     # reference-parity healthcare composition (round-2 flagship)
     "hc_patients_dim",
     "hc_admissions_first_seen",

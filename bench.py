@@ -98,6 +98,11 @@ HEADLINE = [
     "anomaly_zscore_event_values",
     "key_skew_profile_orders",
     "pagerank_nation_trade_3iter",
+    "dq_constraint_checks",
+    "snapshot_diff_orders",
+    "shuffle_balance_profile",
+    "ewma_event_values",
+    "inverted_index_terms",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path

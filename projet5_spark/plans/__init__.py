@@ -22,5 +22,6 @@ from . import analytics2  # noqa: E402,F401
 from . import events  # noqa: E402,F401
 from . import splits  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import audit  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1,0 +1,241 @@
+"""Pipeline-audit operators: declarative data-quality constraint
+checks, CDC-style snapshot diffing, and shuffle-balance profiling —
+the checks an operator of a 100 TB lakehouse runs on every ingest.
+
+Scale design notes:
+- **DQ checks** are each a single aggregate (or one key-join for the
+  referential check) producing a one-row count; the union of checks is
+  a constant-size summary regardless of table volume. The orphan check
+  is a left-anti join on the FK — shuffle keyed, no broadcast
+  assumption about the parent side.
+- **Snapshot diff** is one full-outer join on the natural key comparing
+  a content digest per side — the standard "what changed between
+  yesterday's and today's snapshot" CDC primitive. The shuffle carries
+  key + 32-byte digest, never the payload.
+- **Shuffle-balance profile** simulates the partition assignment of a
+  prospective shuffle (bucket = sha-digest of the key, mod N) and
+  reports the balance stats that predict stragglers BEFORE running the
+  real job. sha256 (not Spark's murmur ``hash()``) so the oracle can
+  reproduce the assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, quantize as _q
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey) g
+    WHERE n > 1
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style declarative constraint audit: not-null, primary-key
+    uniqueness, accepted-values, referential integrity, and two range
+    checks, emitted as one (check_name, n_violations) summary.
+
+    Each check reduces to a scalar before the union, so the result is
+    six rows whatever the table size; the only shuffle-heavy member is
+    the FK anti-join, which is exactly the shape Spark scales (hash
+    join on the key, AQE-sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    null_ck = one(
+        "orders_null_custkey",
+        orders.agg(F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")),
+    )
+    dup_pk = one(
+        "orders_duplicate_pk",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("n")),
+    )
+    bad_status = one(
+        "orders_bad_status",
+        orders.agg(
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("n")
+        ),
+    )
+    orphan = one(
+        "lineitem_orphan_orderkey",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    bad_qty = one(
+        "lineitem_nonpositive_qty",
+        li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n")),
+    )
+    bad_disc = one(
+        "lineitem_discount_range",
+        li.agg(
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+            ).alias("n")
+        ),
+    )
+    return null_ck.union(dup_pk).union(bad_status).union(orphan).union(bad_qty).union(
+        bad_disc
+    )
+
+
+#: snapshot derivations (planted drift, mirrored in the oracle):
+#: A = orders except keys ≡0 (mod 5); B = orders except keys ≡0 (mod 11),
+#: with price +10% on keys ≡0 (mod 7). So mod-5 keys read as ADDED in B,
+#: mod-11 keys as REMOVED, mod-7 keys as CHANGED.
+_SNAP_SQL = """
+    snap_a AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    snap_b AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0)
+"""
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH {_SNAP_SQL},
+    a AS (SELECT key, sha256(status || '|' ||
+                  CAST(CAST(floor(price * 1e2 + 0.5) AS BIGINT) AS VARCHAR)) AS h
+          FROM snap_a),
+    b AS (SELECT key, sha256(status || '|' ||
+                  CAST(CAST(floor(price * 1e2 + 0.5) AS BIGINT) AS VARCHAR)) AS h
+          FROM snap_b),
+    d AS (
+      SELECT CASE WHEN a.key IS NULL THEN 'added'
+                  WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.key = b.key)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: classify every natural key across two table
+    snapshots as added / removed / changed / unchanged by comparing a
+    content digest per side in one full-outer join.
+
+    The digest is computed map-side over the 2dp price grid (exact
+    integer cents, so both engines hash identical bytes); the join
+    shuffles key + 32-byte hash only. The snapshots here are derived
+    from the orders fixture with planted drift — see ``_SNAP_SQL``."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("price") * 1e2 + F.lit(0.5)).cast("long")
+    digest = F.sha2(
+        F.concat(F.col("status"), F.lit("|"), cents.cast("string")), 256
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    snap_a = base.where(F.col("key") % 5 != 0).select("key", digest.alias("h_a"))
+    snap_b = (
+        base.where(F.col("key") % 11 != 0)
+        .withColumn(
+            "price",
+            F.when(F.col("key") % 7 == 0, F.col("price") * 1.1).otherwise(
+                F.col("price")
+            ),
+        )
+        .select("key", digest.alias("h_b"))
+    )
+    d = snap_a.join(snap_b, "key", "full_outer").select(
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_N_BUCKETS = 200
+
+
+@query(
+    "shuffle_balance_profile",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(('0x' || substring(sha256(CAST(o_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+             % {_N_BUCKETS} AS bucket
+      FROM orders),
+    sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           floor((avg(n)) * 1e4) / 1e4 AS avg_rows,
+           floor((max(n) * 1.0 / avg(n)) * 1e4) / 1e4 AS skew_ratio
+    FROM sizes
+    """,
+)
+def shuffle_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prospective-shuffle balance audit: assign each row to one of N
+    buckets by a digest of its join key and report bucket-size balance
+    (max/avg = the straggler factor a real shuffle on this key would
+    see). One hash aggregate over (bucket); the digest is sha256 so
+    the oracle reproduces Spark's assignment exactly — production code
+    would use ``hash()`` (murmur) for speed, same distribution."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("o_custkey").cast("string"), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        % _N_BUCKETS
+    )
+    sizes = orders.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        _q(F.avg("n"), 4).alias("avg_rows"),
+        _q(F.max("n") * F.lit(1.0) / F.avg("n"), 4).alias("skew_ratio"),
+    )

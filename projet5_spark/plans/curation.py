@@ -280,3 +280,36 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@query(
+    "inverted_index_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + sorted posting
+    list. One explode + one aggregate keyed on the term; posting lists
+    accumulate as sets map-side (collect_set partial aggregation), so
+    the shuffle carries per-term partial postings, not token instances.
+    At web scale the posting list per shard would be delta-encoded
+    bytes; the sorted CSV form here keeps it oracle-comparable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -459,3 +459,97 @@ def anomaly_zscore_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q("zraw", 4).alias("zscore"),
         )
     )
+
+
+WEIGHTS_EWMA = [0.9**k for k in range(20)]
+_W_SQL = "[" + ", ".join(repr(w) for w in WEIGHTS_EWMA) + "]"
+_W_MICRO = [int(w * 1e6) for w in WEIGHTS_EWMA]  # floor of w·1e6, exact
+_WM_SQL = "[" + ", ".join(str(m) for m in _W_MICRO) + "]"
+
+
+@query(
+    "ewma_event_values",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    j AS (
+      SELECT c.user_id, c.event_id, c.ts, c.value,
+             CAST(floor(({_W_SQL})[c.rn - h.rn + 1] * (h.vc * 1e4)) AS BIGINT) AS term_micro,
+             ({_WM_SQL})[c.rn - h.rn + 1] AS w_micro
+      FROM r c JOIN r h
+        ON c.user_id = h.user_id AND h.rn BETWEEN c.rn - 19 AND c.rn)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           value,
+           floor((sum(term_micro) * 1.0 / sum(w_micro)) * 1e4) / 1e4 AS ewma
+    FROM j GROUP BY user_id, event_id, ts, value
+    """,
+)
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 0.9) of each
+    user's value stream, truncated to the trailing 20 events.
+
+    EWMA's recursion is not frame-expressible, so the bounded form
+    joins each event to its ≤19 predecessors by row-number distance —
+    a constant ≤20× fanout on the user_id shuffle key, NOT a range
+    self-join over time (the fanout is the window length regardless of
+    event density). Exactness: the 20 decay weights are PRE-COMPUTED
+    doubles embedded as identical decimal literals in both engines
+    (runtime pow() differs by 1 ulp between libm and the JVM, which
+    flips floor grids); each weighted term is then a single IEEE
+    multiply of that literal by an exact integer, floored onto a 1e-6
+    grid and summed as BIGINT — bit-identical everywhere."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("vc"),
+        F.row_number().over(w).alias("rn"),
+    )
+    cur = r.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid"),
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cvalue"),
+        F.col("rn").alias("crn"),
+    )
+    hist = r.select(
+        F.col("user_id").alias("hu"), F.col("rn").alias("hrn"), F.col("vc").alias("hvc")
+    )
+    w_arr = F.array(*[F.lit(x) for x in WEIGHTS_EWMA])
+    wm_arr = F.array(*[F.lit(m) for m in _W_MICRO])
+    k1 = (F.col("crn") - F.col("hrn") + 1).cast("int")
+    j = cur.join(
+        hist,
+        (F.col("u") == F.col("hu"))
+        & (F.col("hrn") >= F.col("crn") - 19)
+        & (F.col("hrn") <= F.col("crn")),
+    ).select(
+        "u",
+        "eid",
+        "cts",
+        "cvalue",
+        F.floor(F.element_at(w_arr, k1) * (F.col("hvc") * F.lit(10000)))
+        .cast("long")
+        .alias("term_micro"),
+        F.element_at(wm_arr, k1).cast("long").alias("w_micro"),
+    )
+    return (
+        j.groupBy("u", "eid", "cts", "cvalue")
+        .agg(
+            _q(F.sum("term_micro") * F.lit(1.0) / F.sum("w_micro"), 4).alias("ewma")
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("eid").alias("event_id"),
+            F.date_format("cts", _TS_FMT_SPARK).alias("ts"),
+            F.col("cvalue").alias("value"),
+            "ewma",
+        )
+    )

@@ -297,3 +297,64 @@ def test_ann_signlsh_bucket_join_is_equi(spark):
     — no cross join of queries x corpus anywhere in the plan."""
     plan = plan_of(spark, "embedding_ann_signlsh")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """PII redaction must be a pure map: no shuffle of any kind."""
+    plan = plan_of(spark, "pii_redact_customer_text")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_key_skew_profile_is_take_ordered(spark):
+    """The top-10 heavy keys must come from TakeOrdered (per-partition
+    heaps), never a global sort of the per-key counts."""
+    plan = plan_of(spark, "key_skew_profile_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan
+
+
+def test_rolling_actives_no_range_join(spark):
+    """Trailing-7-day actives uses the bounded day-fanout explode —
+    the plan must contain no non-equi (nested-loop / cartesian) join."""
+    plan = plan_of(spark, "rolling_7d_active_users")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "explode(sequence(" in plan, plan
+
+
+def test_anomaly_zscore_single_window_pass(spark):
+    """Rolling z-score must be one ordered frame pass over user_id —
+    no self-join."""
+    plan = plan_of(spark, "anomaly_zscore_event_values")
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1
+
+
+def test_snapshot_diff_shuffles_digest_not_payload(spark):
+    """The full-outer diff join must carry only (key, 32-byte digest):
+    payload columns stay out of the join schema."""
+    plan = plan_of(spark, "snapshot_diff_orders")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # the digests are computed map-side BELOW the join: the join's own
+    # output carries h_a/h_b, never price/status
+    join_block = plan[plan.index("FullOuter"):]
+    assert "o_totalprice" not in join_block.split("(2)")[0]
+
+
+def test_ewma_fanout_is_equi_join_on_user(spark):
+    """The EWMA predecessor join must hash-shuffle on user_id with the
+    row-number distance as a residual range condition — not a nested
+    loop."""
+    plan = plan_of(spark, "ewma_event_values")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(u" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_bigram_lm_model_tables_are_aggregates(spark):
+    """The LM scoring plan re-joins two vocabulary-sized aggregate
+    tables; there must be no cartesian anywhere."""
+    plan = plan_of(spark, "bigram_lm_doc_score")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
