@@ -540,17 +540,47 @@ def agg_distinct_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@query("approx_distinct_parts")  # no oracle: HLL sketch ≠ DuckDB's sketch
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): at 100 TB the exact
     count-distinct shuffle is the bottleneck; the sketch is one pass, no
-    shuffle of distinct values. Rows-only driver check (sketch values
-    are engine-specific); accuracy is unit-tested against exact counts.
+    shuffle of distinct values.
+
+    The HLL estimate itself is engine-specific, so the hashable contract
+    is the *verdict*, mirroring the ``ann_recall_*`` self-certifying
+    pattern: emit the exact counts plus a boolean ``|est-exact|/exact <
+    0.05`` bound check per column; the oracle emits DuckDB's exact
+    counts with the booleans as literals. A sketch drifting out of its
+    rsd=0.01 tolerance flips the boolean and fails the hash gate.
     """
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+    ).select(
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.05
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.col("_ao") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < 0.05
+        ).alias("orders_within_5pct"),
     )
 
 
