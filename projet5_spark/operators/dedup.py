@@ -76,12 +76,17 @@ def first_seen_dedup_agg(
     two branches must agree.
     """
     payload_cols = [c for c in df.columns if c not in keys and c not in order_cols]
-    if not payload_cols and len(order_cols) == 1:
+    dtypes = dict(df.dtypes)
+    has_float_key = any(dtypes[c] in ("float", "double") for c in keys)
+    if not payload_cols and len(order_cols) == 1 and not has_float_key:
         # full-row dedup: every row in a group IS the key tuple, so
         # min_by(struct) degenerates to min(ordinal). That swaps the
         # sort-based aggregate (struct buffers aren't hash-aggregable)
         # for a pure HashAggregate with map-side partial min — no
-        # per-partition sorts, same shuffle key set.
+        # per-partition sorts, same shuffle key set. Float/double keys
+        # fall through to the min_by(struct) branch: grouping emits the
+        # normalized key (-0.0→0.0, canonical NaN) while min_by emits
+        # the surviving row's stored bytes, and the branches must agree.
         return (
             df.groupBy(*keys)
             .agg(F.min(order_cols[0]).alias(order_cols[0]))
@@ -89,8 +94,6 @@ def first_seen_dedup_agg(
         )
     payload = F.struct(*[F.col(c) for c in df.columns])
     order = F.struct(*[F.col(c) for c in order_cols])
-    dtypes = dict(df.dtypes)
-    has_float_key = any(dtypes[c] in ("float", "double") for c in keys)
     if len(keys) >= 8 and not has_float_key:
         # injective flattening: "N" for NULL, "V<len>:<value>" otherwise
         parts = []

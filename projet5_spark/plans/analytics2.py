@@ -220,12 +220,21 @@ def _pagerank_edges_sql() -> str:
 
 
 def _pagerank_iter_sql(prev: str, out: str) -> str:
-    """One damped PageRank step: out(dst) = 0.15/N + 0.85·Σ prev(src)·p."""
+    """One damped PageRank step: out(dst) = 0.15/N + 0.85·Σ prev(src)·p.
+
+    The rank mass is accumulated on a 10⁻¹² integer micro-grid
+    (``registry.gridsum`` pattern): each pr·p product is floored to a
+    BIGINT before summing, so the sum is associative and independent of
+    partial-aggregation order — a raw double sum here is
+    summation-order-dependent and Spark's combine order never matches
+    DuckDB's. Products are ≤1, edges ≤|N|², so the BIGINT total is
+    bounded by |N|²·10¹² — no overflow at any realistic node count."""
     return f"""
     {out} AS (
       SELECT n.nk, 0.15 / nn.n + 0.85 * coalesce(m.acc, 0.0) AS pr
       FROM nodes n CROSS JOIN nn
-      LEFT JOIN (SELECT p.dst AS nk, sum({prev}.pr * p.p) AS acc
+      LEFT JOIN (SELECT p.dst AS nk,
+                        sum(CAST(floor({prev}.pr * p.p * 1e12) AS BIGINT)) / 1e12 AS acc
                  FROM p JOIN {prev} ON p.src = {prev}.nk
                  GROUP BY p.dst) m ON n.nk = m.nk)
     """
@@ -286,10 +295,21 @@ def pagerank_nation_trade_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()  # bounded: |nations| — a scalar, not a collect of data
     pr = nodes.select("nk", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
     for _ in range(3):
+        # micro-grid accumulation: floor each pr·p product onto a 1e-12
+        # integer grid and sum as BIGINT (order-independent), mirroring
+        # _pagerank_iter_sql — a raw double sum would depend on Spark's
+        # partial-aggregation order and drift from the oracle.
         acc = (
             p.join(pr, p.src == pr.nk)
             .groupBy(F.col("dst").alias("t_nk"))
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("acc"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("pr") * F.col("p") * F.lit(1e12)).cast("long")
+                    )
+                    / F.lit(1e12)
+                ).alias("acc")
+            )
         )
         pr = nodes.join(acc, nodes.nk == acc.t_nk, "left").select(
             "nk",

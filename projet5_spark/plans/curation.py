@@ -230,15 +230,85 @@ _BIGRAMS_SQL = """
 """
 
 
+#: ln(2) as the shortest decimal that round-trips to the nearest double;
+#: both engines' literal parsers round-to-nearest, so they agree bitwise.
+_LN2 = "0.6931471805599453"
+
+_LN_TABLE_SQL = f"""
+    counts AS (SELECT DISTINCT n12 AS k FROM c12
+               UNION SELECT DISTINCT n1 AS k FROM c1),
+    lnt AS (SELECT k,
+                   length(printf('%b', k)) - 1 AS e,
+                   CAST(k AS DOUBLE) / CAST((CAST(1 AS BIGINT) << e) AS DOUBLE) AS m,
+                   (m - 1.0) / (m + 1.0) AS z,
+                   z * z AS z2,
+                   2.0 * (z * (1.0 + z2 * (1.0/3.0 + z2 * (1.0/5.0 + z2 * (1.0/7.0
+                       + z2 * (1.0/9.0 + z2 * (1.0/11.0))))))) AS lnm,
+                   CAST(e AS DOUBLE) * {_LN2} + lnm AS lnk
+            FROM counts)
+"""
+
+
+def _ln_det_table(counts: DataFrame) -> DataFrame:
+    """Deterministic natural log over positive integers ``k`` — the
+    Spark twin of ``_LN_TABLE_SQL``.
+
+    JVM ``Math.log`` (≤1 ulp) and DuckDB's libm ``ln`` (~0.5 ulp) are
+    not bit-identical, so a gridded score built on the engines' own
+    ``ln`` can flip a floor boundary cross-engine. Instead both engines
+    evaluate the *same* finite IEEE-754 expression: range-reduce
+    ``k = m·2^e`` with ``e`` from the integer's bit length (exact, no
+    transcendental), then ``ln(m) = 2·atanh(z)``, ``z=(m-1)/(m+1)``,
+    as a 6-term Horner polynomial. Every op is a single IEEE add/mul/
+    div — deterministic on any engine — so the outputs are bit-equal by
+    construction (max truncation error vs true ln ≈ 1e-7, fine for a
+    quality score). Evaluated once per distinct count value (a tiny,
+    broadcastable table), not per bigram instance."""
+    third, fifth, seventh, ninth, eleventh = (
+        1.0 / 3.0,
+        1.0 / 5.0,
+        1.0 / 7.0,
+        1.0 / 9.0,
+        1.0 / 11.0,
+    )
+    z, z2 = F.col("z"), F.col("z2")
+    horner = F.lit(1.0) + z2 * (
+        F.lit(third)
+        + z2
+        * (
+            F.lit(fifth)
+            + z2 * (F.lit(seventh) + z2 * (F.lit(ninth) + z2 * F.lit(eleventh)))
+        )
+    )
+    return (
+        counts.withColumn("e", F.length(F.bin("k")) - F.lit(1))
+        .withColumn(
+            "m",
+            F.col("k").cast("double")
+            / F.expr("cast(shiftleft(cast(1 as bigint), e) as double)"),
+        )
+        .withColumn("z", (F.col("m") - F.lit(1.0)) / (F.col("m") + F.lit(1.0)))
+        .withColumn("z2", z * z)
+        .withColumn("lnm", F.lit(2.0) * (z * horner))
+        .withColumn(
+            "lnk", F.col("e").cast("double") * F.lit(float(_LN2)) + F.col("lnm")
+        )
+        .select("k", "lnk")
+    )
+
+
 @query(
     "bigram_lm_doc_score",
     oracle=f"""
     WITH {_BIGRAMS_SQL},
+    {_LN_TABLE_SQL},
     scored AS (
       SELECT b.doc_id,
-             CAST(floor(ln(c12.n12 * 1.0 / c1.n1) * 1e6) AS BIGINT) AS nll_micro
+             CAST(floor((l12.lnk - l1.lnk) * 1e6) AS BIGINT) AS nll_micro
       FROM big b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-                 JOIN c1 ON b.w1 = c1.w1)
+                 JOIN c1 ON b.w1 = c1.w1
+                 JOIN lnt l12 ON c12.n12 = l12.k
+                 JOIN lnt l1 ON c1.n1 = l1.k)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            floor((sum(nll_micro) * 1.0 / (1e6 * count(*))) * 1e4) / 1e4 AS avg_logprob
@@ -252,10 +322,13 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The model tables are vocabulary-sized aggregates; the scoring pass
     re-streams the corpus bigrams and joins the (small) model tables —
-    broadcast-able at scale. Each log term is floored onto a 1e-6 grid
-    and summed as BIGINT (``registry.gridsum`` pattern) so the per-doc
-    mean is independent of Spark's partial-aggregation order and
-    matches DuckDB bit-for-bit."""
+    broadcast-able at scale. ``ln(P) = ln(n12) - ln(n1)`` comes from
+    :func:`_ln_det_table` (deterministic fixed-expression log, bit-equal
+    across engines — the engines' own ``ln`` differ by ulps and can flip
+    a grid floor); each term is floored onto a 1e-6 grid and summed as
+    BIGINT (``registry.gridsum`` pattern) so the per-doc mean is
+    independent of Spark's partial-aggregation order and matches DuckDB
+    bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     tk = F.split(F.col("text"), " ")
     pairs = F.zip_with(
@@ -266,13 +339,29 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = docs.select("doc_id", F.inline(pairs))
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    nll_micro = F.floor(
-        F.log(F.col("n12") * F.lit(1.0) / F.col("n1")) * 1e6
-    ).cast("long")
+    counts = (
+        c12.select(F.col("n12").alias("k"))
+        .union(c1.select(F.col("n1").alias("k")))
+        .distinct()
+    )
+    lnt = _ln_det_table(counts)
     scored = (
         big.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
-        .select("doc_id", nll_micro.alias("nll_micro"))
+        .join(
+            F.broadcast(lnt.select(F.col("k").alias("n12"), F.col("lnk").alias("lnk12"))),
+            "n12",
+        )
+        .join(
+            F.broadcast(lnt.select(F.col("k").alias("n1"), F.col("lnk").alias("lnk1"))),
+            "n1",
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("lnk12") - F.col("lnk1")) * F.lit(1e6))
+            .cast("long")
+            .alias("nll_micro"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

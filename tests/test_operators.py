@@ -771,6 +771,25 @@ def test_first_seen_dedup_agg_float_keys_use_raw_grouping(spark):
     assert first_seen_dedup_agg(df, cols[:8], ["ord"]).count() == 1
 
 
+def test_first_seen_dedup_agg_full_row_float_key_emits_stored_bytes(spark):
+    """Full-row dedup with a float key must emit the surviving row's
+    stored value, not the groupBy-normalized key (-0.0 → 0.0): the
+    min(ordinal) fast path may only fire for float-free key sets."""
+    import math
+    import struct as pystruct
+
+    from projet5_spark.operators.dedup import first_seen_dedup_agg
+
+    rows = [(-0.0, 1), (-0.0, 2), (1.5, 3)]
+    df = spark.createDataFrame(rows, ["f", "ord"])
+    out = first_seen_dedup_agg(df, ["f"], ["ord"]).collect()
+    got = {r["ord"]: r["f"] for r in out}
+    assert set(got) == {1, 3}
+    # -0.0 must survive as -0.0 (same bytes), not be normalized to +0.0
+    assert math.copysign(1.0, got[1]) == -1.0
+    assert pystruct.pack("d", got[1]) == pystruct.pack("d", -0.0)
+
+
 def test_asof_join_null_ts_and_null_key_never_match(spark):
     """SQL predicate semantics: a right row with NULL ts or NULL key
     can never be the as-of match, and NULL-key left rows match
