@@ -28,6 +28,30 @@ def surrogate_key(*cols: Column | str, bits: int = 256) -> Column:
     return F.sha2(F.concat_ws(_SEP, *[c.cast("string") for c in cs]), bits)
 
 
+def tuple_digest(*cols: Column | str) -> Column:
+    """Injective, never-NULL 32-byte digest of a column tuple — a join
+    key that makes single-column equality equivalent to null-safe
+    tuple equality.
+
+    Unlike :func:`surrogate_key`, NULL is distinguishable from any
+    string value: each field is encoded ``N`` for NULL or
+    ``V<len>:<value>`` otherwise (length prefix prevents separator
+    injection), then sha2-256'd. Collision odds ~2⁻¹²⁸. Use it to
+    replace a wide multi-column ``eqNullSafe`` conjunction with one
+    32-byte hash-join key — smaller broadcast hash table, one
+    comparison per probe.
+    """
+    parts = []
+    for c in cols:
+        s = (F.col(c) if isinstance(c, str) else c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.sha2(F.concat(*parts), 256)
+
+
 def surrogate_key64(*cols: Column | str) -> Column:
     """64-bit variant (``xxhash64``) — cheaper joins/shuffles when the
     keyspace is small enough that 64-bit collision odds are acceptable."""

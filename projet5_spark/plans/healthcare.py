@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dates import parse_date
-from ..functions.keys import surrogate_key
+from ..functions.keys import surrogate_key, tuple_digest
 from ..functions.strings import normalize_name
 from ..operators.dedup import first_seen_dedup, first_seen_dedup_agg
 from ..sources.readers import normalize_columns
@@ -109,18 +109,20 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     )
 
     # R12 FK attach — broadcast of the (raw key → patient_id) map; the
-    # fact side never evaluates the normalizer. Null-safe equality so a
-    # NULL natural-key component still routes to its (NULL-keyed) id,
-    # matching the pure-function-per-row semantics.
+    # fact side never evaluates the normalizer. Both sides join on one
+    # injective 32-byte digest of the raw tuple (tuple_digest encodes
+    # NULL distinctly, so plain equality ≡ the 4-column null-safe
+    # conjunction this replaces): the broadcast hash table keys on 32
+    # bytes instead of four string/int comparisons per probe, and the
+    # map is still 1:1 because dim_raw is distinct on the raw tuple.
     key_map = dim_norm.select(
-        *[f"__raw_{c}" for c in PATIENT_KEY], "patient_id"
+        tuple_digest(*[f"__raw_{c}" for c in PATIENT_KEY]).alias("__pk"),
+        "patient_id",
     )
-    cond = None
-    for c in PATIENT_KEY:
-        e = typed[c].eqNullSafe(key_map[f"__raw_{c}"])
-        cond = e if cond is None else (cond & e)
-    fact = typed.join(F.broadcast(key_map), cond).drop(
-        *[f"__raw_{c}" for c in PATIENT_KEY]
+    fact = (
+        typed.withColumn("__pk", tuple_digest(*PATIENT_KEY))
+        .join(F.broadcast(key_map), "__pk")
+        .drop("__pk")
     )
 
     # R13 first-seen-wins admission dedup (:200-202) — deterministic via

@@ -100,7 +100,7 @@ def shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
     sf0.1; the shuffle amortizes because every consumer (sizes, pair
     join) needs doc_id-keyed rows anyway.
     """
-    toks = _spread(spark, docs).select(
+    toks = _spread(spark, docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -370,7 +370,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = docs.select("doc_id", _shingles(_toks()).alias("sh")).where(
         F.size("sh") >= 1
     )
@@ -501,7 +501,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact ``bit_count`` hamming ≤ 3. Deterministic
     (xxhash64 token hashes, fixed block layout).
     """
-    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     # localCheckpoint: both sides of the banded self-join read the
     # signatures — without materialization the explode+agg pipeline
     # runs twice (2× wall-clock measured), and the checkpoint also
@@ -904,7 +904,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapping in PIL/ffmpeg for more formats changes only
     ``decode_payload``, not the plan.
     """
-    docs = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batch(it):
         # absolute import: the closure executes on executor workers
@@ -1082,10 +1082,13 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     column in pure expressions. One doc_id-keyed shuffle total; ratios
     are integer-over-integer doubles, engine-identical.
     """
-    # _spread: the bigram HOFs below are interpreted per-row compute —
-    # on the single-split fixture they run one-core without the fan-out
-    # (profiled 3.7 s of a 2.6 s wall on one task at sf0.1)
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # No _spread here: the round-robin fan-out shuffled every document
+    # body before the first transform and measured *slower* than the
+    # straight scan at sf0.1 (0.95 s vs 0.55 s steady-state, and the
+    # full-column exchange also defeated parquet column pruning). The
+    # token path parallelizes through the groupBy shuffle regardless,
+    # and a real table has thousands of splits for the bigram HOFs.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
