@@ -239,3 +239,111 @@ def shuffle_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q(F.avg("n"), 4).alias("avg_rows"),
         _q(F.max("n") * F.lit(1.0) / F.avg("n"), 4).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD-2 merge, driver-visible
+# --------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_scd2_history",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             o_orderstatus AS status,
+             CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS price_cents,
+             o_orderdate AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    v1 AS (SELECT o_custkey, status, price_cents, d FROM ranked WHERE rn = 1),
+    v2 AS (SELECT o_custkey, status, price_cents, d FROM ranked WHERE rn = 2),
+    chg AS (
+      SELECT v1.o_custkey,
+             v1.status AS s1, v1.price_cents AS p1, v1.d AS d1,
+             v2.status AS s2, v2.price_cents AS p2, v2.d AS d2
+      FROM v1 JOIN v2 ON v1.o_custkey = v2.o_custkey
+      WHERE (v1.status <> v2.status OR v1.price_cents <> v2.price_cents)
+        AND v2.d > v1.d)
+    SELECT o_custkey, s1 AS status, p1 AS price_cents,
+           CAST(CAST(d1 AS DATE) AS VARCHAR) AS valid_from,
+           CAST(CAST(d2 AS DATE) AS VARCHAR) AS valid_to,
+           FALSE AS is_current
+    FROM chg
+    UNION ALL
+    SELECT o_custkey, s2 AS status, p2 AS price_cents,
+           CAST(CAST(d2 AS DATE) AS VARCHAR) AS valid_from,
+           '9999-12-31' AS valid_to,
+           TRUE AS is_current
+    FROM chg
+    UNION ALL
+    SELECT v1.o_custkey, v1.status, v1.price_cents,
+           CAST(CAST(v1.d AS DATE) AS VARCHAR) AS valid_from,
+           '9999-12-31' AS valid_to,
+           TRUE AS is_current
+    FROM v1
+    WHERE v1.o_custkey NOT IN (SELECT o_custkey FROM chg)
+    """,
+)
+def snapshot_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 MERGE exercised end-to-end through the real writer
+    (``sources.writers.scd2_upsert``), hash-checked by the driver — the
+    batch analog of the streaming ``foreachBatch`` SCD-2 sink test.
+
+    A deterministic two-batch CDC feed is derived from ``orders``: each
+    customer's first order (by orderdate, orderkey) is the version-0
+    dimension row, the second order is the change batch. The writer's
+    three branches all fire on real data: changed-and-newer keys close
+    out and re-insert, same-date arrivals hit the out-of-order guard,
+    identical-content arrivals hit the idempotence guard, and
+    single-order customers stay untouched. The oracle re-derives the
+    final history table purely in SQL from the same MERGE semantics.
+
+    The parquet round-trip goes through the writer's crash-safe
+    two-rename swap into a scratch dir (wiped per call) — at scale this
+    is the nightly dimension-maintenance job against the real table.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..sources.writers import scd2_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    shaped = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .drop("o_orderkey")
+    )
+    base = shaped.where(F.col("rn") == 1).drop("rn")
+    cdc = shaped.where(F.col("rn") == 2).drop("rn")
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, "spark-warehouse", f"scd2_history_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_upsert(spark, base, path, ["o_custkey"], "ts")
+    scd2_upsert(spark, cdc, path, ["o_custkey"], "ts")
+    hist = spark.read.parquet(path)
+    return hist.select(
+        "o_custkey",
+        "status",
+        "price_cents",
+        F.col("__valid_from").cast("date").cast("string").alias("valid_from"),
+        F.col("__valid_to").cast("date").cast("string").alias("valid_to"),
+        F.col("__current").alias("is_current"),
+    )
