@@ -193,21 +193,30 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-norm vectors are excluded up front on both engines (their
     NULL-vs-NaN sims would order differently). Recall vs brute force is
     additionally a driver-checked metric (ann_recall_ivf_at5)."""
-    from ..functions.vectors import cosine_similarity, l2_norm
+    from ..functions.vectors import l2_norm
 
     emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    # cell assignment: argmax cosine over the 16 centroids
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            cosine_similarity("embedding", "cent_emb").alias("csim"),
-        )
+    return _ivf_search(emb, cents, nprobe=2)
+
+
+def _ivf_search(emb: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Shared IVF search: broadcast-assign every vector to its argmax-
+    cosine centroid cell, probe each query's ``nprobe`` nearest cells
+    via an equi-join on cell id, rank candidates by raw cosine.
+
+    The scale shape: the centroid table broadcasts, cell assignment is
+    a map-only argmax over |cents| dot products, and the candidate join
+    never cross-joins corpus against queries."""
+    from ..functions.vectors import cosine_similarity
+
+    assigned = emb.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine_similarity("embedding", "cent_emb").alias("csim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     # rank once; both branches derive from the same frame. (Exchange
@@ -220,9 +229,8 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ranked.where(F.col("rk") == 1).select(
         "vec_id", "embedding", F.col("cent_id").alias("cell")
     )
-    # queries probe their 2 nearest cells
     probes = (
-        ranked.where((F.col("vec_id") < 5) & (F.col("rk") <= 2))
+        ranked.where((F.col("vec_id") < 5) & (F.col("rk") <= nprobe))
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
                 F.col("cent_id").alias("cell"))
     )
@@ -317,6 +325,101 @@ def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-check, not just row-count."""
     ivf5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
     return _recall_at5(spark, sf_dir, ivf5)
+
+
+_KMEANS_K = 16
+_KMEANS_NPROBE = 4
+#: recall floor for the KMeans gate: probing nprobe/k = 4/16 = 25% of a
+#: structureless corpus at random would expect 25·0.25 ≈ 6 hits; the
+#: trained index must clear 10 (measured 13/25 at sf0.01, 1.6× random).
+_KMEANS_MIN_HITS = 10
+
+
+def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Production centroid path: seeded ``pyspark.ml`` KMeans over the
+    L2-normalized corpus (unit vectors make Euclidean argmin ≡ cosine
+    argmax, so the trained centers slot into the same cosine-assignment
+    search as the proxy centroids).
+
+    The only driver-side materialization is ``clusterCenters()`` — k
+    vectors, a constant — re-broadcast as the centroid table. At 100 TB
+    the fit runs on a sample (KMeans cost is per-point × iterations);
+    the search path is unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import l2_norm
+
+    unit = emb.select(
+        F.transform(
+            "embedding", lambda x: x.cast("double") / l2_norm("embedding")
+        ).alias("unit")
+    )
+    model = KMeans(k=_KMEANS_K, seed=42, maxIter=20).fit(
+        unit.select(array_to_vector("unit").alias("features"))
+    )
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
+        "cent_id int, cent_emb array<double>",
+    )
+
+
+@query("embedding_ann_ivf_kmeans")  # no oracle: trained centroids are engine-specific
+def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with *trained* centroids (seeded KMeans) instead of the
+    deterministic proxy set — the production 100 TB path, where
+    centroid quality, not the search shape, decides recall. Rows-only
+    driver check (an oracle can't retrain the model); accuracy is
+    driver-gated via ``ann_recall_ivf_kmeans_at5``."""
+    from ..functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    return _ivf_search(emb, _kmeans_centroids(spark, emb), nprobe=_KMEANS_NPROBE)
+
+
+@query(
+    "ann_recall_ivf_kmeans_at5",
+    oracle=f"""
+    WITH proxy AS ({_recall_oracle(_ivf_oracle(), "ivf_out")})
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hits) AS BIGINT) AS proxy_total_hits,
+           TRUE AS kmeans_hits_ge_floor
+    FROM proxy
+    """,
+)
+def ann_recall_ivf_kmeans_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable quality gate for the trained-centroid ANN,
+    using the self-certifying verdict pattern (``approx_distinct_parts``):
+    the KMeans index's recall total is engine-specific, so the hashable
+    contract is the boolean ``kmeans_total_hits ≥ {_KMEANS_MIN_HITS}``
+    next to the (fully SQL-reproducible) proxy recall total.
+
+    Why not "kmeans ≥ proxy" (the obvious gate): the proxy centroid set
+    *contains the five query vectors themselves*, so each query's true
+    neighbors — which on this synthetic, structureless corpus (mean
+    pairwise cosine ≈ 0) correlate with the query far more than with
+    any other centroid — collapse into the query's own cell. That
+    self-probing bias makes the proxy a near-oracle on the fixture
+    (23/25 at sf0.01) that no honestly-trained index can match probing
+    25% of cells. The floor instead certifies the trained index beats
+    the random-probe baseline by a wide margin (see _KMEANS_MIN_HITS).
+
+    Integer hit totals only — no float averaging — so both engines'
+    values are exact and order-independent."""
+    kmeans5 = embedding_ann_ivf_kmeans(spark, sf_dir).select("q_id", "vec_id")
+    km = _recall_at5(spark, sf_dir, kmeans5).agg(
+        F.sum("n_hits").cast("long").alias("km_hits")
+    )
+    ivf5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id")
+    proxy = _recall_at5(spark, sf_dir, ivf5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("proxy_total_hits"),
+    )
+    return proxy.join(km).select(
+        "n_queries",
+        "proxy_total_hits",
+        (F.col("km_hits") >= F.lit(_KMEANS_MIN_HITS)).alias("kmeans_hits_ge_floor"),
+    )
 
 
 def _signlsh_oracle() -> str:
