@@ -103,10 +103,20 @@ HEADLINE = [
     "shuffle_balance_profile",
     "ewma_event_values",
     "inverted_index_terms",
+    "approx_distinct_parts",
+    "snapshot_scd2_history",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
-    # not a single-plan throughput path
+    # not a single-plan throughput path; embedding_ann_ivf_kmeans
+    # excluded with the other ML-fit queries (recall baseline, not a
+    # throughput path)
 ]
+
+#: Ambient-load sentinel: q01 timed in isolation at the start and end
+#: of the run. BASELINE.md §5.1 documents ±20-30% box-noise drift
+#: between rounds; the sentinel pins each refresh's ambient level so
+#: cross-round comparisons can normalize instead of hand-waving.
+SENTINEL = "q01_pricing_summary"
 
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
@@ -137,8 +147,10 @@ def main() -> None:
     # reference-format wall-clock/stage/shuffle banner, stdout stays
     # the single JSON contract line
     with run_logged(spark, "bench"):
+        sentinel_start = round(time_query(spark, SENTINEL, sf_dir), 4)
         for name in HEADLINE:
             queries[name] = round(time_query(spark, name, sf_dir), 4)
+        sentinel_end = round(time_query(spark, SENTINEL, sf_dir), 4)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "RUNSTATS.json"), "w") as f:
@@ -153,6 +165,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "sentinel_q01_start_sec": sentinel_start,
+                "sentinel_q01_end_sec": sentinel_end,
             }
         )
     )

@@ -8,13 +8,14 @@ Scale design notes:
   throughput. Patterns live in ONE place and are written in the
   Java-regex ∩ RE2 common dialect so the DuckDB oracle runs them
   verbatim.
-- **Boilerplate removal** shuffles line *content* only to count
-  line→document frequencies; the rebuild joins each exploded line
-  against the frequency table on the line value. At corpus scale the
-  join key should be a line digest (32 B) rather than the line text —
-  same pattern as ``operators.dedup.exact_text_dedup``; the fixture
-  lines here are two tokens, shorter than a digest, so the raw value
-  IS the compact key.
+- **Boilerplate removal** counts line→document frequencies keyed on a
+  16-byte truncated sha-256 line digest — same pattern as
+  ``operators.dedup.exact_text_dedup`` — so the frequency shuffle and
+  the rebuild join carry a fixed-width key regardless of line length;
+  the line body rides only the exploded side that already needs it for
+  reassembly. (128-bit digest: birthday bound ~2⁶⁴ distinct lines,
+  beyond any corpus; a 64-bit hash would start colliding at
+  real-corpus line counts and silently merge frequencies.)
 - **Bigram LM**: two hash aggregates over (w1, w2) / (w1) — vocabulary-
   sized, orders of magnitude smaller than the corpus — then a map-side
   probability lookup joined back to the per-document bigram stream.
@@ -181,17 +182,23 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are stripped everywhere; each document is reassembled
     from its surviving lines in original order.
 
-    Shape: explode → line-frequency aggregate (line-content key, tiny
-    vs the corpus) → join back → ordered re-aggregation per doc_id.
-    The re-join uses the line value as the key; at real corpus scale
-    substitute a 32-byte digest (see module notes)."""
+    Shape: explode → line-frequency aggregate → join back → ordered
+    re-aggregation per doc_id. Frequency grouping and the re-join key
+    on a 16-byte binary digest of the line, not the line text (see
+    module notes) — digest grouping partitions lines identically to
+    value grouping short of a 128-bit collision, and the oracle's
+    line-keyed SQL stays byte-equal."""
     docs = _t(spark, sf_dir, "documents")
-    lines = _doc_lines(docs)
-    freq = lines.groupBy("line").agg(
+    # 16-byte truncated sha-256: birthday-safe to ~2⁶⁴ distinct lines
+    # (beyond any corpus) at half the key width of the full digest
+    lines = _doc_lines(docs).withColumn(
+        "lh", F.unhex(F.substring(F.sha2(F.col("line"), 256), 1, 32))
+    )
+    freq = lines.groupBy("lh").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
     kept = (
-        lines.join(freq, "line")
+        lines.join(freq, "lh")
         .where(F.col("ndocs") < _BOILER_MIN_DOCS)
         .select("doc_id", "i", "line")
     )
@@ -302,13 +309,15 @@ def _ln_det_table(counts: DataFrame) -> DataFrame:
     oracle=f"""
     WITH {_BIGRAMS_SQL},
     {_LN_TABLE_SQL},
-    scored AS (
-      SELECT b.doc_id,
+    model AS (
+      SELECT c12.w1, c12.w2,
              CAST(floor((l12.lnk - l1.lnk) * 1e6) AS BIGINT) AS nll_micro
-      FROM big b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-                 JOIN c1 ON b.w1 = c1.w1
-                 JOIN lnt l12 ON c12.n12 = l12.k
-                 JOIN lnt l1 ON c1.n1 = l1.k)
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+               JOIN lnt l12 ON c12.n12 = l12.k
+               JOIN lnt l1 ON c1.n1 = l1.k),
+    scored AS (
+      SELECT b.doc_id, m.nll_micro
+      FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            floor((sum(nll_micro) * 1.0 / (1e6 * count(*))) * 1e4) / 1e4 AS avg_logprob
@@ -345,9 +354,12 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     lnt = _ln_det_table(counts)
-    scored = (
-        big.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+    # fold counts + logs into one vocabulary-scale model table first, so
+    # the (corpus-scale) bigram stream pays a single broadcast join —
+    # the c1/lnt lookups happen once per distinct bigram, not per
+    # bigram instance
+    model = (
+        c12.join(c1, "w1")
         .join(
             F.broadcast(lnt.select(F.col("k").alias("n12"), F.col("lnk").alias("lnk12"))),
             "n12",
@@ -357,12 +369,14 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
         )
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.floor((F.col("lnk12") - F.col("lnk1")) * F.lit(1e6))
             .cast("long")
             .alias("nll_micro"),
         )
     )
+    scored = big.join(F.broadcast(model), ["w1", "w2"]).select("doc_id", "nll_micro")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         _q(F.sum("nll_micro") * F.lit(1.0) / (F.lit(1e6) * F.count(F.lit(1))), 4).alias(

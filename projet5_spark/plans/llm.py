@@ -1082,13 +1082,13 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     column in pure expressions. One doc_id-keyed shuffle total; ratios
     are integer-over-integer doubles, engine-identical.
     """
-    # No _spread here: the round-robin fan-out shuffled every document
-    # body before the first transform and measured *slower* than the
-    # straight scan at sf0.1 (0.95 s vs 0.55 s steady-state, and the
-    # full-column exchange also defeated parquet column pruning). The
-    # token path parallelizes through the groupBy shuffle regardless,
-    # and a real table has thousands of splits for the bigram HOFs.
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread AFTER projecting to (doc_id, text): the interpreted bigram
+    # HOFs below are per-row compute that runs one-core on the
+    # single-split fixture without the fan-out. The round-4 regression
+    # came from spreading the full 5-column rows (defeating column
+    # pruning); noop-sink medians at sf0.1: full-row spread ~2.3 s,
+    # no spread ~2.8 s (serial HOFs), projected spread ~0.8 s.
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
