@@ -105,6 +105,12 @@ HEADLINE = [
     "inverted_index_terms",
     "approx_distinct_parts",
     "snapshot_scd2_history",
+    "triangle_count_trade_graph",
+    "quantile_sketch_verdict_prices",
+    "er_blocking_match_stats",
+    "bpe_first_merge_pairs",
+    "events_resample_interpolate",
+    "stratified_sample_orders",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -23,5 +23,6 @@ from . import events  # noqa: E402,F401
 from . import splits  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
+from . import analytics3  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
