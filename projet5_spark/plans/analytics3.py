@@ -100,8 +100,14 @@ def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.greatest(F.col("c_nationkey"), F.col("s_nationkey"))
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supp.s_suppkey,
+        )
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
