@@ -358,3 +358,116 @@ def test_bigram_lm_model_tables_are_aggregates(spark):
     plan = plan_of(spark, "bigram_lm_doc_score")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_stratified_sample_is_map_only_and_deterministic(spark):
+    """Digest-based stratified sampling must be a pure map (no shuffle)
+    and return the identical row set on re-run."""
+    plan = plan_of(spark, "stratified_sample_orders")
+    assert "Exchange" not in plan, plan
+    a = {r["o_orderkey"] for r in QUERIES["stratified_sample_orders"](spark, SF).collect()}
+    b = {r["o_orderkey"] for r in QUERIES["stratified_sample_orders"](spark, SF).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_triangle_count_matches_naive_enumeration(spark):
+    """Triangle count from the ordered join must equal a driver-side
+    naive enumeration over the (tiny) collected edge list."""
+    from itertools import combinations
+
+    from projet5_spark.plans.analytics3 import triangle_count_trade_graph
+
+    row = triangle_count_trade_graph(spark, SF).collect()[0]
+    # rebuild edges exactly as the query does, then count naively
+    from pyspark.sql import functions as F
+    from projet5_spark.sources.readers import fixture_table
+
+    li = fixture_table(spark, SF, "lineitem")
+    orders = fixture_table(spark, SF, "orders")
+    cust = fixture_table(spark, SF, "customer")
+    supp = fixture_table(spark, SF, "supplier")
+    edges = {
+        (r["a"], r["b"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    naive = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert row["n_triangles"] == naive
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(nodes)
+
+
+def test_er_blocking_finds_every_planted_variant(spark):
+    """Each planted variant (custkey ≡ 7 mod 10, last char dropped) is
+    edit-distance 1 from its source and shares its block, so total
+    matches must be at least the planted count."""
+    from pyspark.sql import functions as F
+
+    from projet5_spark.plans.analytics3 import er_blocking_match_stats
+    from projet5_spark.sources.readers import fixture_table
+
+    planted = (
+        fixture_table(spark, SF, "customer")
+        .where(F.col("c_custkey") % 10 == 7)
+        .count()
+    )
+    stats = er_blocking_match_stats(spark, SF)
+    total_matches = stats.agg(F.sum("n_matches")).collect()[0][0]
+    assert total_matches >= planted > 0
+
+
+def test_quantile_and_distinct_verdicts_hold(spark):
+    """The self-certifying sketch verdicts must be True at fixture
+    scale — if a sketch drifts out of tolerance this fails before the
+    driver's hash gate does."""
+    from projet5_spark.plans.analytics3 import quantile_sketch_verdict_prices
+    from projet5_spark.plans.relational import approx_distinct_parts
+
+    q = quantile_sketch_verdict_prices(spark, SF).collect()[0]
+    assert q["p50_within_2pct"] and q["p95_within_2pct"]
+    a = approx_distinct_parts(spark, SF).collect()[0]
+    assert a["parts_within_5pct"] and a["orders_within_5pct"]
+
+
+def test_resample_interpolation_brackets_and_fills(spark):
+    """Every interpolated (unobserved) hour lies within [min, max] of
+    the bracketing observed values per series, and the dense grid has
+    exactly span x n_series rows."""
+    from projet5_spark.plans.analytics3 import events_resample_interpolate
+
+    rows = events_resample_interpolate(spark, SF).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    spans = {len(v) for v in by_type.values()}
+    assert len(spans) == 1  # identical dense span per series
+    for series in by_type.values():
+        series.sort(key=lambda r: r["h"])
+        obs = [(i, r["value_interp"]) for i, r in enumerate(series) if r["observed"]]
+        assert obs, "each series must have at least one observed hour"
+        for i, r in enumerate(series):
+            if r["observed"]:
+                continue
+            prev = [(j, v) for j, v in obs if j < i]
+            nxt = [(j, v) for j, v in obs if j > i]
+            lo_hi = []
+            if prev:
+                lo_hi.append(prev[-1][1])
+            if nxt:
+                lo_hi.append(nxt[0][1])
+            lo, hi = min(lo_hi), max(lo_hi)
+            # 1e-4 floor grid can dip marginally below the bracket
+            assert lo - 1e-4 <= r["value_interp"] <= hi + 1e-4
