@@ -111,6 +111,8 @@ HEADLINE = [
     "bpe_first_merge_pairs",
     "events_resample_interpolate",
     "stratified_sample_orders",
+    "weighted_sample_orders_aes",
+    "incremental_agg_merge_orders",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

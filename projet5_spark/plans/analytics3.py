@@ -485,3 +485,144 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select("o_orderkey", "o_orderstatus", b.alias("b"), rate.alias("r")).where(
         F.col("b") < F.col("r")
     ).select("o_orderkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling (A-ES) and incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+
+def _weighted_sample_oracle() -> str:
+    from ..functions.detmath import LN2, ln_det_int_sql
+
+    lnk = ln_det_int_sql("bp1")
+    return f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS weight_cents,
+             CAST(CAST(('0x' || substring(sha256(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                       AS UBIGINT) AS BIGINT) + 1 AS bp1
+      FROM orders),
+    scored AS (
+      SELECT o_orderkey, o_orderstatus, weight_cents,
+             CAST(floor((({lnk} - 32.0 * CAST({LN2} AS DOUBLE))
+                         / (weight_cents / 1e2)) * 1e12) AS BIGINT) AS key_pico
+      FROM keyed)
+    SELECT o_orderkey, o_orderstatus, weight_cents, key_pico,
+           CAST(row_number() OVER (ORDER BY key_pico DESC, o_orderkey) AS BIGINT) AS rk
+    FROM scored
+    ORDER BY rk LIMIT 20
+    """
+
+
+@query("weighted_sample_orders_aes", oracle=_weighted_sample_oracle())
+def weighted_sample_orders_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row gets key ln(u)/w for u uniform in (0,1], and the k largest
+    keys are the sample — rows are chosen with probability proportional
+    to their weight (order value here).
+
+    Fully deterministic and engine-invariant: u = (digest-bucket+1)/2³²
+    comes from sha-256 of the key (no RNG state, identical on re-run),
+    and ln uses the fixed-expression integer log (``functions.detmath``)
+    — ln(u) = ln(b+1) − 32·ln 2 — so both engines rank identical
+    doubles. One map pass + a top-k (TakeOrdered, per-partition heaps —
+    no global sort); the classic distributed weighted-reservoir shape.
+    """
+    from ..functions.detmath import LN2, ln_det_int
+
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("weight_cents"),
+        (
+            F.conv(
+                F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ).alias("bp1"),
+    )
+    scored = keyed.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "weight_cents",
+        F.floor(
+            (
+                (ln_det_int("bp1") - F.lit(32.0) * F.lit(float(LN2)))
+                / (F.col("weight_cents") / F.lit(1e2))
+            )
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("key_pico"),
+    )
+    w = Window.orderBy(F.desc("key_pico"), F.asc("o_orderkey"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+        .orderBy("rk")
+    )
+
+
+_INC_CUTOFF = "1998-01-01"
+
+
+@query(
+    "incremental_agg_merge_orders",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-customer
+    order rollup is computed as base-aggregate (orders before
+    {_INC_CUTOFF}) merged with a delta-aggregate (orders on/after), via
+    a full-outer join summing the partials — never re-aggregating the
+    base. The oracle computes the DIRECT full aggregate, so the hash
+    gate certifies the maintenance algebra: merge(agg(base), agg(delta))
+    ≡ agg(base ∪ delta).
+
+    This is the nightly-refresh shape for a 100 TB rollup: the delta
+    side is day-sized, the base side is the stored MV, and the merge
+    shuffles only aggregate rows (one per key), not facts. Counts and
+    integer-cent sums are the mergeable-partial form; avg/quantiles
+    would store (sum, count) / sketches the same way."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+
+    base = rollup(orders.where(F.col("o_orderdate") < _INC_CUTOFF))
+    delta = rollup(orders.where(F.col("o_orderdate") >= _INC_CUTOFF))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("b.total_cents"), F.lit(0))
+                + F.coalesce(F.col("d.total_cents"), F.lit(0))
+            )
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
