@@ -104,7 +104,6 @@ HEADLINE = [
     "ewma_event_values",
     "inverted_index_terms",
     "approx_distinct_parts",
-    "snapshot_scd2_history",
     "triangle_count_trade_graph",
     "quantile_sketch_verdict_prices",
     "er_blocking_match_stats",
@@ -117,7 +116,8 @@ HEADLINE = [
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans
     # excluded with the other ML-fit queries (recall baseline, not a
-    # throughput path)
+    # throughput path); snapshot_scd2_history excluded for the same
+    # multi-action reason (two eager merge writes + a read per call)
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end
