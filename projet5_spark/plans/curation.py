@@ -188,19 +188,27 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     module notes) — digest grouping partitions lines identically to
     value grouping short of a 128-bit collision, and the oracle's
     line-keyed SQL stays byte-equal."""
-    docs = _t(spark, sf_dir, "documents")
+    from .llm import _spread
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     # 16-byte truncated sha-256: birthday-safe to ~2⁶⁴ distinct lines
     # (beyond any corpus) at half the key width of the full digest
     lines = _doc_lines(docs).withColumn(
         "lh", F.unhex(F.substring(F.sha2(F.col("line"), 256), 1, 32))
     )
-    freq = lines.groupBy("lh").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    # Only lines CROSSING the threshold matter to the rebuild, and
+    # boilerplate is by definition rare relative to the corpus — so
+    # instead of re-joining every line against the full frequency
+    # table (a second corpus-scale shuffle), anti-join the line stream
+    # against the small boilerplate-digest set, which broadcasts.
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= _BOILER_MIN_DOCS)
+        .select("lh")
     )
-    kept = (
-        lines.join(freq, "lh")
-        .where(F.col("ndocs") < _BOILER_MIN_DOCS)
-        .select("doc_id", "i", "line")
+    kept = lines.join(F.broadcast(boiler), "lh", "left_anti").select(
+        "doc_id", "i", "line"
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -338,7 +346,7 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (``registry.gridsum`` pattern) so the per-doc mean is
     independent of Spark's partial-aggregation order and matches DuckDB
     bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tk = F.split(F.col("text"), " ")
     pairs = F.zip_with(
         F.slice(tk, 1, F.size(tk) - 1),
@@ -346,8 +354,16 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     big = docs.select("doc_id", F.inline(pairs))
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # one corpus pass builds c12; c1 derives from it vocab-side
+    # (c1(w1) = Σ_w2 c12 — identical counts, one fewer bigram-stream
+    # scan), and the checkpoint keeps the model subtree from
+    # re-running the explode for every downstream reference
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint()
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     counts = (
         c12.select(F.col("n12").alias("k"))
         .union(c1.select(F.col("n1").alias("k")))
