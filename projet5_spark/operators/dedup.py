@@ -52,7 +52,8 @@ def first_seen_dedup(
 
 
 def first_seen_dedup_agg(
-    df: DataFrame, keys: list[str], order_cols: list[str]
+    df: DataFrame, keys: list[str], order_cols: list[str],
+    *, float_keys_canonical: bool = False,
 ) -> DataFrame:
     """R13 via aggregation instead of a window: ``min_by(struct(all
     columns), struct(order))`` — one hash aggregate with map-side
@@ -74,10 +75,21 @@ def first_seen_dedup_agg(
     columns keep the raw-tuple branch regardless of width: grouping
     normalizes ``-0.0 == 0.0`` while their string forms differ, and the
     two branches must agree.
+
+    ``float_keys_canonical``: opt-in for callers that can PROVE their
+    float/double key columns never contain ``-0.0`` or NaN (e.g. money
+    amounts parsed from positive decimals). Grouping's float
+    normalization is then the identity, so the fast full-row path and
+    the digest path stay byte-identical to the struct branch and the
+    float guard is waived. Leave False when in doubt — the default is
+    the safe branch.
     """
     payload_cols = [c for c in df.columns if c not in keys and c not in order_cols]
     dtypes = dict(df.dtypes)
-    has_float_key = any(dtypes[c] in ("float", "double") for c in keys)
+    has_float_key = (
+        any(dtypes[c] in ("float", "double") for c in keys)
+        and not float_keys_canonical
+    )
     if not payload_cols and len(order_cols) == 1 and not has_float_key:
         # full-row dedup: every row in a group IS the key tuple, so
         # min_by(struct) degenerates to min(ordinal). That swaps the

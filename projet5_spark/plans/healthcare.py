@@ -74,8 +74,16 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # an arbitrary copy, whose ordinal could then win a later
     # first-seen admission tie it shouldn't)
     pre_dedup = df
+    # float_keys_canonical: the only float column is the billing amount
+    # — a positive money decimal on every source this pipeline mirrors
+    # (reference CSV parse, parquet fixtures) — so -0.0/NaN cannot
+    # occur and the full-row fast path (plain hash aggregate, r4 perf
+    # win) remains byte-safe
     df = first_seen_dedup_agg(
-        df, [c for c in df.columns if c != ordinal_col], [ordinal_col]
+        df,
+        [c for c in df.columns if c != ordinal_col],
+        [ordinal_col],
+        float_keys_canonical=True,
     )
 
     typed = (
