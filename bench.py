@@ -13,6 +13,7 @@ correctness/recall baselines, not throughput paths.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -136,6 +137,11 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
         # noop sink executes the full plan without collect/driver transfer
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
+    # release the query's localCheckpoint blocks: dropping the Python
+    # refs + a gc pass lets the ContextCleaner free executor storage,
+    # so late-listed queries aren't penalized by ~90 queries' worth of
+    # accumulated checkpoint blocks
+    gc.collect()
     return statistics.median(samples)
 
 
