@@ -797,7 +797,8 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norm_stats",
     oracle=f"""
     SELECT label, count(*) AS n_vecs,
-           floor((avg({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS avg_norm,
+           floor((sum(CAST(floor(({_DUCK_NORM.format(a='embedding')}) * 1e8) AS BIGINT))
+                  / (1e8 * count(*))) * 1e4) / 1e4 AS avg_norm,
            floor((min({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS min_norm,
            floor((max({_DUCK_NORM.format(a='embedding')})) * 1e4) / 1e4 AS max_norm
     FROM embeddings
@@ -807,9 +808,16 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     n = l2_norm("embedding")
+    # avg over raw doubles is summation-order-dependent (the PageRank
+    # hazard); floor each norm onto a 1e-8 integer grid and sum as
+    # BIGINT so both engines average identical exact integers
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        _q(F.avg(n), 4).alias("avg_norm"),
+        _q(
+            F.sum(F.floor(n * F.lit(1e8)).cast("long"))
+            / (F.lit(1e8) * F.count(F.lit(1))),
+            4,
+        ).alias("avg_norm"),
         _q(F.min(n), 4).alias("min_norm"),
         _q(F.max(n), 4).alias("max_norm"),
     )
