@@ -113,6 +113,8 @@ HEADLINE = [
     "stratified_sample_orders",
     "weighted_sample_orders_aes",
     "incremental_agg_merge_orders",
+    "url_domain_stats",
+    "cross_source_duplicate_matrix",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

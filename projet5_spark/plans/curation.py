@@ -432,3 +432,121 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL/domain statistics and cross-source duplicate attribution
+# --------------------------------------------------------------------------
+
+#: Java-regex ∩ RE2 dialect; group 1 = the host. The fixtures carry no
+#: URLs, so the query PLANTS them deterministically from doc_id (one
+#: per doc, a second for every third doc) — the oracle mirrors the
+#: derivation and the extraction then does real work.
+_URL_RE = "https?://([a-z0-9.-]+)/[a-z0-9/]*"
+
+_URL_TEXT_SQL = """
+    text || ' http://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' see https://cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example.net/x'
+         ELSE '' END
+"""
+
+
+@query(
+    "url_domain_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_URL_TEXT_SQL} AS text FROM documents),
+    hosts AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RE}', 1)) AS host
+      FROM t)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hosts GROUP BY host
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency profile of in-text URLs — the curation signal
+    behind domain allow/deny lists and per-domain mixture caps in a
+    crawl pipeline.
+
+    Map-only extraction (regexp_extract_all with a capture group stays
+    a codegen'd JVM expression), one explode, one hash aggregate keyed
+    on the host — the same shape at 100 TB, where the domain table is
+    millions of rows against billions of documents. Patterns are shared
+    constants with the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" http://site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" see https://cdn"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.net/x"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    hosts = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(text, F.lit(_URL_RE), F.lit(1))).alias("host"),
+    )
+    return hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "cross_source_duplicate_matrix",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             'src' || CAST((doc_id + 1) % 20 AS VARCHAR),
+             text
+      FROM documents WHERE doc_id % 7 = 0),
+    keyed AS (SELECT doc_id, source, sha256(text) AS h FROM corpus),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM keyed a JOIN keyed b
+        ON a.h = b.h AND a.doc_id < b.doc_id)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY src_a, src_b
+    """,
+)
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate attribution: which source pairs share
+    exact-duplicate documents — the diagnostic that tells a curation
+    team whether source B is a mirror of source A (drop it wholesale)
+    or duplication is incidental.
+
+    Planted mirrors (every 7th doc re-appears under the next source id)
+    make the matrix non-trivial. Scale shape: documents reduce to
+    (digest, source) — 32-byte keys — before the self-join, and only
+    digest groups with >1 row can pair, so the join output is bounded
+    by duplicate mass, never corpus². The per-pair source matrix is at
+    most |sources|² rows."""
+    docs = _t(spark, sf_dir, "documents")
+    mirror = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("src"), ((F.col("doc_id") + 1) % 20).cast("string")).alias(
+            "source"
+        ),
+        "text",
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(mirror)
+    keyed = corpus.select("doc_id", "source", F.sha2("text", 256).alias("h"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
