@@ -87,8 +87,15 @@ _FRONT = [
     # round-5 additions (first driver exposure)
     "approx_distinct_parts",
     "snapshot_scd2_history",
-    # round-5 rows-only / next-round certification targets live in
-    # registration order below the 50-query prefix.
+    # Round-6 rotation plan: once this round certifies the 50 above,
+    # move the remaining never-sampled oracle-paired entries here —
+    # ann_recall_ivf_kmeans_at5, triangle_count_trade_graph,
+    # quantile_sketch_verdict_prices, er_blocking_match_stats,
+    # bpe_first_merge_pairs, events_resample_interpolate,
+    # stratified_sample_orders, weighted_sample_orders_aes,
+    # incremental_agg_merge_orders, url_domain_stats,
+    # cross_source_duplicate_matrix — plus any round-6 additions; they
+    # currently live in registration order below the 50-query prefix.
 ]
 
 
