@@ -94,7 +94,9 @@ _FRONT = [
     # bpe_first_merge_pairs, events_resample_interpolate,
     # stratified_sample_orders, weighted_sample_orders_aes,
     # incremental_agg_merge_orders, url_domain_stats,
-    # cross_source_duplicate_matrix — plus any round-6 additions; they
+    # cross_source_duplicate_matrix, zorder_key_orders,
+    # compaction_bin_packing, range_partition_boundaries,
+    # event_time_disorder_profile — plus any round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]
 

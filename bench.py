@@ -115,6 +115,10 @@ HEADLINE = [
     "incremental_agg_merge_orders",
     "url_domain_stats",
     "cross_source_duplicate_matrix",
+    "zorder_key_orders",
+    "compaction_bin_packing",
+    "range_partition_boundaries",
+    "event_time_disorder_profile",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

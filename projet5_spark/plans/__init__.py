@@ -24,5 +24,6 @@ from . import splits  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
+from . import layout  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
