@@ -471,3 +471,20 @@ def test_resample_interpolation_brackets_and_fills(spark):
             lo, hi = min(lo_hi), max(lo_hi)
             # 1e-4 floor grid can dip marginally below the bracket
             assert lo - 1e-4 <= r["value_interp"] <= hi + 1e-4
+
+
+def test_zorder_key_is_map_only(spark):
+    """The Z-order layout key must be a pure map — no shuffle, no
+    join, no window anywhere in the plan."""
+    plan = plan_of(spark, "zorder_key_orders")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_compaction_packing_runs_at_metadata_scale(spark):
+    """The bin-pack window runs over the aggregated file manifest (one
+    row per day), not the raw orders — the aggregate must appear below
+    the window in the plan."""
+    plan = plan_of(spark, "compaction_bin_packing")
+    assert plan.index("HashAggregate") < plan.index("Window") or \
+        plan.count("HashAggregate") >= 2
