@@ -119,6 +119,7 @@ HEADLINE = [
     "compaction_bin_packing",
     "range_partition_boundaries",
     "event_time_disorder_profile",
+    "daily_value_percentiles",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -553,3 +553,63 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+@query(
+    "daily_value_percentiles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents, event_id
+      FROM events),
+    ranked AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type, day) AS n
+      FROM d)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN cents END) AS BIGINT) AS p95_cents
+    FROM ranked GROUP BY event_type, day
+    """,
+)
+def daily_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles — the p50/p95-per-day dashboard shape —
+    via per-group rank selection: rank within (series, day), pick the
+    ceil(q·n) row, fold to one row per group with a conditional max.
+
+    One shuffle on the group key; within-group sort is per-partition
+    (no global sort anywhere). The rank rule and the integer-cents
+    grid make the selected values bit-equal across engines — the
+    grouped generalization of ``quantile_sketch_verdict_prices``'s
+    exact arm, and at 100 TB the per-group sort is exactly what a
+    sort-based aggregate already pays."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type", "day")
+    ranked = ev.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"), F.col("cents")
+        )
+    ).cast("long")
+    return ranked.groupBy("event_type", F.col("day").cast("string").alias("day")).agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(0.5).alias("p50_cents"),
+        pick(0.95).alias("p95_cents"),
+    )
