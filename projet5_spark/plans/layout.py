@@ -252,6 +252,16 @@ def event_time_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.unix_timestamp("ts")).cast("long").alias("tsec"),
     )
+    return disorder_profile(ev)
+
+
+def disorder_profile(ev: DataFrame) -> DataFrame:
+    """Core of :func:`event_time_disorder_profile` over any
+    (event_type, event_id, tsec) frame — ``event_id`` is the arrival
+    order, ``tsec`` whole-second event time. Exposed separately so
+    tests (and pipelines) can size a watermark from arbitrary streams;
+    ``tests/test_streaming.py`` proves a watermark sized by this
+    profile loses no data on a disordered replay."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("event_id")

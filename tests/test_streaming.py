@@ -305,3 +305,75 @@ def test_stream_to_scd2_dim_builds_history_and_absorbs_replay(spark, tmp_path):
     # full replay from scratch: nothing closes, nothing inserts
     ingest(str(tmp_path / "ck2"))
     assert spark.read.parquet(dim).count() == 3
+
+
+def test_disorder_profile_sizes_a_lossless_watermark(spark, tmp_path):
+    """Coherence of the batch diagnostic with streaming semantics: a
+    watermark sized by event_time_disorder_profile's max lateness keeps
+    every event of a disordered multi-batch replay, while an undersized
+    watermark provably drops some."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from projet5_spark.plans.layout import disorder_profile
+
+    # synthetic arrival stream: every 10th event arrives ~35 min behind
+    # the high-watermark; arrival order = event_id = file order
+    base = "2024-01-01 06:00:00"
+    rows = []
+    for i in range(60):
+        late = i % 10 == 9
+        ts_off = (i - 35) * 60 if late else i * 60
+        rows.append((i, ts_off, "click"))
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(rows, "event_id long, off long, event_type string").select(
+        "event_id",
+        "event_type",
+        (F.to_timestamp(F.lit(base)).cast("long") + F.col("off"))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    # profile the stream (arrival order = event_id)
+    prof = disorder_profile(
+        df.select(
+            "event_type", "event_id", F.col("ts").cast("long").alias("tsec")
+        )
+    ).collect()[0]
+    assert prof["n_late"] > 0 and prof["max_lateness_s"] >= 34 * 60
+
+    # replay in 6 files of 10 events (arrival order), 1 file per batch
+    for c in range(6):
+        chunk = df.where((F.col("event_id") >= c * 10) & (F.col("event_id") < (c + 1) * 10))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    def dropped_rows(wm_seconds, ck_name):
+        """Total numRowsDroppedByWatermark across the replay."""
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{wm_seconds} seconds")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda b, _i: b.count())
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck_name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+
+    sized = prof["max_lateness_s"] + 60
+    assert dropped_rows(sized, "ck_ok") == 0, "profile-sized watermark lost events"
+    assert dropped_rows(1, "ck_tight") > 0, "1s watermark should drop late events"
