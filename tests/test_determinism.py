@@ -113,3 +113,46 @@ def test_rows_only_queries_are_deterministic(spark, name):
     a = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
     b = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
     assert a == b, f"{name} is nondeterministic across runs"
+
+
+def test_ln_det_bit_identical_across_engines(spark, tmp_path):
+    """functions.detmath: the fixed-expression integer log must produce
+    BIT-identical doubles in Spark and DuckDB on adversarial inputs —
+    powers of two (range-reduction edges), their neighbors, small
+    primes, and random magnitudes up to 2^62 — and stay within 2e-7
+    relative of the true log."""
+    import math
+    import struct as pystruct
+
+    from projet5_spark.functions.detmath import ln_det_int, ln_det_int_sql
+
+    rng = random.Random(99)
+    ks = [1, 2, 3, 5, 7, 11]
+    ks += [2**e for e in range(1, 62)]
+    ks += [2**e - 1 for e in range(2, 62)]
+    ks += [2**e + 1 for e in range(1, 61)]
+    ks += [rng.randrange(1, 2**62) for _ in range(5000)]
+    ks = sorted(set(ks))
+
+    path = str(tmp_path / "ks")
+    spark.createDataFrame([(k,) for k in ks], "k long").write.parquet(path)
+    got = {
+        r["k"]: r["lnk"]
+        for r in spark.read.parquet(path).select("k", ln_det_int("k").alias("lnk")).collect()
+    }
+    duck = duckdb.connect()
+    want = dict(
+        duck.execute(
+            f"SELECT k, {ln_det_int_sql('k')} AS lnk FROM '{path}/*.parquet'"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in ks:
+        assert pystruct.pack("d", got[k]) == pystruct.pack("d", want[k]), (
+            k, got[k], want[k]
+        )
+        if k > 1:
+            rel = abs(got[k] - math.log(k)) / math.log(k)
+            assert rel < 2e-7, (k, got[k], math.log(k))
+        else:
+            assert abs(got[k]) < 1e-7
