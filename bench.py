@@ -120,6 +120,8 @@ HEADLINE = [
     "range_partition_boundaries",
     "event_time_disorder_profile",
     "daily_value_percentiles",
+    "hc_k_anonymity_audit",
+    "scd2_point_in_time_join",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

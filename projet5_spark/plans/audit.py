@@ -347,3 +347,126 @@ def snapshot_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__valid_to").cast("date").cast("string").alias("valid_to"),
         F.col("__current").alias("is_current"),
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey,
+             o_orderstatus AS status,
+             CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS price_cents,
+             o_orderdate AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    v1 AS (SELECT o_custkey, status, price_cents, d FROM ranked WHERE rn = 1),
+    v2 AS (SELECT o_custkey, status, price_cents, d FROM ranked WHERE rn = 2),
+    chg AS (
+      SELECT v1.o_custkey,
+             v1.status AS s1, v1.price_cents AS p1, v1.d AS d1,
+             v2.status AS s2, v2.price_cents AS p2, v2.d AS d2
+      FROM v1 JOIN v2 ON v1.o_custkey = v2.o_custkey
+      WHERE (v1.status <> v2.status OR v1.price_cents <> v2.price_cents)
+        AND v2.d > v1.d),
+    hist AS (
+      SELECT o_custkey, s1 AS status, p1 AS price_cents,
+             CAST(CAST(d1 AS DATE) AS VARCHAR) AS valid_from,
+             CAST(CAST(d2 AS DATE) AS VARCHAR) AS valid_to
+      FROM chg
+      UNION ALL
+      SELECT o_custkey, s2, p2, CAST(CAST(d2 AS DATE) AS VARCHAR), '9999-12-31'
+      FROM chg
+      UNION ALL
+      SELECT v1.o_custkey, v1.status, v1.price_cents,
+             CAST(CAST(v1.d AS DATE) AS VARCHAR), '9999-12-31'
+      FROM v1 WHERE v1.o_custkey NOT IN (SELECT o_custkey FROM chg)),
+    probes AS (
+      SELECT o_custkey, CAST(CAST(d AS DATE) AS VARCHAR) AS probe_day
+      FROM ranked WHERE rn = 3)
+    SELECT p.o_custkey, p.probe_day,
+           h.status AS dim_status, h.price_cents AS dim_price_cents,
+           h.valid_from AS dim_valid_from
+    FROM probes p JOIN hist h
+      ON p.o_custkey = h.o_custkey
+     AND h.valid_from <= p.probe_day AND p.probe_day < h.valid_to
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) dimension lookup: join each fact probe
+    to the SCD-2 version that was current AT the fact's event time —
+    ``valid_from ≤ t < valid_to`` — the read-side counterpart of the
+    ``scd2_upsert`` merge certified by ``snapshot_scd2_history``.
+
+    The history is re-derived purely in-plan from the same two-batch
+    CDC semantics (so this stays a single benchable plan, no writer
+    round-trip); probes are each customer's third order. The interval
+    predicate rides as a residual on the equi-join key — a hash join
+    on o_custkey with at most two version rows per probe to filter,
+    never a nested loop. ISO date strings compare lexicographically,
+    identically on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderdate").alias("d"),
+        "o_orderkey",
+    ).withColumn("rn", F.row_number().over(w))
+    day = lambda c: F.col(c).cast("date").cast("string")  # noqa: E731
+    v1 = ranked.where(F.col("rn") == 1).select(
+        "o_custkey", "status", "price_cents", "d"
+    )
+    v2 = ranked.where(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("status").alias("s2"),
+        F.col("price_cents").alias("p2"),
+        F.col("d").alias("d2"),
+    )
+    chg = v1.join(v2, v1.o_custkey == v2.ck2).where(
+        (
+            (F.col("status") != F.col("s2"))
+            | (F.col("price_cents") != F.col("p2"))
+        )
+        & (F.col("d2") > F.col("d"))
+    )
+    far = F.lit("9999-12-31")
+    hist = (
+        chg.select(
+            "o_custkey", "status", "price_cents",
+            day("d").alias("valid_from"), day("d2").alias("valid_to"),
+        )
+        .unionByName(
+            chg.select(
+                "o_custkey",
+                F.col("s2").alias("status"),
+                F.col("p2").alias("price_cents"),
+                day("d2").alias("valid_from"),
+                far.alias("valid_to"),
+            )
+        )
+        .unionByName(
+            v1.join(chg.select("o_custkey"), "o_custkey", "left_anti").select(
+                "o_custkey", "status", "price_cents",
+                day("d").alias("valid_from"), far.alias("valid_to"),
+            )
+        )
+    )
+    probes = ranked.where(F.col("rn") == 3).select(
+        "o_custkey", day("d").alias("probe_day")
+    )
+    return probes.join(hist, "o_custkey").where(
+        (F.col("valid_from") <= F.col("probe_day"))
+        & (F.col("probe_day") < F.col("valid_to"))
+    ).select(
+        "o_custkey",
+        "probe_day",
+        F.col("status").alias("dim_status"),
+        F.col("price_cents").alias("dim_price_cents"),
+        F.col("valid_from").alias("dim_valid_from"),
+    )

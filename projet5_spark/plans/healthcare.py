@@ -337,3 +337,52 @@ def hc_duplicate_patients_check(spark, sf_dir: str) -> DataFrame:
     patients dim has no duplicate natural keys — empty on both engines."""
     res = healthcare_pipeline(healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord")
     return duplicate_patients_check(res.patients)
+
+
+_K_ANON = 3
+
+
+@query(
+    "hc_k_anonymity_audit",
+    oracle=f"""
+    WITH raw AS (SELECT DISTINCT o_custkey % 400 AS pid FROM orders),
+    p AS (SELECT pid, {_P_ATTRS} FROM raw),
+    cells AS (
+      SELECT CAST(floor(age / 10) * 10 AS BIGINT) AS age_band, gender, blood_type,
+             count(*) AS n
+      FROM p GROUP BY 1, 2, 3)
+    SELECT age_band, gender, blood_type,
+           CAST(n AS BIGINT) AS n,
+           n < {_K_ANON} AS below_k
+    FROM cells
+    """,
+)
+def hc_k_anonymity_audit(spark, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the patients dimension: group sizes per
+    quasi-identifier cell (age band × gender × blood type) with a
+    below-k flag — the privacy check a healthcare pipeline (the
+    reference's domain) must run before any data release, since a cell
+    smaller than k re-identifies its members.
+
+    One hash aggregate over the (dimension-sized) patient set; at scale
+    the quasi-identifier generalization lattice is explored by re-running
+    this with coarser bands until no cell is below k."""
+    res = healthcare_pipeline(
+        healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord"
+    )
+    cells = (
+        res.patients.select(
+            (F.floor(F.col("age") / 10) * 10).cast("long").alias("age_band"),
+            "gender",
+            "blood_type",
+        )
+        .groupBy("age_band", "gender", "blood_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.select(
+        "age_band",
+        "gender",
+        "blood_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") < _K_ANON).alias("below_k"),
+    )
