@@ -83,7 +83,7 @@ def test_oracle_tables_are_registered_views():
     import re
 
     for name, sql in ORACLE.items():
-        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.I))
+        tables = set(re.findall(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql, re.I))
         unknown = {
             t.lower() for t in tables
         } - _ALLOWED_TABLES - {  # CTE names / keywords the crude regex catches
