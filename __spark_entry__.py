@@ -97,7 +97,8 @@ _FRONT = [
     # cross_source_duplicate_matrix, zorder_key_orders,
     # compaction_bin_packing, range_partition_boundaries,
     # event_time_disorder_profile, daily_value_percentiles,
-    # hc_k_anonymity_audit, scd2_point_in_time_join — plus any
+    # hc_k_anonymity_audit, scd2_point_in_time_join,
+    # packing_efficiency_stats, gdpr_erasure_audit — plus any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

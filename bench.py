@@ -122,6 +122,8 @@ HEADLINE = [
     "daily_value_percentiles",
     "hc_k_anonymity_audit",
     "scd2_point_in_time_join",
+    "packing_efficiency_stats",
+    "gdpr_erasure_audit",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

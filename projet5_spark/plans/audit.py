@@ -470,3 +470,99 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_cents").alias("dim_price_cents"),
         F.col("valid_from").alias("dim_valid_from"),
     )
+
+
+def _packing_eff_oracle() -> str:
+    from .registry import ORACLE
+
+    return f"""
+    WITH pk AS ({ORACLE["sequence_packing_bins"]})
+    SELECT source,
+           CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           floor((sum(n_tokens) * 1.0 / (count(DISTINCT bin) * 2048)) * 1e4) / 1e4
+             AS utilization
+    FROM pk GROUP BY source
+    """
+
+
+@query("packing_efficiency_stats", oracle=_packing_eff_oracle())
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability rollup over the sequence packer: bins, tokens, and
+    capacity utilization per source — the metric that tells a training
+    pipeline whether its packing wastes context-window budget (padding)
+    and whether a different bin size or sort order would pay.
+
+    Composes the existing ``sequence_packing_bins`` plan (same
+    partitioned window, no extra corpus scan) and folds it to one row
+    per source; utilization is an integer-token / integer-capacity
+    ratio, so the 1e-4 grid is engine-exact."""
+    from .llm import sequence_packing_bins
+
+    pk = sequence_packing_bins(spark, sf_dir)
+    return pk.groupBy("source").agg(
+        F.count_distinct("bin").cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        _q(
+            F.sum("n_tokens") * F.lit(1.0) / (F.count_distinct("bin") * F.lit(2048)),
+            4,
+        ).alias("utilization"),
+    )
+
+
+@query(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH erased AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    c AS (SELECT count(*) AS before_n,
+                 count(*) FILTER (WHERE c_custkey % 97 <> 0) AS after_n
+          FROM customer),
+    o AS (SELECT count(*) AS before_n,
+                 count(*) FILTER (WHERE o_custkey % 97 <> 0) AS after_n
+          FROM orders),
+    l AS (SELECT count(*) AS before_n,
+                 count(*) FILTER (WHERE o_custkey % 97 <> 0) AS after_n
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT 'customer' AS tbl, CAST(before_n AS BIGINT) AS rows_before,
+           CAST(before_n - after_n AS BIGINT) AS rows_erased FROM c
+    UNION ALL
+    SELECT 'orders', CAST(before_n AS BIGINT),
+           CAST(before_n - after_n AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(before_n AS BIGINT),
+           CAST(before_n - after_n AS BIGINT) FROM l
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: given an erasure key set
+    (deterministic here: custkeys ≡ 0 mod 97), report how many rows each
+    table in the subject's lineage loses — customer directly, orders by
+    FK, lineitem transitively through its order.
+
+    The per-table erasure is an anti-join against the key set (broadcast
+    at any realistic erasure-batch size); the transitive step reuses the
+    fact table's existing FK join. Counting before/after in one
+    conditional aggregate keeps the audit a single pass per table —
+    at 100 TB the erasure itself would rewrite only the files whose
+    row-group key ranges intersect the erasure set."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(tbl: str, df: DataFrame, keep) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            (F.count(F.lit(1)) - F.count(F.when(keep, 1)))
+            .cast("long")
+            .alias("rows_erased"),
+        )
+
+    keep_c = F.col("c_custkey") % 97 != 0
+    keep_o = F.col("o_custkey") % 97 != 0
+    lij = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        one("customer", cust, keep_c)
+        .unionByName(one("orders", orders, keep_o))
+        .unionByName(one("lineitem", lij, keep_o))
+    )
