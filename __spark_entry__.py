@@ -98,7 +98,8 @@ _FRONT = [
     # compaction_bin_packing, range_partition_boundaries,
     # event_time_disorder_profile, daily_value_percentiles,
     # hc_k_anonymity_audit, scd2_point_in_time_join,
-    # packing_efficiency_stats, gdpr_erasure_audit — plus any
+    # packing_efficiency_stats, gdpr_erasure_audit,
+    # freq_items_verdict_returnflag — plus any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -124,6 +124,7 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "packing_efficiency_stats",
     "gdpr_erasure_audit",
+    "freq_items_verdict_returnflag",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -626,3 +626,49 @@ def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+_FREQ_SUPPORT = 0.3
+
+
+@query(
+    "freq_items_verdict_returnflag",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS total FROM lineitem),
+    hh AS (
+      SELECT l_returnflag AS item, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT item, CAST(cnt AS BIGINT) AS cnt, TRUE AS in_sketch
+    FROM hh CROSS JOIN n
+    WHERE cnt > {_FREQ_SUPPORT} * total
+    """,
+)
+def freq_items_verdict_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch certification (self-certifying verdict
+    pattern): ``DataFrame.freqItems`` is a Misra-Gries-style one-pass
+    summary whose CONTRACT is "every item with frequency > support·n
+    appears in the result" (false positives allowed, false negatives
+    not). The hashable gate is exactly that contract: exact heavy
+    hitters (count > support·n, by plain aggregate) each carry a
+    boolean asserting membership in the sketch's item list; the oracle
+    recomputes the exact hitters with the booleans as literals. A
+    sketch violating its guarantee flips a boolean and fails the gate.
+
+    At 100 TB the exact arm IS this same aggregate (heavy hitters are
+    few by definition); the sketch's value is the single no-shuffle
+    pass when only the membership answer is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()  # bounded scalar: one count action for the threshold
+    hh = (
+        li.groupBy(F.col("l_returnflag").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") > F.lit(_FREQ_SUPPORT) * F.lit(float(total)))
+    )
+    sketch = li.freqItems(["l_returnflag"], support=_FREQ_SUPPORT).select(
+        F.col("l_returnflag_freqItems").alias("items")
+    )
+    return hh.join(F.broadcast(sketch)).select(
+        "item",
+        "cnt",
+        F.array_contains(F.col("items"), F.col("item")).alias("in_sketch"),
+    )
