@@ -25,5 +25,6 @@ from . import curation  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
+from . import analytics4  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
