@@ -26,5 +26,6 @@ from . import audit  # noqa: E402,F401
 from . import analytics3  # noqa: E402,F401
 from . import layout  # noqa: E402,F401
 from . import analytics4  # noqa: E402,F401
+from . import spark4  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

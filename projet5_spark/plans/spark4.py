@@ -1,0 +1,227 @@
+"""Modern engine surface (Spark 4.x): VARIANT semi-structured values,
+Python user-defined table functions (UDTF), SQL pipe syntax, and ISO
+``LISTAGG ... WITHIN GROUP``.
+
+These queries exist to certify the engine's current-generation API
+surface, not new algebra — each one's semantics are deliberately
+expressible in ANSI SQL so the DuckDB oracle gates them like any other
+operator:
+
+- **VARIANT** is the typed semi-structured path that replaces
+  stringly ``get_json_object`` chains: parse once, extract with typed
+  paths, keep binary-encoded values columnar. Same shuffle shape as the
+  JSON-string query it upgrades (plans/events.py).
+- **Python UDTF** is the table-function escape hatch (one row in, many
+  typed rows out, per-row Python state). It is a slow path like any
+  row-at-a-time Python — the query bounds its input and the oracle is
+  the set-based gaps-and-islands form you'd run at 100 TB; the UDTF
+  exists to certify the lateral-join plumbing, argument passing, and
+  schema contract.
+- **Pipe syntax** and **LISTAGG** are parser/analyzer surface: same
+  Catalyst plans as their classic spellings (sql_surface.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# VARIANT (typed semi-structured values)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "variant_event_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) FILTER (
+             WHERE json_extract(props, '$.missing') IS NULL) AS BIGINT)
+             AS n_missing_path
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured aggregation through the VARIANT type:
+    ``parse_json`` once into a binary-encoded variant, then
+    ``variant_get`` with typed paths — the Spark-4 upgrade over
+    stringly ``get_json_object`` (plans/events.py keeps the classic
+    form; both compile to the same shuffle shape).
+
+    ``try_variant_get`` on an absent path documents the null semantics
+    (missing path → NULL, counted per group). Integer payloads keep
+    every aggregate exact — no float grid needed."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "string")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(missing.isNull(), 1)).cast("long").alias("n_missing_path"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (lateral table function)
+# --------------------------------------------------------------------------
+
+#: Python-path row bound: the UDTF runs per-row Python, so the query
+#: caps its input like the other anti-pattern exhibits (text_ml.py's
+#: scalar UDF) — the oracle's gaps-and-islands form is the scale path.
+_UDTF_DOC_BOUND = 50
+
+
+@udtf(returnType="start_pos int, token string, run_len int")
+class _TokenRuns:
+    """Run-length encoder over a document's token stream: emits one row
+    per maximal run of a repeated adjacent token (run length ≥ 2),
+    1-indexed over the empty-filtered token positions."""
+
+    def eval(self, text: str):  # noqa: D102 — contract is the class doc
+        toks = [t for t in (text or "").split(" ") if t]
+        i = 0
+        while i < len(toks):
+            j = i
+            while j < len(toks) and toks[j] == toks[i]:
+                j += 1
+            if j - i >= 2:
+                yield i + 1, toks[i], j - i
+            i = j
+
+
+@query(
+    "udtf_token_runs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id < {_UDTF_DOC_BOUND}),
+    flat AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+    runs AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+               AS grp
+      FROM flat)
+    SELECT doc_id,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           tok AS token,
+           CAST(count(*) AS INTEGER) AS run_len
+    FROM runs GROUP BY doc_id, tok, grp HAVING count(*) >= 2
+    """,
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-token runs per document via a Python UDTF in a lateral
+    join — the table-function API surface: one text row in, N typed
+    (start_pos, token, run_len) rows out, with the outer doc_id
+    correlated through the lateral.
+
+    The oracle computes identical runs with the set-based
+    gaps-and-islands idiom (pos − row_number per (doc, token) is
+    constant within a run) — which is also the form a 100 TB pass would
+    use; the UDTF input is bounded to {_UDTF_DOC_BOUND} docs for the
+    same reason the scalar-UDF exhibit is (Python rows are the slow
+    path, the API contract is what's certified)."""
+    spark.udtf.register("token_runs", _TokenRuns)
+    _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _UDTF_DOC_BOUND
+    ).select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.start_pos, r.token, r.run_len
+        FROM udtf_docs_v d, LATERAL token_runs(d.text) r
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipe_syntax_monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY month ORDER BY month
+    """,
+)
+def pipe_syntax_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of finished orders expressed in SQL pipe syntax
+    (`FROM … |> WHERE … |> EXTEND … |> AGGREGATE … |> ORDER BY`) — the
+    linear query notation added to the SQL front-end in Spark 4.
+
+    Parser surface only: the pipeline lowers to the exact Catalyst plan
+    of its classic spelling (which is what the oracle runs)."""
+    return spark.sql(
+        f"""
+        FROM parquet.`{sf_dir}/orders.parquet`
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND date_format(o_orderdate, 'yyyy-MM') AS month,
+                  CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS total_cents
+           GROUP BY month
+        |> ORDER BY month
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# ISO LISTAGG ... WITHIN GROUP
+# --------------------------------------------------------------------------
+
+
+@query(
+    "listagg_nation_segments",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def listagg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation sorted roster of customer market segments via ISO
+    ``LISTAGG(...) WITHIN GROUP (ORDER BY ...)`` — the standard ordered
+    string aggregation (Spark 4 surface; collect_sorted_custkeys shows
+    the pre-4 array_sort/array_join spelling of the same contract).
+
+    The DISTINCT pre-aggregate bounds each group to the segment
+    vocabulary, and WITHIN GROUP ordering makes the concatenation
+    deterministic — an unordered listagg would hash-mismatch by
+    partition order."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.select("c_nationkey", "c_mktsegment").distinct().createOrReplaceTempView(
+        "listagg_cust_v"
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)
+                 AS segments
+        FROM listagg_cust_v GROUP BY c_nationkey
+        """
+    )
