@@ -125,6 +125,18 @@ HEADLINE = [
     "packing_efficiency_stats",
     "gdpr_erasure_audit",
     "freq_items_verdict_returnflag",
+    "substring_dup_coverage",
+    "pmi_top_collocations",
+    "char_entropy_quality",
+    "interval_overlap_orders_months",
+    "user_value_trend_slope",
+    "benford_first_digit_audit",
+    "decile_lift_customers",
+    "mad_outliers_order_price",
+    "variant_event_props_stats",
+    "udtf_token_runs",
+    "pipe_syntax_monthly_revenue",
+    "listagg_nation_segments",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -488,3 +488,190 @@ def test_compaction_packing_runs_at_metadata_scale(spark):
     plan = plan_of(spark, "compaction_bin_packing")
     assert plan.index("HashAggregate") < plan.index("Window") or \
         plan.count("HashAggregate") >= 2
+
+
+# --------------------------------------------------------------------------
+# Batch-6 battery (plans/analytics4.py) + Spark-4 surface (plans/spark4.py)
+# --------------------------------------------------------------------------
+
+
+def test_interval_overlap_has_no_join(spark):
+    """The bucket-blocking rewrite's whole point: the overlap THETA join
+    becomes explode(sequence(months)) + an equi-keyed aggregate — the
+    plan must contain no join node of any kind."""
+    plan = plan_of(spark, "interval_overlap_orders_months")
+    assert "Join" not in plan, plan
+    assert "explode(sequence(" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dup_shuffles_digest_not_text(spark):
+    """Both shuffles (gram aggregate, doc rollup) must carry the sha-256
+    digest / counts — the raw gram text must never be an exchange key."""
+    plan = plan_of(spark, "substring_dup_coverage")
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Arguments: hashpartitioning\(", ln)
+    ]
+    assert ex, plan
+    assert any(re.search(r"hashpartitioning\(dig", ln) for ln in ex), ex
+    # no exchange keyed on a raw gram/text column
+    assert not any(re.search(r"hashpartitioning\((gram|text)", ln) for ln in ex)
+
+
+def test_pmi_is_total_order_top20(spark):
+    out = QUERIES["pmi_top_collocations"](spark, SF).collect()
+    assert 0 < len(out) <= 20
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+    assert all(r["c12"] >= 20 for r in out)
+    # rank order follows (pmi desc, w1, w2)
+    keys = [(-r["pmi_micro"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_char_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(distinct chars in the doc) for every document."""
+    import math
+
+    rows = QUERIES["char_entropy_quality"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-4 <= r["char_entropy"] <= math.log(r["n_chars"]) + 1e-4
+
+
+def test_trend_slope_matches_numpy(spark):
+    """The integer-moment slope must equal an independent least-squares
+    fit (numpy polyfit) for a sampled user."""
+    import numpy as np
+
+    from projet5_spark.sources.readers import read_events
+
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["user_value_trend_slope"](spark, SF).collect()
+    }
+    ev = (
+        read_events(spark, SF)
+        .select(
+            "user_id",
+            (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("x"),
+            F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        if uid not in out or len(grp) < 2:
+            continue
+        slope = np.polyfit(grp["x"].to_numpy(), grp["y"].to_numpy(), 1)[0]
+        got = out[uid]["slope_micro_cents_per_hour"] / 1e6
+        assert abs(got - slope) < 1e-4, (uid, got, slope)
+        checked += 1
+        if checked >= 5:
+            break
+    assert checked >= 1
+
+
+def test_benford_shares_partition_unity(spark):
+    rows = QUERIES["benford_first_digit_audit"](spark, SF).collect()
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    # floor-quantized shares can undershoot by ≤ 9e-6 total
+    assert 1.0 - 1e-4 <= sum(r["share"] for r in rows) <= 1.0
+    # the Benford reference itself must partition unity
+    full = sum(r["benford_expected"] for r in rows if True)
+    if len(rows) == 9:
+        assert 1.0 - 1e-4 <= full <= 1.0
+
+
+def test_decile_lift_is_monotone(spark):
+    rows = sorted(
+        QUERIES["decile_lift_customers"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cum = [r["cum_share"] for r in rows]
+    assert cum == sorted(cum)
+    assert 1.0 - 1e-4 <= cum[-1] <= 1.0
+    # deciles are ranked by spend: shares must be non-increasing
+    shares = [r["revenue_share"] for r in rows]
+    assert all(a >= b - 1e-6 for a, b in zip(shares, shares[1:]))
+
+
+def test_mad_outliers_matches_pandas(spark):
+    """Median / MAD / outlier count recomputed independently in pandas
+    for every priority group."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    got = {r["pri"]: r for r in QUERIES["mad_outliers_order_price"](spark, SF).collect()}
+    for pri, grp in orders.groupby("o_orderpriority"):
+        cents = (grp["o_totalprice"] * 100 + 0.5).apply(float).apply(int)
+        med = cents.median()
+        dv = (cents - med).abs()
+        mad = dv.median()
+        n_out = int((dv > 3.0 * 1.4826 * mad).sum())
+        r = got[pri]
+        assert r["n"] == len(grp)
+        assert abs(r["median_cents"] - med) < 0.01 + 1e-9
+        assert abs(r["mad_cents"] - mad) < 0.01 + 1e-9
+        assert r["n_outliers"] == n_out
+
+
+def test_udtf_runs_match_python_reference(spark):
+    """The lateral UDTF output must equal a direct Python run-length
+    pass over the same bounded documents."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = set()
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t]
+        i = 0
+        while i < len(toks):
+            j = i
+            while j < len(toks) and toks[j] == toks[i]:
+                j += 1
+            if j - i >= 2:
+                expect.add((d["doc_id"], i + 1, toks[i], j - i))
+            i = j
+    got = {
+        (r["doc_id"], r["start_pos"], r["token"], r["run_len"])
+        for r in QUERIES["udtf_token_runs"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_variant_missing_path_is_null_everywhere(spark):
+    rows = QUERIES["variant_event_props_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_missing_path"] == r["n"]
+        assert r["min_k"] <= r["max_k"]
+
+
+def test_pipe_syntax_equals_classic_spelling(spark):
+    """The |> pipeline must produce exactly the classic query's rows."""
+    pipe = QUERIES["pipe_syntax_monthly_revenue"](spark, SF).collect()
+    classic = spark.sql(
+        f"""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM parquet.`{SF}/orders.parquet` WHERE o_orderstatus = 'F'
+        GROUP BY month ORDER BY month
+        """
+    ).collect()
+    assert pipe == classic
+
+
+def test_listagg_segments_are_sorted(spark):
+    rows = QUERIES["listagg_nation_segments"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        parts = r["segments"].split(",")
+        assert parts == sorted(parts)
