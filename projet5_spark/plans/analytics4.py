@@ -205,11 +205,17 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, F.size(toks) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    # checkpoint the vocab-scale bigram table: marginals, the grand
+    # total, and the scored rows all read it — without the truncation
+    # the corpus-scale explode re-runs once per consumer (curation.py's
+    # bigram-LM c12 rationale; a window-sum single-plan variant measured
+    # SLOWER at fixture scale — more sequential stage barriers)
     bg = (
         docs.where(F.size(toks) >= 2)
         .select(F.inline(pair))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
     )
     m1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     m2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
