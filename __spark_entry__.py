@@ -99,13 +99,16 @@ _FRONT = [
     # event_time_disorder_profile, daily_value_percentiles,
     # hc_k_anonymity_audit, scd2_point_in_time_join,
     # packing_efficiency_stats, gdpr_erasure_audit,
-    # freq_items_verdict_returnflag — plus the round-5 batch-6 and
+    # freq_items_verdict_returnflag — plus the round-5 batch-6/7 and
     # Spark-4 batteries (substring_dup_coverage, pmi_top_collocations,
     # char_entropy_quality, interval_overlap_orders_months,
     # user_value_trend_slope, benford_first_digit_audit,
     # decile_lift_customers, mad_outliers_order_price,
     # variant_event_props_stats, udtf_token_runs,
-    # pipe_syntax_monthly_revenue, listagg_nation_segments) and any
+    # pipe_syntax_monthly_revenue, listagg_nation_segments,
+    # reservoir_sample_per_segment, doc_concat_eos_offsets,
+    # bloom_membership_verdict, pysource_digest_rows,
+    # groupby_all_status_priority) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -137,6 +137,11 @@ HEADLINE = [
     "udtf_token_runs",
     "pipe_syntax_monthly_revenue",
     "listagg_nation_segments",
+    "reservoir_sample_per_segment",
+    "doc_concat_eos_offsets",
+    "bloom_membership_verdict",
+    "pysource_digest_rows",
+    "groupby_all_status_priority",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

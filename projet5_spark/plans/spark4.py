@@ -225,3 +225,86 @@ def listagg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM listagg_cust_v GROUP BY c_nationkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Python DataSource API (custom connector)
+# --------------------------------------------------------------------------
+
+_PYSOURCE_N = 1000
+
+
+@query(
+    "pysource_digest_rows",
+    oracle=f"""
+    WITH rows_gen AS (
+      SELECT i AS id,
+             substring(sha256(CAST(i AS VARCHAR)), 1, 8) AS dig
+      FROM range(0, {_PYSOURCE_N}) t(i))
+    SELECT CAST(CAST(('0x' || dig) AS UBIGINT) % 100 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM rows_gen GROUP BY bucket
+    """,
+)
+def pysource_digest_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a CUSTOM Python DataSource (``sources/pysource.py``,
+    format ``detrows``): the connector plans 8 input partitions on the
+    driver and each executor-side ``read()`` yields its row-id range —
+    the pure-Python connector surface for systems without a JVM reader.
+
+    Every emitted row is a closed-form function of its id (sha-256
+    digest prefix + bucket), so the oracle replays the generator with
+    ``range()`` in SQL and the hash gate certifies the connector's
+    partition planning, pickling, and row materialization end-to-end.
+    ``sf_dir`` is unused — the source is its own data."""
+    from ..sources.pysource import FORMAT_NAME, register
+
+    register(spark)
+    rows = (
+        spark.read.format(FORMAT_NAME)
+        .option("n", _PYSOURCE_N)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("id").cast("long").alias("min_id"),
+        F.max("id").cast("long").alias("max_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (SQL surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "groupby_all_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def groupby_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — the analyzer infers the
+    grouping (every non-aggregate select item) and the ordering (every
+    output column) instead of positional lists. Parser/analyzer surface
+    only: lowers to the classic plan the oracle spells out."""
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

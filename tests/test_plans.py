@@ -675,3 +675,66 @@ def test_listagg_segments_are_sorted(spark):
     for r in rows:
         parts = r["segments"].split(",")
         assert parts == sorted(parts)
+
+
+# --------------------------------------------------------------------------
+# Batch-7 battery (plans/analytics5.py, sources/pysource.py)
+# --------------------------------------------------------------------------
+
+
+def test_reservoir_uses_window_group_limit(spark):
+    """rank ≤ k over the stratum window must prune with per-partition
+    top-k heaps (WindowGroupLimit), not full-group sorts."""
+    plan = plan_of(spark, "reservoir_sample_per_segment")
+    assert "WindowGroupLimit" in plan, plan
+    out = QUERIES["reservoir_sample_per_segment"](spark, SF).collect()
+    from collections import Counter
+
+    per_seg = Counter(r["c_mktsegment"] for r in out)
+    assert all(v == 10 for v in per_seg.values())
+
+
+def test_concat_offsets_are_a_partition_of_the_corpus(spark):
+    """Spans must tile [0, total) without gaps or overlaps, in
+    (source, doc_id) order, each doc's width = n_tokens + 1 (EOS)."""
+    rows = sorted(
+        QUERIES["doc_concat_eos_offsets"](spark, SF).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    cursor = 0
+    for r in rows:
+        assert r["seq_start"] == cursor, (r, cursor)
+        assert r["seq_end"] == r["seq_start"] + r["n_tokens"] + 1
+        cursor = r["seq_end"]
+
+
+def test_bloom_guarantee_holds(spark):
+    """The Bloom contract: zero false negatives, always."""
+    r = QUERIES["bloom_membership_verdict"](spark, SF).collect()[0]
+    assert r["n_false_negatives"] == 0
+    assert r["n_members"] > 0 and r["n_non_members"] > 0
+    # FP rate should be small for a 1024-bit filter at fixture fill
+    assert r["n_false_positives"] <= 0.1 * r["n_non_members"]
+
+
+def test_pysource_partition_parallel_and_deterministic(spark):
+    """The Python DataSource must plan the requested partitions and
+    yield identical rows across reads."""
+    from projet5_spark.sources.pysource import FORMAT_NAME, register
+
+    register(spark)
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("n", 100)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b and len(a) == 100
+    import hashlib
+
+    i, dig, bucket = a[7]
+    assert dig == hashlib.sha256(str(i).encode()).hexdigest()[:8]
+    assert bucket == int(dig, 16) % 100
