@@ -20,9 +20,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -125,4 +130,94 @@ def batch_user_profiles(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(cents) / 100.0).alias("sum_value"),
         (F.coalesce(F.max("gap_us"), F.lit(0)) / 1e6).alias("max_gap_seconds"),
+    )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful API)
+# --------------------------------------------------------------------------
+
+TYPE_STATS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+class EventTypeStatsProcessor(StatefulProcessor):
+    """Per-event-type running stats through the ``transformWithState``
+    API — the Spark-4 successor of ``applyInPandasWithState``: state is
+    named and typed (``ValueState`` here; List/Map state and timers are
+    the richer surface), owned by a processor object with an explicit
+    lifecycle, and requires the RocksDB state store provider.
+
+    Accumulates integer cents (gridsum rationale) so micro-batch
+    boundaries can't drift the totals vs the batch twin."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState(
+            "agg", "n BIGINT, sum_cents BIGINT, max_cents BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import math
+
+        n, sum_cents, max_cents = (
+            self._agg.get() if self._agg.exists() else (0, 0, None)
+        )
+        for pdf in rows:
+            for value in pdf["value"]:
+                cents = math.floor(float(value) * 100 + 0.5)
+                n += 1
+                sum_cents += cents
+                max_cents = cents if max_cents is None else max(max_cents, cents)
+        self._agg.update((n, sum_cents, max_cents))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value": [sum_cents / 100.0],
+                "max_value": [max_cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_event_type_stats(events: DataFrame) -> DataFrame:
+    """Running per-type stats via ``transformWithStateInPandas``. The
+    session must use the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the API
+    requires it; the test sets and restores the conf.
+
+    Sandbox note: the API's driver-worker protocol imports
+    ``google.protobuf``, which this container lacks — the end-to-end
+    test importorskips on it (same gating as the MongoDB connector),
+    and the processor's fold logic is unit-tested with a fake handle
+    so the operator's algebra stays covered."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=EventTypeStatsProcessor(),
+            outputStructType=TYPE_STATS_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def batch_event_type_stats(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`streaming_event_type_stats`."""
+    from pyspark.sql import functions as F
+
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+        (F.max(cents) / 100.0).alias("max_value"),
     )

@@ -377,3 +377,98 @@ def test_disorder_profile_sizes_a_lossless_watermark(spark, tmp_path):
     sized = prof["max_lateness_s"] + 60
     assert dropped_rows(sized, "ck_ok") == 0, "profile-sized watermark lost events"
     assert dropped_rows(1, "ck_tight") > 0, "1s watermark should drop late events"
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (Spark-4 stateful API) per-type stats
+    must equal the batch aggregate twin after the replay completes. The
+    API requires the RocksDB state store provider (conf set for this
+    query and restored) AND protobuf for its driver-worker protocol —
+    skipped where protobuf is not installed (this sandbox), exactly like
+    the MongoDB connector gate."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.stateful import (
+        batch_event_type_stats,
+        streaming_event_type_stats,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, SF)
+        updates = run_to_completion(
+            streaming_event_type_stats(stream), "t_tws", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # update-mode memory sink keeps one row per key per micro-batch;
+    # the final profile per key is the one with the highest running n
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "event_type"
+    ).orderBy(F.desc("n_events"))
+    got = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    want = batch_event_type_stats(read_events(spark, SF))
+    assert _norm(got.select(*sorted(got.columns))) == _norm(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_transform_with_state_processor_logic_unit(spark):
+    """The StatefulProcessor's fold logic, driven directly with a fake
+    state handle across two simulated micro-batches — covers the
+    operator's algebra even where the protobuf wire protocol (previous
+    test) is unavailable."""
+    import math
+
+    import pandas as pd
+
+    from projet5_spark.streaming.stateful import EventTypeStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = EventTypeStatsProcessor()
+    proc.init(FakeHandle())
+    batch1 = pd.DataFrame({"value": [1.25, 2.50, 0.10]})
+    batch2 = pd.DataFrame({"value": [10.00, 0.05]})
+    list(proc.handleInputRows(("click",), iter([batch1]), None))
+    (out,) = list(proc.handleInputRows(("click",), iter([batch2]), None))
+    vals = [1.25, 2.50, 0.10, 10.00, 0.05]
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    assert out["n_events"][0] == len(vals)
+    assert out["sum_value"][0] == sum(cents) / 100.0
+    assert out["max_value"][0] == max(cents) / 100.0
