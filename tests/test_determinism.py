@@ -87,7 +87,7 @@ def test_oracle_tables_are_registered_views():
         unknown = {
             t.lower() for t in tables
         } - _ALLOWED_TABLES - {  # CTE names / keywords the crude regex catches
-            "unnest", "generate_subscripts", "null",
+            "unnest", "generate_subscripts", "generate_series", "range", "null",
         }
         for t in list(unknown):
             # names defined as CTEs or aliases inside the query itself
