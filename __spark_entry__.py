@@ -108,7 +108,9 @@ _FRONT = [
     # pipe_syntax_monthly_revenue, listagg_nation_segments,
     # reservoir_sample_per_segment, doc_concat_eos_offsets,
     # bloom_membership_verdict, pysource_digest_rows,
-    # groupby_all_status_priority) and any
+    # groupby_all_status_priority, basket_association_rules,
+    # rfm_segmentation, ab_test_zscore_verdict,
+    # churn_inactivity_profile) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

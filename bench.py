@@ -142,6 +142,10 @@ HEADLINE = [
     "bloom_membership_verdict",
     "pysource_digest_rows",
     "groupby_all_status_priority",
+    "basket_association_rules",
+    "rfm_segmentation",
+    "ab_test_zscore_verdict",
+    "churn_inactivity_profile",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

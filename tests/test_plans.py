@@ -738,3 +738,67 @@ def test_pysource_partition_parallel_and_deterministic(spark):
     i, dig, bucket = a[7]
     assert dig == hashlib.sha256(str(i).encode()).hexdigest()[:8]
     assert bucket == int(dig, 16) % 100
+
+
+# --------------------------------------------------------------------------
+# Batch-8 battery (plans/analytics6.py)
+# --------------------------------------------------------------------------
+
+
+def test_association_rules_invariants(spark):
+    """lift symmetry inputs: conf(a→b) = lift·P(b), supports within
+    (0, 1], ranks total-ordered."""
+    out = QUERIES["basket_association_rules"](spark, SF).collect()
+    assert 0 < len(out) <= 20
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        assert 0 < r["supp_micro"] <= 1_000_000
+        assert 0 < r["conf_ab_micro"] <= 1_000_000
+        assert 0 < r["conf_ba_micro"] <= 1_000_000
+        assert r["a"] < r["b"]
+
+
+def test_rfm_scores_cover_grid_and_mass(spark):
+    rows = QUERIES["rfm_segmentation"](spark, SF).collect()
+    n_customers = (
+        spark.read.parquet(f"{SF}/orders.parquet").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_customers
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+
+
+def test_ab_zscore_matches_scipy_style_reference(spark):
+    """z recomputed from raw values in pure Python/numpy."""
+    import math
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).select("event_type", "value").toPandas()
+
+    def arm(t):
+        v = [math.floor(x * 100 + 0.5) for x in ev[ev.event_type == t]["value"]]
+        n = len(v)
+        mean = sum(v) / n
+        var = sum((x - mean) ** 2 for x in v) / (n - 1)
+        return n, mean, var
+
+    nt, mt, vt = arm("click")
+    nc, mc, vc = arm("view")
+    z = (mt - mc) / math.sqrt(vt / nt + vc / nc)
+    r = QUERIES["ab_test_zscore_verdict"](spark, SF).collect()[0]
+    assert r["n_t"] == nt and r["n_c"] == nc
+    assert abs(r["z_micro"] / 1e6 - z) < 1e-3
+    assert r["significant"] == (abs(z) > 1.96)
+
+
+def test_churn_profile_partitions_users(spark):
+    from projet5_spark.sources.readers import read_events
+
+    rows = QUERIES["churn_inactivity_profile"](spark, SF).collect()
+    n_users = read_events(spark, SF).select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert r["churn_risk"] == (r["days_inactive"] >= 7)
