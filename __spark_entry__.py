@@ -110,7 +110,9 @@ _FRONT = [
     # bloom_membership_verdict, pysource_digest_rows,
     # groupby_all_status_priority, basket_association_rules,
     # rfm_segmentation, ab_test_zscore_verdict,
-    # churn_inactivity_profile) and any
+    # churn_inactivity_profile, hll_partition_union_verdict,
+    # skyline_pareto_parts, table_content_checksum,
+    # embedding_int8_quant_error, event_path_trigrams) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -146,6 +146,11 @@ HEADLINE = [
     "rfm_segmentation",
     "ab_test_zscore_verdict",
     "churn_inactivity_profile",
+    "hll_partition_union_verdict",
+    "skyline_pareto_parts",
+    "table_content_checksum",
+    "embedding_int8_quant_error",
+    "event_path_trigrams",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -29,5 +29,6 @@ from . import analytics4  # noqa: E402,F401
 from . import spark4  # noqa: E402,F401
 from . import analytics5  # noqa: E402,F401
 from . import analytics6  # noqa: E402,F401
+from . import analytics7  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

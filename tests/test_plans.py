@@ -802,3 +802,86 @@ def test_churn_profile_partitions_users(spark):
     assert sum(r["n_users"] for r in rows) == n_users
     for r in rows:
         assert r["churn_risk"] == (r["days_inactive"] >= 7)
+
+
+# --------------------------------------------------------------------------
+# Batch-9 battery (plans/analytics7.py)
+# --------------------------------------------------------------------------
+
+
+def test_skyline_matches_naive_dominance(spark):
+    """Sort-scan frontier must equal the quadratic NOT-EXISTS definition
+    computed directly in Python."""
+    parts = [
+        (r["p_partkey"], int(r["p_retailprice"] * 100 + 0.5), r["p_size"])
+        for r in spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    naive = {
+        k
+        for (k, pr, sz) in parts
+        if not any(
+            qp <= pr and qs <= sz and (qp < pr or qs < sz)
+            for (_, qp, qs) in parts
+        )
+    }
+    got = {
+        r["p_partkey"] for r in QUERIES["skyline_pareto_parts"](spark, SF).collect()
+    }
+    assert got == naive and got
+
+
+def test_table_checksum_detects_any_row_change(spark):
+    """Checksum must be order-independent but content-sensitive."""
+    base = QUERIES["table_content_checksum"](spark, SF).collect()[0]
+    # order independence: shuffled input produces the identical checksum
+    from projet5_spark.plans.analytics7 import _CHECKSUM_COLS_SPARK
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    h32 = (
+        F.conv(
+            F.substring(F.sha2(F.expr(_CHECKSUM_COLS_SPARK), 256), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .alias("h32")
+    )
+    shuffled = (
+        orders.repartition(7)
+        .select(h32)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h32").cast("long").alias("sum_h32"),
+            F.bit_xor("h32").cast("long").alias("xor_h32"),
+        )
+        .collect()[0]
+    )
+    assert tuple(shuffled) == tuple(base)
+    # content sensitivity: dropping one row flips sum (and usually xor)
+    one_less = (
+        orders.where(F.col("o_orderkey") != orders.select("o_orderkey").first()[0])
+        .select(h32)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h32").cast("long").alias("sum_h32"),
+            F.bit_xor("h32").cast("long").alias("xor_h32"),
+        )
+        .collect()[0]
+    )
+    assert one_less["n_rows"] == base["n_rows"] - 1
+    assert one_less["sum_h32"] != base["sum_h32"]
+
+
+def test_hll_verdict_all_within_tolerance(spark):
+    rows = QUERIES["hll_partition_union_verdict"](spark, SF).collect()
+    assert any(r["month"] == "ALL" for r in rows)
+    assert all(r["within_5pct"] for r in rows)
+
+
+def test_int8_quant_error_bounded_by_step(spark):
+    """Round-to-nearest int8 error per element is ≤ scale/254, so
+    MSE ≤ (scale/254)² — check the bound for every vector."""
+    for r in QUERIES["embedding_int8_quant_error"](spark, SF).collect():
+        scale = r["scale_micro"] / 1e6
+        mse = r["mse_femto"] / 1e15
+        assert mse <= (scale / 254.0) ** 2 * 1.001 + 1e-12, r
