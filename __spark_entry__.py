@@ -112,7 +112,10 @@ _FRONT = [
     # rfm_segmentation, ab_test_zscore_verdict,
     # churn_inactivity_profile, hll_partition_union_verdict,
     # skyline_pareto_parts, table_content_checksum,
-    # embedding_int8_quant_error, event_path_trigrams) and any
+    # embedding_int8_quant_error, event_path_trigrams,
+    # cusum_changepoint_events, seasonal_hourly_profile,
+    # acf_lag1_hourly_by_type, tokenizer_fertility_by_lang,
+    # doc_length_trim_stats) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -151,6 +151,11 @@ HEADLINE = [
     "table_content_checksum",
     "embedding_int8_quant_error",
     "event_path_trigrams",
+    "cusum_changepoint_events",
+    "seasonal_hourly_profile",
+    "acf_lag1_hourly_by_type",
+    "tokenizer_fertility_by_lang",
+    "doc_length_trim_stats",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

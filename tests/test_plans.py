@@ -885,3 +885,84 @@ def test_int8_quant_error_bounded_by_step(spark):
         scale = r["scale_micro"] / 1e6
         mse = r["mse_femto"] / 1e15
         assert mse <= (scale / 254.0) ** 2 * 1.001 + 1e-12, r
+
+
+# --------------------------------------------------------------------------
+# Batch-10 battery (plans/analytics8.py)
+# --------------------------------------------------------------------------
+
+
+def test_cusum_matches_numpy_argmax(spark):
+    """Changepoint hour recomputed with a direct numpy cumsum."""
+    import numpy as np
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = (
+        read_events(spark, SF)
+        .select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("h"),
+            F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["cusum_changepoint_events"](spark, SF).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        hourly = grp.groupby("h")["cents"].sum().sort_index()
+        s = np.cumsum(hourly.to_numpy() - hourly.mean())
+        i = int(np.argmax(np.abs(s)))
+        # ties broken by hour asc: numpy argmax takes the first too
+        assert got[et]["changepoint_hour"] == hourly.index[i], et
+        assert got[et]["n_hours"] == len(hourly)
+
+
+def test_seasonal_devs_sum_to_zero_weighted(spark):
+    """Σ n·seasonal_dev ≈ 0 per type (means decompose additively)."""
+    rows = QUERIES["seasonal_hourly_profile"](spark, SF).collect()
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    tot = defaultdict(int)
+    for r in rows:
+        acc[r["event_type"]] += r["n"] * r["seasonal_dev"]
+        tot[r["event_type"]] += r["n"]
+    for et, s in acc.items():
+        # 1e-4 floor grid → worst-case drift ≈ cells · 1e-4 · n
+        assert abs(s) <= tot[et] * 2e-4, (et, s)
+
+
+def test_acf1_in_range_and_matches_numpy(spark):
+    import numpy as np
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = (
+        read_events(spark, SF)
+        .select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("h"),
+            F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .toPandas()
+    )
+    got = {
+        r["event_type"]: r["acf1_micro"] / 1e6
+        for r in QUERIES["acf_lag1_hourly_by_type"](spark, SF).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        hourly = grp.groupby("h")["cents"].sum().sort_index().to_numpy()
+        x, y = hourly[:-1].astype(float), hourly[1:].astype(float)
+        r = np.corrcoef(x, y)[0, 1]
+        assert -1.0 <= got[et] <= 1.0
+        assert abs(got[et] - r) < 1e-4, (et, got[et], r)
+
+
+def test_length_trim_keeps_about_ninety_percent(spark):
+    rows = QUERIES["doc_length_trim_stats"](spark, SF).collect()
+    n = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert 0.85 <= kept / n <= 0.95
