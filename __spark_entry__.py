@@ -115,7 +115,9 @@ _FRONT = [
     # embedding_int8_quant_error, event_path_trigrams,
     # cusum_changepoint_events, seasonal_hourly_profile,
     # acf_lag1_hourly_by_type, tokenizer_fertility_by_lang,
-    # doc_length_trim_stats) and any
+    # doc_length_trim_stats, winnowing_fingerprints,
+    # ngram_novelty_decay, cdc_batch_conflicts,
+    # groupingsets_dfapi_region_nation) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

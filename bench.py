@@ -156,6 +156,10 @@ HEADLINE = [
     "acf_lag1_hourly_by_type",
     "tokenizer_fertility_by_lang",
     "doc_length_trim_stats",
+    "winnowing_fingerprints",
+    "ngram_novelty_decay",
+    "cdc_batch_conflicts",
+    "groupingsets_dfapi_region_nation",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -31,5 +31,6 @@ from . import analytics5  # noqa: E402,F401
 from . import analytics6  # noqa: E402,F401
 from . import analytics7  # noqa: E402,F401
 from . import analytics8  # noqa: E402,F401
+from . import analytics9  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
