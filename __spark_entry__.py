@@ -117,7 +117,9 @@ _FRONT = [
     # acf_lag1_hourly_by_type, tokenizer_fertility_by_lang,
     # doc_length_trim_stats, winnowing_fingerprints,
     # ngram_novelty_decay, cdc_batch_conflicts,
-    # groupingsets_dfapi_region_nation) and any
+    # groupingsets_dfapi_region_nation, ks_test_event_values,
+    # psi_population_stability, chi_square_status_priority,
+    # gini_revenue_concentration) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

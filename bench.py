@@ -160,6 +160,10 @@ HEADLINE = [
     "ngram_novelty_decay",
     "cdc_batch_conflicts",
     "groupingsets_dfapi_region_nation",
+    "ks_test_event_values",
+    "psi_population_stability",
+    "chi_square_status_priority",
+    "gini_revenue_concentration",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -32,5 +32,6 @@ from . import analytics6  # noqa: E402,F401
 from . import analytics7  # noqa: E402,F401
 from . import analytics8  # noqa: E402,F401
 from . import analytics9  # noqa: E402,F401
+from . import analytics10  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -1045,3 +1045,80 @@ def test_groupingsets_dfapi_has_three_granularities(spark):
     grand = [r for r in rows if r["r_name"] is None and r["n_name"] is None]
     assert both and region_only and len(grand) == 1
     assert grand[0]["n_customers"] == sum(r["n_customers"] for r in both)
+
+
+# --------------------------------------------------------------------------
+# Batch-12 battery (plans/analytics10.py)
+# --------------------------------------------------------------------------
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    """D recomputed from raw cents with a direct two-pointer ECDF scan."""
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).select("event_type", "value").toPandas()
+
+    def cents(t):
+        return sorted(
+            int(v * 100 + 0.5) for v in ev[ev.event_type == t]["value"]
+        )
+
+    a, b = cents("click"), cents("view")
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in grid
+    )
+    r = QUERIES["ks_test_event_values"](spark, SF).collect()[0]
+    assert r["na"] == len(a) and r["nb"] == len(b)
+    assert abs(r["ks_d_micro"] / 1e6 - d) < 2e-6
+
+
+def test_psi_nonnegative_and_binned(spark):
+    r = QUERIES["psi_population_stability"](spark, SF).collect()[0]
+    # PSI is a sum of (p-q)(ln p - ln q) terms — each nonnegative
+    assert r["psi_nano"] >= 0
+    assert 1 <= r["n_bins"] <= 10
+
+
+def test_chi2_matches_pandas_contingency(spark):
+    import pandas as pd
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderstatus", "o_orderpriority"
+    ).toPandas()
+    ct = pd.crosstab(orders["o_orderstatus"], orders["o_orderpriority"])
+    n = ct.values.sum()
+    e = ct.sum(axis=1).values[:, None] * ct.sum(axis=0).values[None, :] / n
+    chi2 = ((ct.values - e) ** 2 / e).sum()
+    r = QUERIES["chi_square_status_priority"](spark, SF).collect()[0]
+    assert r["n_cells"] == (ct.values > 0).size
+    assert abs(r["chi2_micro"] / 1e6 - chi2) < 1e-3
+
+
+def test_gini_matches_direct_formula(spark):
+    import numpy as np
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    cents = (
+        (orders["o_totalprice"] * 100 + 0.5)
+        .apply(int)
+        .groupby(orders["o_custkey"])
+        .sum()
+        .sort_values(kind="stable")
+        .to_numpy()
+    )
+    n = len(cents)
+    i = np.arange(1, n + 1)
+    g = 2.0 * (i * cents).sum() / (n * cents.sum()) - (n + 1.0) / n
+    r = QUERIES["gini_revenue_concentration"](spark, SF).collect()[0]
+    assert r["n"] == n
+    assert abs(r["gini_micro"] / 1e6 - g) < 1e-5
+    assert 0.0 <= r["gini_micro"] / 1e6 <= 1.0
