@@ -119,7 +119,9 @@ _FRONT = [
     # ngram_novelty_decay, cdc_batch_conflicts,
     # groupingsets_dfapi_region_nation, ks_test_event_values,
     # psi_population_stability, chi_square_status_priority,
-    # gini_revenue_concentration) and any
+    # gini_revenue_concentration, bm25_topk_docs,
+    # tfidf_cosine_pairs_topk, spatial_grid_join_profile,
+    # fd_audit_g3, hc_l_diversity_audit) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -164,6 +164,11 @@ HEADLINE = [
     "psi_population_stability",
     "chi_square_status_priority",
     "gini_revenue_concentration",
+    "bm25_topk_docs",
+    "tfidf_cosine_pairs_topk",
+    "spatial_grid_join_profile",
+    "fd_audit_g3",
+    "hc_l_diversity_audit",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

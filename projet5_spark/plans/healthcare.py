@@ -386,3 +386,59 @@ def hc_k_anonymity_audit(spark, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n") < _K_ANON).alias("below_k"),
     )
+
+
+_L_DIV = 3
+
+
+@query(
+    "hc_l_diversity_audit",
+    oracle=f"""
+    WITH raw AS (SELECT DISTINCT o_custkey % 400 AS pid FROM orders),
+    p AS (SELECT pid, {_P_ATTRS} FROM raw),
+    cells AS (
+      SELECT CAST(floor(age / 10) * 10 AS BIGINT) AS age_band, gender,
+             count(*) AS n,
+             count(DISTINCT blood_type) AS l
+      FROM p GROUP BY 1, 2)
+    SELECT age_band, gender,
+           CAST(n AS BIGINT) AS n,
+           CAST(l AS BIGINT) AS l,
+           l < {_L_DIV} AS below_l
+    FROM cells
+    """,
+)
+def hc_l_diversity_audit(spark, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the patients dimension — the companion
+    privacy check to :func:`hc_k_anonymity_audit`: a quasi-identifier
+    cell (age band × gender) can satisfy k-anonymity yet still leak the
+    sensitive attribute if every member shares one value, so each cell
+    must contain at least l distinct sensitive values (blood type here).
+
+    Same single hash aggregate as the k-audit with a count-distinct per
+    cell; count-distinct over an 8-value domain is a tiny exact state
+    (at scale Spark's partial aggregation keeps it a set of ≤8 entries
+    per cell, no HLL needed). Cells below l get flagged for suppression
+    or coarser generalization."""
+    res = healthcare_pipeline(
+        healthcare_raw_from_orders(spark, sf_dir), ordinal_col="__ord"
+    )
+    cells = (
+        res.patients.select(
+            (F.floor(F.col("age") / 10) * 10).cast("long").alias("age_band"),
+            "gender",
+            "blood_type",
+        )
+        .groupBy("age_band", "gender")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("blood_type").alias("l"),
+        )
+    )
+    return cells.select(
+        "age_band",
+        "gender",
+        F.col("n").cast("long").alias("n"),
+        F.col("l").cast("long").alias("l"),
+        (F.col("l") < _L_DIV).alias("below_l"),
+    )

@@ -1122,3 +1122,103 @@ def test_gini_matches_direct_formula(spark):
     assert r["n"] == n
     assert abs(r["gini_micro"] / 1e6 - g) < 1e-5
     assert 0.0 <= r["gini_micro"] / 1e6 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# batch-13 battery: BM25, TF-IDF cosine, spatial grid join, FD audit,
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_direct_formula(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    terms = ("spark", "merge", "window")
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    scores = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log((2 * n_docs - 2 * df[t] + 1) / (2 * df[t] + 1))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if s != 0.0:
+            scores[d] = s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = QUERIES["bm25_topk_docs"](spark, SF).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        # deterministic log truncation ≈1e-7 relative; scores are O(1)
+        assert abs(r["score_micro"] / 1e6 - s) < 1e-3
+
+
+def test_tfidf_cosine_pairs_bounded_and_symmetric_free(spark):
+    rows = QUERIES["tfidf_cosine_pairs_topk"](spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]  # each unordered pair once
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert -1_000_000 <= r["cos_micro"] <= 1_000_000  # cosine in [-1, 1]
+    # descending by similarity
+    sims = [r["cos_micro"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_spatial_grid_profile_matches_brute_force(spark):
+    pts = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey"
+    ).toPandas()["c_custkey"]
+    xy = [(k * 2654435761 % 36000, k * 2246822519 % 18000) for k in pts]
+    r = QUERIES["spatial_grid_join_profile"](spark, SF).collect()[0]
+    assert r["n_points"] == len(xy)
+    # brute-force the within-radius count: cell edge == radius means the
+    # 3x3 neighborhood can't miss any pair within r
+    within = 0
+    min_d2 = None
+    for i in range(len(xy)):
+        for j in range(i + 1, len(xy)):
+            d2 = (xy[i][0] - xy[j][0]) ** 2 + (xy[i][1] - xy[j][1]) ** 2
+            if d2 <= 2000 * 2000:
+                within += 1
+    assert r["pairs_within_r"] == within
+    assert r["candidate_pairs"] >= within
+    assert r["max_cell_pop"] >= 1
+
+
+def test_fd_audit_control_row_holds(spark):
+    rows = {r["fd"]: r for r in QUERIES["fd_audit_g3"](spark, SF).collect()}
+    # the nation->region FD is exact in TPC-H: zero violations
+    ctrl = rows["nation_key->region_key"]
+    assert ctrl["violations"] == 0 and ctrl["g3_micro"] == 0
+    for r in rows.values():
+        assert 0 <= r["violations"] < r["n_rows"]
+        assert 0 <= r["g3_micro"] < 1_000_000
+        # violations == n_rows - sum of per-key maxima >= n_rows - ... and
+        # a key can keep at least one row: violations <= n_rows - n_keys
+        assert r["violations"] <= r["n_rows"] - r["n_keys"]
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    ldiv = QUERIES["hc_l_diversity_audit"](spark, SF).collect()
+    for r in ldiv:
+        assert 1 <= r["l"] <= 8  # 8 blood types in the domain
+        assert r["l"] <= r["n"]
+        assert r["below_l"] == (r["l"] < 3)
+    # cells are the (age_band, gender) marginals of the k-anonymity cells
+    kan = QUERIES["hc_k_anonymity_audit"](spark, SF).collect()
+    marg = {}
+    for r in kan:
+        marg[(r["age_band"], r["gender"])] = marg.get(
+            (r["age_band"], r["gender"]), 0
+        ) + r["n"]
+    assert {(r["age_band"], r["gender"]): r["n"] for r in ldiv} == marg
