@@ -121,7 +121,10 @@ _FRONT = [
     # psi_population_stability, chi_square_status_priority,
     # gini_revenue_concentration, bm25_topk_docs,
     # tfidf_cosine_pairs_topk, spatial_grid_join_profile,
-    # fd_audit_g3, hc_l_diversity_audit) and any
+    # fd_audit_g3, hc_l_diversity_audit, lang_confusion_matrix,
+    # embedding_covariance_topvar, orders_open_backlog_by_month,
+    # partition_merkle_digests, zonemap_pruning_audit,
+    # golden_record_survivorship) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

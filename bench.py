@@ -169,6 +169,12 @@ HEADLINE = [
     "spatial_grid_join_profile",
     "fd_audit_g3",
     "hc_l_diversity_audit",
+    "lang_confusion_matrix",
+    "embedding_covariance_topvar",
+    "orders_open_backlog_by_month",
+    "partition_merkle_digests",
+    "zonemap_pruning_audit",
+    "golden_record_survivorship",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

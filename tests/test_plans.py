@@ -1222,3 +1222,84 @@ def test_l_diversity_consistent_with_k_anonymity(spark):
             (r["age_band"], r["gender"]), 0
         ) + r["n"]
     assert {(r["age_band"], r["gender"]): r["n"] for r in ldiv} == marg
+
+
+# ---------------------------------------------------------------------------
+# batch-14 battery: confusion matrix, covariance, backlog sweep-line,
+# Merkle digests, zone-map audit, survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_lang_confusion_matrix_totals(spark):
+    rows = QUERIES["lang_confusion_matrix"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # diagonal + off-diagonal cells both exist in the synthetic fixture
+    labels = {r["labeled_lang"] for r in rows}
+    assert labels == {"en", "fr", "de", "es", "zh"}
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "embedding"
+    ).toPandas()["embedding"]
+    m = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+    rows = QUERIES["embedding_covariance_topvar"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        cov = (m[:, i] * m[:, j]).mean() - m[:, i].mean() * m[:, j].mean()
+        # micro-grid flooring on sums introduces ~1e-6-scale error
+        assert abs(r["cov_nano"] / 1e9 - cov) < 1e-5
+    mags = [abs(r["cov_nano"]) for r in rows]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_backlog_sweepline_nonnegative_and_conserved(spark):
+    rows = QUERIES["orders_open_backlog_by_month"](spark, SF).collect()
+    assert rows, "backlog must cover the order date range"
+    for r in rows:
+        assert r["max_open"] >= r["eom_open"] >= 0
+    # after the last close event every order is closed again: final month
+    # ends at 0 open
+    assert rows[-1]["eom_open"] == 0
+
+
+def test_merkle_digests_roll_up_to_table_checksum(spark):
+    buckets = QUERIES["partition_merkle_digests"](spark, SF).collect()
+    total = QUERIES["table_content_checksum"](spark, SF).collect()[0]
+    assert len(buckets) == 16
+    assert sum(b["n_rows"] for b in buckets) == total["n_rows"]
+    assert sum(b["sum_h32"] for b in buckets) == total["sum_h32"]
+    xor = 0
+    for b in buckets:
+        xor ^= b["xor_h32"]
+    assert xor == total["xor_h32"]
+
+
+def test_zonemap_sorted_layout_prunes_more(spark):
+    rows = {r["layout"]: r for r in QUERIES["zonemap_pruning_audit"](spark, SF).collect()}
+    assert rows["natural"]["n_files"] == rows["sorted"]["n_files"] == 32
+    # the sorted layout must dominate: more prunable files, smaller scan
+    assert rows["sorted"]["prunable"] > rows["natural"]["prunable"]
+    assert rows["sorted"]["scan_frac_micro"] < rows["natural"]["scan_frac_micro"]
+
+
+def test_golden_record_survivor_dominates_cluster(spark):
+    import pandas as pd
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    cust["cluster_id"] = cust["c_custkey"] % 500
+    rows = QUERIES["golden_record_survivorship"](spark, SF).collect()
+    by_cluster = dict(cust.groupby("cluster_id").size())
+    assert len(rows) == len(by_cluster)
+    for r in rows[:50]:
+        members = cust[cust["cluster_id"] == r["cluster_id"]]
+        assert r["n_members"] == len(members)
+        best = members.sort_values(
+            by=["c_acctbal", "c_custkey"], ascending=False, kind="mergesort"
+        ).iloc[0]
+        # fixture has no null segments, so balance decides
+        assert r["golden_key"] == best["c_custkey"]
