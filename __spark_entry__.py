@@ -124,7 +124,9 @@ _FRONT = [
     # fd_audit_g3, hc_l_diversity_audit, lang_confusion_matrix,
     # embedding_covariance_topvar, orders_open_backlog_by_month,
     # partition_merkle_digests, zonemap_pruning_audit,
-    # golden_record_survivorship) and any
+    # golden_record_survivorship, woe_iv_price_bins,
+    # minhash_jaccard_estimate_gate, vocab_oov_rate_by_source,
+    # graph_strength_assortativity, join_size_estimate_audit) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

@@ -175,6 +175,11 @@ HEADLINE = [
     "partition_merkle_digests",
     "zonemap_pruning_audit",
     "golden_record_survivorship",
+    "woe_iv_price_bins",
+    "minhash_jaccard_estimate_gate",
+    "vocab_oov_rate_by_source",
+    "graph_strength_assortativity",
+    "join_size_estimate_audit",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

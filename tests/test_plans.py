@@ -1303,3 +1303,104 @@ def test_golden_record_survivor_dominates_cluster(spark):
         ).iloc[0]
         # fixture has no null segments, so balance decides
         assert r["golden_key"] == best["c_custkey"]
+
+
+# ---------------------------------------------------------------------------
+# batch-15 battery: WOE/IV, MinHash gate, OOV rate, assortativity,
+# join-size estimate
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_matches_direct_formula(spark):
+    import math
+
+    import pandas as pd
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_totalprice", "o_orderpriority"
+    ).toPandas()
+    cents = (orders["o_totalprice"] * 100 + 0.5).apply(int)
+    good = orders["o_orderpriority"] == "1-URGENT"
+    cuts = [cents.quantile(i / 10, interpolation="linear") for i in range(1, 10)]
+    bins = cents.apply(lambda c: sum(1 for q in cuts if q < c))
+    rows = QUERIES["woe_iv_price_bins"](spark, SF).collect()
+    gt, bt = int(good.sum()), int((~good).sum())
+    for r in rows:
+        mask = bins == r["bin"]
+        g, b = int(good[mask].sum()), int((~good)[mask].sum())
+        assert (r["good"], r["bad"]) == (g, b)
+        woe = math.log(g * bt) - math.log(b * gt)
+        assert abs(r["woe_nano"] / 1e9 - woe) < 1e-5
+        iv = (g / gt - b / bt) * woe
+        assert abs(r["iv_nano"] / 1e9 - iv) < 1e-5
+
+
+def test_minhash_gate_estimates_within_bound(spark):
+    rows = QUERIES["minhash_jaccard_estimate_gate"](spark, SF).collect()
+    assert len(rows) == 20 * 19 // 2
+    ok = sum(1 for r in rows if r["within_3sigma"])
+    # 3-sigma bound: essentially all pairs must land inside
+    assert ok / len(rows) > 0.97
+    for r in rows:
+        assert 0 <= r["est_milli"] <= 1000
+        assert 0 <= r["exact_milli"] <= 1000
+
+
+def test_vocab_oov_rate_bounds(spark):
+    rows = QUERIES["vocab_oov_rate_by_source"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["oov_tokens"] <= r["n_tokens"]
+        assert 0 <= r["oov_micro"] < 1_000_000
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    m = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    m = m[m["c_nationkey"] != m["s_nationkey"]]
+    ed = m.groupby(["c_nationkey", "s_nationkey"]).size().reset_index(name="w")
+    und = pd.concat([
+        ed.rename(columns={"c_nationkey": "u", "s_nationkey": "v"}),
+        ed.rename(columns={"s_nationkey": "u", "c_nationkey": "v"}),
+    ])
+    st = und.groupby("u")["w"].sum()
+    x = und["u"].map(st).to_numpy(dtype=np.float64)
+    y = und["v"].map(st).to_numpy(dtype=np.float64)
+    r_expected = np.corrcoef(x, y)[0, 1]
+    r = QUERIES["graph_strength_assortativity"](spark, SF).collect()[0]
+    assert r["n"] == len(und)
+    assert abs(r["assortativity_micro"] / 1e6 - r_expected) < 1e-5
+    assert -1.0 <= r["assortativity_micro"] / 1e6 <= 1.0
+
+
+def test_join_size_estimate_actual_is_exact(spark):
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderdate"
+    ).toPandas()
+    c = o.groupby("o_orderdate").size()
+    r = QUERIES["join_size_estimate_audit"](spark, SF).collect()[0]
+    assert r["n_keys"] == len(c)
+    assert r["actual"] == int((c**2).sum())
+    assert r["est"] > 0
+    # near-uniform date distribution: the estimate should be tight
+    assert r["rel_err_micro"] < 200_000  # < 20% error
