@@ -126,7 +126,9 @@ _FRONT = [
     # partition_merkle_digests, zonemap_pruning_audit,
     # golden_record_survivorship, woe_iv_price_bins,
     # minhash_jaccard_estimate_gate, vocab_oov_rate_by_source,
-    # graph_strength_assortativity, join_size_estimate_audit) and any
+    # graph_strength_assortativity, join_size_estimate_audit,
+    # symspell_fuzzy_name_match, twap_event_values_daily,
+    # cycle_time_percentiles_by_priority) and any
     # round-6 additions; they
     # currently live in registration order below the 50-query prefix.
 ]

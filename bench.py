@@ -180,6 +180,9 @@ HEADLINE = [
     "vocab_oov_rate_by_source",
     "graph_strength_assortativity",
     "join_size_estimate_audit",
+    "symspell_fuzzy_name_match",
+    "twap_event_values_daily",
+    "cycle_time_percentiles_by_priority",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -36,5 +36,6 @@ from . import analytics10  # noqa: E402,F401
 from . import analytics11  # noqa: E402,F401
 from . import analytics12  # noqa: E402,F401
 from . import analytics13  # noqa: E402,F401
+from . import analytics14  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

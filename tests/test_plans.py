@@ -1404,3 +1404,72 @@ def test_join_size_estimate_actual_is_exact(spark):
     assert r["est"] > 0
     # near-uniform date distribution: the estimate should be tight
     assert r["rel_err_micro"] < 200_000  # < 20% error
+
+
+# ---------------------------------------------------------------------------
+# batch-16 battery: SymSpell fuzzy match, TWAP, cycle-time percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_symspell_finds_all_distance1_pairs(spark):
+    import pandas as pd
+
+    names = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name"
+    ).toPandas()
+    rows = QUERIES["symspell_fuzzy_name_match"](spark, SF).collect()
+
+    def lev1(a, b):
+        # same-length strings: distance 1 iff exactly one differing char;
+        # fixture names are fixed-width so this brute force is exact
+        if len(a) == len(b):
+            return sum(1 for x, y in zip(a, b) if x != y) <= 1
+        return False
+
+    expected = set()
+    recs = list(names.itertuples())
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            lo, hi = sorted((a.c_custkey, b.c_custkey))
+            if lev1(a.c_name, b.c_name):
+                expected.add((lo, hi))
+    got = {(r["key_a"], r["key_b"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r["lev"] <= 1
+
+
+def test_twap_matches_direct_computation(spark):
+    import pandas as pd
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "user_id", "CAST(ts AS DATE) AS day", "unix_micros(ts) AS us",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents"
+    ).toPandas()
+    rows = QUERIES["twap_event_values_daily"](spark, SF).collect()
+    by_key = {(r["user_id"], r["day"]): r for r in rows}
+    checked = 0
+    for (u, d), g in list(ev.groupby(["user_id", "day"]))[:40]:
+        g = g.sort_values(["us", "cents"], kind="mergesort")
+        dur = g["us"].shift(-1) - g["us"]
+        mask = dur.notna()
+        if not mask.any() or dur[mask].sum() == 0:
+            continue
+        wsum = int((g["cents"][mask] * dur[mask]).sum())
+        wtot = int(dur[mask].sum())
+        r = by_key[(u, str(d))]
+        assert r["twap_centi"] == wsum // wtot
+        assert r["n_events"] == int(mask.sum())
+        checked += 1
+    assert checked > 10
+
+
+def test_cycle_time_percentiles_ordered(spark):
+    rows = QUERIES["cycle_time_percentiles_by_priority"](spark, SF).collect()
+    assert len(rows) == 5  # five TPC-H priorities
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+        assert r["n_orders"] > 0
