@@ -232,26 +232,14 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (order-independent), and the final cosine uses one exact
     division and IEEE-exact ``sqrt`` per side, identical cross-engine.
     Top-k carries a (doc_a, doc_b) tie-break."""
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size("toks") - F.lit(3), F.lit(-1))
-                ),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i + F.lit(1)),
-                    F.element_at("toks", i + F.lit(2)),
-                    F.element_at("toks", i + F.lit(3)),
-                ),
-            )
-        ).alias("s"),
-    )
+    from .llm import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,
+    # vs the interpreted explode(transform(...)) HOF whose generator
+    # re-evaluates the child per output row — O(shingles²) per document.
+    shingles = shingle_rows(spark, docs)
     tf = shingles.groupBy("doc_id", "s").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
