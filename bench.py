@@ -183,6 +183,12 @@ HEADLINE = [
     "symspell_fuzzy_name_match",
     "twap_event_values_daily",
     "cycle_time_percentiles_by_priority",
+    "ohlc_daily_event_bars",
+    "orderkey_gap_ranges",
+    "weighted_median_price_by_flag",
+    "rle_run_profile_lineitem",
+    "dict_encoding_advisor_lineitem",
+    "mann_kendall_trend_events",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

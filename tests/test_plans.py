@@ -1473,3 +1473,115 @@ def test_cycle_time_percentiles_ordered(spark):
     for r in rows:
         assert 0 <= r["p50_days"] <= r["p90_days"] <= r["p99_days"]
         assert r["n_orders"] > 0
+
+
+# ---------------------------------------------------------------------------
+# batch-17 battery: OHLC bars, gap ranges, weighted median, layout advisors,
+# Mann-Kendall trend
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_bars_match_direct_computation(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "event_type", "CAST(ts AS DATE) AS day", "unix_micros(ts) AS us",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents"
+    ).toPandas()
+    rows = QUERIES["ohlc_daily_event_bars"](spark, SF).collect()
+    by_key = {(r["event_type"], r["day"]): r for r in rows}
+    checked = 0
+    for (t, d), g in list(ev.groupby(["event_type", "day"]))[:40]:
+        g = g.sort_values(["us", "cents"], kind="mergesort")
+        r = by_key[(t, str(d))]
+        assert r["open_centi"] == int(g["cents"].iloc[0])
+        assert r["close_centi"] == int(g["cents"].iloc[-1])
+        assert r["high_centi"] == int(g["cents"].max())
+        assert r["low_centi"] == int(g["cents"].min())
+        assert r["n_events"] == len(g)
+        checked += 1
+    assert checked > 10
+
+
+def test_gap_ranges_reconstruct_missing_keys(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    keys = sorted(o.loc[o["o_orderstatus"] == "O", "o_orderkey"])
+    missing = set(range(keys[0], keys[-1] + 1)) - set(keys)
+    rows = QUERIES["orderkey_gap_ranges"](spark, SF).collect()
+    got = set()
+    for r in rows:
+        assert r["gap_len"] == r["gap_end"] - r["gap_start"] + 1
+        got.update(range(r["gap_start"], r["gap_end"] + 1))
+    assert got == missing
+    # ranges are maximal: consecutive ranges never touch
+    starts = [r["gap_start"] for r in rows]
+    ends = [r["gap_end"] for r in rows]
+    assert all(s > e + 1 for s, e in zip(starts[1:], ends))
+
+
+def test_weighted_median_definition(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li["cents"] = (li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    li["wq"] = li["l_quantity"].astype("int64")
+    rows = QUERIES["weighted_median_price_by_flag"](spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        g = li[li["l_returnflag"] == r["flag"]].sort_values("cents")
+        tot = int(g["wq"].sum())
+        assert r["total_weight"] == tot
+        cum = g.groupby("cents")["wq"].sum().sort_index().cumsum()
+        expect = int(cum[2 * cum >= tot].index[0])
+        assert r["wmedian_centi"] == expect
+
+
+def test_rle_profile_counts_runs(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+    rows = {r["col"]: r for r in QUERIES["rle_run_profile_lineitem"](spark, SF).collect()}
+    for col in ("l_returnflag", "l_linestatus", "l_quantity"):
+        runs = 0
+        for _, g in li.groupby("l_orderkey"):
+            v = g[col].tolist()
+            runs += 1 + sum(1 for a, b in zip(v, v[1:]) if a != b)
+        r = rows[col]
+        assert r["n_runs"] == runs
+        assert r["n_rows"] == len(li)
+        assert r["avg_run_len_micro"] == int(len(li) * 1e6 / runs)
+
+
+def test_dict_advisor_ndv_and_advice(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    rows = {r["col"]: r for r in
+            QUERIES["dict_encoding_advisor_lineitem"](spark, SF).collect()}
+    for col in ("l_returnflag", "l_linestatus", "l_shipdate", "l_partkey"):
+        r = rows[col]
+        ndv = li[col].nunique()
+        assert r["ndv"] == ndv
+        if ndv <= 256:
+            assert r["advice"] == "DICT8"
+        elif ndv <= 65536:
+            assert r["advice"] == "DICT16"
+    assert rows["l_returnflag"]["advice"] == "DICT8"
+
+
+def test_mann_kendall_sign_sum(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "event_type", "CAST(ts AS DATE) AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents"
+    ).toPandas()
+    daily = ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    rows = QUERIES["mann_kendall_trend_events"](spark, SF).collect()
+    assert len(rows) == daily["event_type"].nunique()
+    for r in rows:
+        g = daily[daily["event_type"] == r["event_type"]].sort_values("day")
+        v = g["cents"].tolist()
+        s = sum(
+            (1 if v[j] > v[i] else -1 if v[j] < v[i] else 0)
+            for i in range(len(v)) for j in range(i + 1, len(v))
+        )
+        assert r["s_stat"] == s
+        assert r["n_days"] == len(v)
+        expect_trend = "increasing" if s > 0 else "decreasing" if s < 0 else "flat"
+        assert r["trend"] == expect_trend
