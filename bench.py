@@ -189,6 +189,11 @@ HEADLINE = [
     "rle_run_profile_lineitem",
     "dict_encoding_advisor_lineitem",
     "mann_kendall_trend_events",
+    "shingle_containment_pairs",
+    "doc_prefix_dup_groups",
+    "zipf_slope_vocab",
+    "fs_linkage_verdicts",
+    "fk_orphan_rate_audit",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

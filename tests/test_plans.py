@@ -1585,3 +1585,151 @@ def test_mann_kendall_sign_sum(spark):
         assert r["n_days"] == len(v)
         expect_trend = "increasing" if s > 0 else "decreasing" if s < 0 else "flat"
         assert r["trend"] == expect_trend
+
+
+# ---------------------------------------------------------------------------
+# batch-18 battery: containment, prefix dups, Zipf fit, FS linkage, FK orphans
+# ---------------------------------------------------------------------------
+
+
+def _shingle_sets(docs):
+    out = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        out[r["doc_id"]] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    return out
+
+
+def test_containment_matches_brute_force(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    sets = _shingle_sets(docs)
+    df = Counter(s for ss in sets.values() for s in ss)
+    banded = {d: {s for s in ss if 2 <= df[s] <= 20} for d, ss in sets.items()}
+    ids = sorted(banded)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(banded[a] & banded[b])
+            if not inter:
+                continue
+            ca = inter * 10**6 // len(banded[a])
+            cb = inter * 10**6 // len(banded[b])
+            if max(ca, cb) >= 500_000:
+                expected[(a, b)] = (inter, len(banded[a]), len(banded[b]), ca, cb)
+    rows = QUERIES["shingle_containment_pairs"](spark, SF).collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"], r["sz_a"], r["sz_b"], r["cont_a_micro"], r["cont_b_micro"]
+        )
+        for r in rows
+    }
+    assert got == expected
+    assert len(got) > 0  # planted near-dups must surface
+
+
+def test_prefix_dup_groups_match_pandas(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["pfx"] = docs["text"].map(lambda t: " ".join(t.split(" ")[:8]))
+    g = docs.groupby("pfx")["doc_id"]
+    expected = {
+        (int(v.min()), int(v.max()), len(v)) for _, v in g if len(v) > 1
+    }
+    rows = QUERIES["doc_prefix_dup_groups"](spark, SF).collect()
+    got = {(r["first_doc"], r["last_doc"], r["n_docs"]) for r in rows}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_zipf_slope_close_to_numpy_fit(spark):
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    from collections import Counter
+
+    cnt = Counter(t for txt in docs["text"] for t in txt.split(" ") if t)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    y = np.log([c for _, c in top])
+    x = np.log(np.arange(1, len(top) + 1))
+    slope = float(np.polyfit(x, y, 1)[0])
+    r = QUERIES["zipf_slope_vocab"](spark, SF).collect()[0]
+    assert r["n_terms"] == len(top)
+    assert abs(r["slope_micro"] / 1e6 - slope) < 1e-3
+    assert 0 <= r["r2_micro"] <= 1_000_000
+
+
+def _lev(a, b):
+    if a == b:
+        return 0
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def test_fs_linkage_planted_pairs_all_link(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    recs = []
+    for _, c in cust.iterrows():
+        bal = int(c["c_acctbal"] * 100 + 0.5)
+        recs.append((int(c["c_custkey"]), c["c_name"], int(c["c_nationkey"]),
+                     c["c_mktsegment"], bal))
+        if c["c_custkey"] % 10 == 7:
+            recs.append((int(c["c_custkey"]) + 10000000, c["c_name"][:-1],
+                         int(c["c_nationkey"]), c["c_mktsegment"], bal))
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for r in recs:
+        blocks[r[1][9:17]].append(r)
+    verdicts = {"link": 0, "possible": 0, "non_link": 0}
+    n_planted = 0
+    for blk in blocks.values():
+        blk.sort()
+        for i in range(len(blk)):
+            for j in range(i + 1, len(blk)):
+                a, b = blk[i], blk[j]
+                s = (4_000_000 if _lev(a[1], b[1]) <= 1 else -3_000_000)
+                s += 1_500_000 if a[2] == b[2] else -800_000
+                s += 1_200_000 if a[3] == b[3] else -600_000
+                s += 2_000_000 if abs(a[4] - b[4]) <= 10_000 else -500_000
+                v = "link" if s >= 6_000_000 else "possible" if s >= 0 else "non_link"
+                verdicts[v] += 1
+                if b[0] - a[0] == 10000000:
+                    n_planted += 1
+                    assert v == "link"  # planted dup agrees on all fields
+    rows = {r["verdict"]: r for r in QUERIES["fs_linkage_verdicts"](spark, SF).collect()}
+    for v, n in verdicts.items():
+        got = rows[v]["n_pairs"] if v in rows else 0
+        assert got == n
+    assert n_planted > 0
+
+
+def test_fk_orphan_rates_count_planted(spark):
+    import pandas as pd
+
+    rows = {r["fk"]: r for r in QUERIES["fk_orphan_rate_audit"](spark, SF).collect()}
+    for fk, child, ckey, parent, pkey in (
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ):
+        c = pd.read_parquet(f"{SF}/{child}.parquet", columns=[ckey])[ckey]
+        p = set(pd.read_parquet(f"{SF}/{parent}.parquet", columns=[pkey])[pkey])
+        planted = c[c % 1000 == 7] + 10_000_000
+        allk = pd.concat([c, planted])
+        orphans = int((~allk.isin(p)).sum())
+        r = rows[fk]
+        assert r["n_child"] == len(allk)
+        assert r["n_orphans"] == orphans
+        assert orphans >= len(planted) > 0
+        assert r["orphan_micro"] == orphans * 10**6 // len(allk)
