@@ -194,6 +194,10 @@ HEADLINE = [
     "zipf_slope_vocab",
     "fs_linkage_verdicts",
     "fk_orphan_rate_audit",
+    "stl_naive_decomposition_daily",
+    "bollinger_breakout_days",
+    "session_bounce_rate_daily",
+    "recursive_cte_bfs_hops",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

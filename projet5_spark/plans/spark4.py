@@ -308,3 +308,54 @@ def groupby_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4): BFS hop counts over a deterministic graph
+# --------------------------------------------------------------------------
+
+_BFS_BODY = """
+    edges AS (
+      SELECT nk AS src, (nk + 1) % 25 AS dst FROM nodes
+      UNION ALL SELECT (nk + 1) % 25, nk FROM nodes
+      UNION ALL SELECT nk, (nk + 5) % 25 FROM nodes
+      UNION ALL SELECT (nk + 5) % 25, nk FROM nodes),
+    walk(nk, hops) AS (
+      SELECT 0, 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.nk
+      WHERE w.hops < 6)
+    SELECT CAST(nk AS BIGINT) AS nk, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY nk ORDER BY nk
+"""
+
+
+@query(
+    "recursive_cte_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    nodes AS (SELECT n_nationkey AS nk FROM nation),
+    {_BFS_BODY}
+    """,
+)
+def recursive_cte_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (new SQL surface in Spark 4): BFS hop counts
+    from node 0 over a deterministic ring-and-chord graph built on the
+    nation keys (edges n→n±1 and n→n±5 mod 25, diameter ~4).
+
+    The recursion enumerates walks up to 6 hops and folds to
+    ``min(hops)`` per node — the SQL-standard reachability idiom,
+    expressed identically on both engines (DuckDB runs the same
+    recursive CTE). The hop bound caps frontier growth; at scale the
+    iterative-join plan is the same one ``connected_components``
+    drives procedurally, with the engine managing the loop instead of
+    the driver."""
+    return spark.sql(
+        f"""
+        WITH RECURSIVE
+        nodes AS (SELECT n_nationkey AS nk
+                  FROM parquet.`{sf_dir}/nation.parquet`),
+        {_BFS_BODY}
+        """
+    )

@@ -1733,3 +1733,110 @@ def test_fk_orphan_rates_count_planted(spark):
         assert r["n_orphans"] == orphans
         assert orphans >= len(planted) > 0
         assert r["orphan_micro"] == orphans * 10**6 // len(allk)
+
+
+# ---------------------------------------------------------------------------
+# batch-19 battery: STL decomposition, Bollinger breakouts, bounce rate,
+# recursive-CTE BFS
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "event_type", "CAST(ts AS DATE) AS day",
+        "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS c"
+    ).toPandas()
+    return ev.groupby(["event_type", "day"])["c"].sum().reset_index(name="v")
+
+
+def test_stl_decomposition_identity_and_trend(spark):
+    daily = _daily_cents(spark)
+    rows = QUERIES["stl_naive_decomposition_daily"](spark, SF).collect()
+    assert len(rows) > 0
+    by_key = {(r["event_type"], r["day"]): r for r in rows}
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        for i in range(3, len(g) - 3):
+            s7 = int(g["v"].iloc[i - 3:i + 4].sum())
+            r = by_key[(t, str(g["day"].iloc[i]))]
+            assert r["trend_micro"] == s7 * 10**6 // 7
+            # additive identity: value = trend + seasonal + residual
+            assert (r["trend_micro"] + r["seasonal_micro"] + r["resid_micro"]
+                    == r["value_centi"] * 10**6)
+    # seasonal means are zero-sum-ish per type: each type's residuals
+    # average to ~0 by construction of the weekday means
+    import pandas as pd
+
+    df = pd.DataFrame([r.asDict() for r in rows])
+    for t, g in df.groupby("event_type"):
+        assert abs(g["resid_micro"].mean()) < abs(g["value_centi"].mean()) * 1e6
+
+
+def test_bollinger_breakouts_verify_sigma_test(spark):
+    daily = _daily_cents(spark)
+    rows = QUERIES["bollinger_breakout_days"](spark, SF).collect()
+    got = {(r["event_type"], r["day"]) for r in rows}
+    expected = set()
+    for t, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        for i in range(6, len(g)):
+            w = g["v"].iloc[i - 6:i + 1]
+            v, s1, s2 = int(g["v"].iloc[i]), int(w.sum()), int((w**2).sum())
+            if (7 * v - s1) ** 2 > 4 * (7 * s2 - s1 * s1):
+                expected.add((t, str(g["day"].iloc[i])))
+    assert got == expected
+    for r in rows:  # reported invariants hold
+        assert r["dev7"] ** 2 > r["band4"]
+
+
+def test_bounce_rate_against_manual_sessionizer(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "user_id", "event_id", "unix_micros(ts) AS us", "CAST(ts AS DATE) AS day"
+    ).toPandas()
+    sessions = []
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"], kind="mergesort")
+        cur_n, cur_day, prev = 0, None, None
+        for _, r in g.iterrows():
+            if prev is None or r["us"] - prev > 1_800_000_000:
+                if cur_n:
+                    sessions.append((cur_day, cur_n))
+                cur_n, cur_day = 0, r["day"]
+            cur_n += 1
+            prev = r["us"]
+        if cur_n:
+            sessions.append((cur_day, cur_n))
+    import pandas as pd
+
+    sd = pd.DataFrame(sessions, columns=["day", "n"])
+    rows = QUERIES["session_bounce_rate_daily"](spark, SF).collect()
+    assert len(rows) == sd["day"].nunique()
+    for r in rows:
+        g = sd[sd["day"].astype(str) == r["day"]]
+        assert r["n_sessions"] == len(g)
+        assert r["n_bounces"] == int((g["n"] == 1).sum())
+        assert r["bounce_micro"] == int((g["n"] == 1).sum()) * 10**6 // len(g)
+
+
+def test_recursive_bfs_hops_match_networkx_free_bfs(spark):
+    from collections import deque
+
+    adj = {n: set() for n in range(25)}
+    for n in range(25):
+        for m in ((n + 1) % 25, (n + 5) % 25):
+            adj[n].add(m)
+            adj[m].add(n)
+    dist = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    rows = QUERIES["recursive_cte_bfs_hops"](spark, SF).collect()
+    assert {r["nk"]: r["hops"] for r in rows} == dist
