@@ -198,6 +198,10 @@ HEADLINE = [
     "bollinger_breakout_days",
     "session_bounce_rate_daily",
     "recursive_cte_bfs_hops",
+    "abc_classification_parts",
+    "salted_join_revenue_by_nation",
+    "trending_parts_wow_lift",
+    "multi_touch_attribution_decay",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -1840,3 +1840,88 @@ def test_recursive_bfs_hops_match_networkx_free_bfs(spark):
                 dq.append(v)
     rows = QUERIES["recursive_cte_bfs_hops"](spark, SF).collect()
     assert {r["nk"]: r["hops"] for r in rows} == dist
+
+
+# ---------------------------------------------------------------------------
+# batch-20 battery: ABC classification, salted join, trending lift,
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_abc_classification_matches_pandas_cumsum(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li["c"] = (li["l_extendedprice"] * 100 + 0.5).astype("int64")
+    rev = li.groupby("l_partkey")["c"].sum().reset_index(name="r")
+    rev = rev.sort_values(["r", "l_partkey"], ascending=[False, True])
+    tot = int(rev["r"].sum())
+    rev["cum"] = rev["r"].cumsum()
+    rev["cls"] = rev["cum"].map(
+        lambda c: "A" if c * 100 <= tot * 80 else "B" if c * 100 <= tot * 95 else "C"
+    )
+    rows = {r["abc_class"]: r for r in
+            QUERIES["abc_classification_parts"](spark, SF).collect()}
+    for cls, g in rev.groupby("cls"):
+        r = rows[cls]
+        assert r["n_parts"] == len(g)
+        assert r["revenue_cents"] == int(g["r"].sum())
+        assert r["share_micro"] == int(g["r"].sum()) * 10**6 // tot
+    assert sum(r["n_parts"] for r in rows.values()) == len(rev)
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    expected = {r["c_nationkey"]: r["count"] for r in plain}
+    rows = QUERIES["salted_join_revenue_by_nation"](spark, SF).collect()
+    assert {r["nationkey"]: r["n_orders"] for r in rows} == expected
+
+
+def test_trending_lift_window_math(spark):
+    import pandas as pd
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    maxd = li["l_shipdate"].max()
+    wk2 = li[li["l_shipdate"] > maxd - pd.Timedelta(days=7)]
+    wk1 = li[(li["l_shipdate"] <= maxd - pd.Timedelta(days=7))
+             & (li["l_shipdate"] > maxd - pd.Timedelta(days=14))]
+    c2 = wk2.groupby("l_partkey").size()
+    c1 = wk1.groupby("l_partkey").size()
+    rows = QUERIES["trending_parts_wow_lift"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift_micro"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["c2"] == int(c2[r["partkey"]])
+        assert r["c1"] == int(c1[r["partkey"]])
+        assert r["lift_micro"] == r["c2"] * 10**6 // r["c1"]
+
+
+def test_attribution_credits_match_manual_join(spark):
+    import json
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us", "props"
+    ).toPandas()
+    p = ev[ev["event_type"] == "purchase"]
+    v = ev[ev["event_type"] == "view"].copy()
+    v["campaign"] = v["props"].map(lambda s: int(json.loads(s)["k"]))
+    credit, touches = {}, {}
+    for _, pr in p.iterrows():
+        cand = v[(v["user_id"] == pr["user_id"]) & (v["us"] <= pr["us"])
+                 & (pr["us"] - v["us"] <= 7 * 86_400_000_000)]
+        for _, vr in cand.iterrows():
+            days = int((pr["us"] - vr["us"]) // 86_400_000_000)
+            w = 10**6 // (1 + days)
+            credit[vr["campaign"]] = credit.get(vr["campaign"], 0) + w
+            touches[vr["campaign"]] = touches.get(vr["campaign"], 0) + 1
+    rows = QUERIES["multi_touch_attribution_decay"](spark, SF).collect()
+    assert {r["campaign"]: r["credit_micro"] for r in rows} == credit
+    assert {r["campaign"]: r["n_touches"] for r in rows} == touches
