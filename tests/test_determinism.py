@@ -90,10 +90,11 @@ def test_oracle_tables_are_registered_views():
             "unnest", "generate_subscripts", "generate_series", "range", "null",
         }
         for t in list(unknown):
-            # names defined as CTEs or aliases inside the query itself
-            if re.search(rf"\b{t}\s+AS\s*\(", sql, re.I) or re.search(
-                rf"\)\s*(?:AS\s+)?{t}\b", sql, re.I
-            ):
+            # names defined as CTEs (with or without a column list,
+            # e.g. `walk(nk, hops) AS (`) or aliases inside the query
+            if re.search(
+                rf"\b{t}\s*(?:\([^)]*\))?\s+AS\s*\(", sql, re.I
+            ) or re.search(rf"\)\s*(?:AS\s+)?{t}\b", sql, re.I):
                 unknown.discard(t)
         assert not unknown, f"{name}: unregistered tables {unknown}"
 
