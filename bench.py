@@ -202,6 +202,10 @@ HEADLINE = [
     "salted_join_revenue_by_nation",
     "trending_parts_wow_lift",
     "multi_touch_attribution_decay",
+    "label_centroid_cosine_matrix",
+    "decimal_exact_sum_verdict",
+    "window_cume_dist_nth_value",
+    "json_malformed_rate_audit",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -1925,3 +1925,69 @@ def test_attribution_credits_match_manual_join(spark):
     rows = QUERIES["multi_touch_attribution_decay"](spark, SF).collect()
     assert {r["campaign"]: r["credit_micro"] for r in rows} == credit
     assert {r["campaign"]: r["n_touches"] for r in rows} == touches
+
+
+# ---------------------------------------------------------------------------
+# batch-21 battery: centroid cosine, decimal verdict, cume_dist/nth_value,
+# dead-letter audit
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_cosine_in_range_and_complete(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    labels = sorted(emb["label"].unique())
+    rows = QUERIES["label_centroid_cosine_matrix"](spark, SF).collect()
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    # cross-check one pair against a float recomputation (loose grid)
+    cents = {}
+    for lb, g in emb.groupby("label"):
+        m = np.stack(g["embedding"].to_numpy())
+        gridded = np.floor(m.astype("float64") * 1e6).sum(axis=0)
+        cents[lb] = np.floor(gridded / len(g))
+    for r in rows:
+        a, b = cents[r["label_a"]], cents[r["label_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cos_micro"] / 1e6 - cos) < 1e-4
+        assert -1_000_000 <= r["cos_micro"] <= 1_000_000
+
+
+def test_decimal_sum_verdict_booleans_hold(spark):
+    r = QUERIES["decimal_exact_sum_verdict"](spark, SF).collect()[0]
+    assert r["decimal_matches_cents"] is True
+    assert r["double_within_dollar"] is True
+    import decimal
+
+    assert decimal.Decimal(r["sum_decimal"]) * 100 == r["sum_cents"]
+
+
+def test_cume_dist_and_nth_value_semantics(spark):
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").toPandas()
+    rows = QUERIES["window_cume_dist_nth_value"](spark, SF).collect()
+    assert len(rows) == len(supp)
+    by_key = {(r["s_nationkey"], r["s_suppkey"]): r for r in rows}
+    for nk, g in supp.groupby("s_nationkey"):
+        g = g.sort_values(["s_acctbal", "s_suppkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+        second = (int(g["s_acctbal"].iloc[1] * 100 + 0.5)
+                  if len(g) >= 2 else None)
+        for i, rec in g.iterrows():
+            r = by_key[(nk, rec["s_suppkey"])]
+            assert r["cume_micro"] == (i + 1) * 10**6 // len(g)
+            assert r["second_bal_cents"] == second
+
+
+def test_dead_letter_rate_counts_planted_corruption(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr("event_type", "event_id").toPandas()
+    rows = {r["event_type"]: r for r in
+            QUERIES["json_malformed_rate_audit"](spark, SF).collect()}
+    for t, g in ev.groupby("event_type"):
+        planted = int((g["event_id"] % 17 == 3).sum())
+        r = rows[t]
+        assert r["n_events"] == len(g)
+        assert r["n_dead_letter"] == planted
+        assert planted > 0
+        assert r["dead_letter_micro"] == planted * 10**6 // len(g)
