@@ -206,6 +206,10 @@ HEADLINE = [
     "decimal_exact_sum_verdict",
     "window_cume_dist_nth_value",
     "json_malformed_rate_audit",
+    "ppjoin_prefix_filter_pairs",
+    "conversion_time_histogram",
+    "hof_zip_exists_forall_embeddings",
+    "schema_evolution_union_orders",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -1,0 +1,325 @@
+"""Batch 22 operator battery — similarity-join machinery & surface
+completion: PPJoin-style prefix-filtered set-similarity join,
+first-touch-to-conversion latency histogram, higher-order-function
+surface (zip_with / exists / forall), and schema-evolution union.
+
+Scale design notes:
+- **PPJoin prefix filter** is the third bounded candidate-generation
+  technique in the catalog (after DF-band + chain links and
+  MinHash-LSH banding): for Jaccard ≥ t, two sets MUST share a token
+  inside each other's first ``⌊(1−t)·|A|⌋+1`` tokens when both are
+  ordered rarest-first — so the self-join runs only on those prefix
+  tokens (globally rare by construction), and exact verification runs
+  only on bucket-mates. This is the bound production set-similarity
+  joins (PPJoin/AllPairs) use.
+- **Conversion histogram** folds events to one (first view, first
+  purchase) pair per user before bucketing — entity-scale, exact
+  integer µs latencies, fixed 6-hour buckets.
+- **HOF battery** keeps zip_with/exists/forall inside Catalyst
+  expressions over the embedding arrays (no explode, no UDF); sums
+  grid to BIGints per row, so output is engine-exact.
+- **Schema union** exercises ``unionByName(allowMissingColumns)`` —
+  the schema-drift ingestion path — and accounts the null backfill
+  per group, which is what a migration monitor alerts on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# PPJoin-style prefix-filtered set-similarity join
+# --------------------------------------------------------------------------
+
+_PP_T_MICRO = 800_000  # Jaccard threshold 0.8
+
+
+def _pp_oracle() -> str:
+    from .llm import _DUCK_SHINGLES
+
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, s AS tok FROM (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t1) t2),
+    dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok
+           GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.tok) AS rn,
+             s.n
+      FROM tok t JOIN dfc d ON t.tok = d.tok JOIN sz s ON t.doc_id = s.doc_id),
+    prefix AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE rn <= CAST(floor(0.2 * n) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, i AS inter, sa.n AS sz_a, sb.n AS sz_b,
+           CAST(floor(CAST(i AS DOUBLE) * 1e6 / (sa.n + sb.n - i)) AS BIGINT)
+             AS jaccard_micro
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE CAST(floor(CAST(i AS DOUBLE) * 1e6 / (sa.n + sb.n - i)) AS BIGINT)
+          >= {_PP_T_MICRO}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("ppjoin_prefix_filter_pairs", oracle=_pp_oracle())
+def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join (3-gram shingle Jaccard ≥ 0.8) via the
+    PPJoin prefix filter: order each doc's distinct shingles
+    rarest-first; two docs at Jaccard ≥ t must share a shingle within
+    each other's first ``⌊(1−t)·|A|⌋+1`` shingles, so candidate
+    generation joins ONLY on those prefix shingles — globally rare by
+    construction — and the exact Jaccard verification runs per
+    candidate pair. (Shingles, not unigrams: the fixture's small
+    vocabulary makes unigram SETS near-identical corpus-wide, which is
+    exactly the degenerate case shingling exists to avoid.)
+
+    This is the third bounded candidate-generation strategy in the
+    catalog (vs DF-banding in ``ngram_jaccard_near_dup`` and banded
+    MinHash in ``minhash_lsh_near_dup``), the one production AllPairs/
+    PPJoin engines use when exact (non-probabilistic) output is
+    required without an all-pairs scan."""
+    from .llm import shingle_rows
+
+    tok = (
+        shingle_rows(spark, _t(spark, sf_dir, "documents"))
+        .select("doc_id", F.col("s").alias("tok"))
+        .distinct()
+        # five consumers (df counts, sizes, ranking, both verify sides):
+        # materialize once instead of re-running the shingle pipeline,
+        # same rationale as _split_shingles_by_df(materialize=True)
+        .localCheckpoint(eager=True)
+    )
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(dfc, "tok")
+        .join(sz, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.floor(0.2 * F.col("n")).cast("long") + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sz_b"))
+    jac = F.floor(
+        F.col("inter").cast("double")
+        * 1e6
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    ).cast("long")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", jac.alias("jaccard_micro"))
+        .where(F.col("jaccard_micro") >= _PP_T_MICRO)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# First-view → first-purchase conversion latency histogram
+# --------------------------------------------------------------------------
+
+_CONV_BUCKET_US = 6 * 3_600_000_000  # 6-hour buckets
+
+
+@query(
+    "conversion_time_histogram",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS v_us,
+             min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p_us
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT (p_us - v_us) // {_CONV_BUCKET_US} AS bucket
+      FROM firsts WHERE v_us IS NOT NULL AND p_us IS NOT NULL
+        AND p_us >= v_us)
+    SELECT CAST(bucket AS BIGINT) AS bucket_6h,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY bucket ORDER BY bucket_6h
+    """,
+)
+def conversion_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-latency distribution: per user, the time from first
+    view to first purchase, bucketed into 6-hour bins — the histogram
+    growth teams read before setting nudge timers.
+
+    Events fold to one (first view, first purchase) row per user in a
+    single filtered-aggregate pass (map-side combinable mins), so the
+    bucketing and histogram run at entity scale. Latencies are exact
+    integer microseconds; the bucket is integer division."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias(
+            "p_us"
+        ),
+    )
+    conv = firsts.where(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).select(
+        F.floor((F.col("p_us") - F.col("v_us")) / F.lit(_CONV_BUCKET_US))
+        .cast("long")
+        .alias("bucket_6h")
+    )
+    return (
+        conv.groupBy("bucket_6h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("bucket_6h")
+    )
+
+
+# --------------------------------------------------------------------------
+# Higher-order-function surface: zip_with / exists / forall
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hof_zip_exists_forall_embeddings",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(list_sum(
+             [CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e6)
+                   AS BIGINT)
+              FOR p IN list_zip(embedding, list_reverse(embedding))])
+             AS BIGINT) AS revdot_grid,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS has_negative,
+           len(list_filter(embedding, x -> abs(x) >= 10)) = 0 AS all_small
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def hof_zip_exists_forall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface not yet exercised elsewhere:
+    ``zip_with`` (element-wise product of the embedding with its own
+    reverse — a palindromic self-correlation), ``exists`` (any negative
+    component) and ``forall`` (all components bounded) — all evaluated
+    inside Catalyst expressions over the array column, no explode, no
+    UDF, map-only.
+
+    Per-element products floor onto a 1e-6 integer grid BEFORE the
+    array sum, so the fold is order-independent and engine-exact
+    (``F.aggregate`` over BIGINTs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    prod = F.zip_with(
+        F.col("embedding"),
+        F.reverse(F.col("embedding")),
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * 1e6).cast(
+            "long"
+        ),
+    )
+    revdot = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        revdot.alias("revdot_grid"),
+        F.exists("embedding", lambda x: x < 0).alias("has_negative"),
+        F.forall("embedding", lambda x: F.abs(x) < 10).alias("all_small"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution union (allowMissingColumns)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "schema_evolution_union_orders",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, NULL AS o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 1)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT)
+             AS n_backfilled,
+           CAST(floor(CAST(count(*) FILTER (WHERE o_orderpriority IS NULL)
+                           AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
+             AS backfill_micro
+    FROM unioned GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def schema_evolution_union_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: a new-schema slice (even keys, has
+    ``o_orderpriority``) unions with an old-schema slice (odd keys,
+    column absent) via ``unionByName(allowMissingColumns=True)`` —
+    Spark aligns by NAME and null-backfills the missing column — and
+    the audit counts the backfill per status, which is what a
+    migration monitor alerts on until the old producer drains.
+
+    Positional UNION would silently mis-align here; by-name union is
+    the schema-evolution primitive. Map-only plus one hash
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    new_slice = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    old_slice = o.where(F.col("o_orderkey") % 2 == 1).select("o_orderstatus")
+    unioned = new_slice.unionByName(old_slice, allowMissingColumns=True)
+    return (
+        unioned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("o_orderpriority").isNull(), 1))
+            .cast("long")
+            .alias("n_backfilled"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "n_backfilled",
+            F.floor(
+                F.col("n_backfilled").cast("double") * 1e6 / F.col("n_rows")
+            )
+            .cast("long")
+            .alias("backfill_micro"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1991,3 +1991,72 @@ def test_dead_letter_rate_counts_planted_corruption(spark):
         assert r["n_dead_letter"] == planted
         assert planted > 0
         assert r["dead_letter_micro"] == planted * 10**6 // len(g)
+
+
+# ---------------------------------------------------------------------------
+# batch-22 battery: PPJoin prefix filter, conversion histogram, HOF surface,
+# schema-evolution union
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_finds_every_pair_above_threshold(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    sets = _shingle_sets(docs)
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 10**6 // union >= 800_000:
+                expected[(a, b)] = inter * 10**6 // union
+    rows = QUERIES["ppjoin_prefix_filter_pairs"](spark, SF).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard_micro"] for r in rows}
+    # the prefix filter is LOSSLESS for Jaccard >= t: exact same pair set
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_conversion_histogram_counts_users_once(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS us").toPandas()
+    buckets = {}
+    for u, g in ev.groupby("user_id"):
+        v = g.loc[g["event_type"] == "view", "us"]
+        p = g.loc[g["event_type"] == "purchase", "us"]
+        if len(v) and len(p) and p.min() >= v.min():
+            b = int((p.min() - v.min()) // (6 * 3_600_000_000))
+            buckets[b] = buckets.get(b, 0) + 1
+    rows = QUERIES["conversion_time_histogram"](spark, SF).collect()
+    assert {r["bucket_6h"]: r["n_users"] for r in rows} == buckets
+    assert sum(buckets.values()) > 0
+
+
+def test_hof_battery_against_numpy(spark):
+    import math
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    rows = {r["vec_id"]: r for r in
+            QUERIES["hof_zip_exists_forall_embeddings"](spark, SF).collect()}
+    assert len(rows) == len(emb)
+    for _, rec in emb.head(50).iterrows():
+        e = [float(x) for x in rec["embedding"]]
+        grid = sum(math.floor(x * y * 1e6) for x, y in zip(e, reversed(e)))
+        r = rows[rec["vec_id"]]
+        assert r["revdot_grid"] == grid
+        assert r["has_negative"] == any(x < 0 for x in e)
+        assert r["all_small"] == all(abs(x) < 10 for x in e)
+
+
+def test_schema_union_backfills_odd_keys(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    rows = {r["o_orderstatus"]: r for r in
+            QUERIES["schema_evolution_union_orders"](spark, SF).collect()}
+    for st, g in o.groupby("o_orderstatus"):
+        backfilled = int((g["o_orderkey"] % 2 == 1).sum())
+        r = rows[st]
+        assert r["n_rows"] == len(g)
+        assert r["n_backfilled"] == backfilled
+        assert r["backfill_micro"] == backfilled * 10**6 // len(g)
