@@ -107,7 +107,10 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_rows(spark, docs).distinct()
+    # four consumers (df band, sizes, both pair-join sides): materialize
+    # once instead of re-running the shingle pipeline, same rationale
+    # as _split_shingles_by_df(materialize=True)
+    sh = shingle_rows(spark, docs).distinct().localCheckpoint(eager=True)
     keep = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
