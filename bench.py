@@ -210,6 +210,9 @@ HEADLINE = [
     "conversion_time_histogram",
     "hof_zip_exists_forall_embeddings",
     "schema_evolution_union_orders",
+    "asof_nearest_view_per_purchase",
+    "business_days_to_ship_by_priority",
+    "qq_decile_points_order_status",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

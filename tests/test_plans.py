@@ -2060,3 +2060,89 @@ def test_schema_union_backfills_odd_keys(spark):
         assert r["n_rows"] == len(g)
         assert r["n_backfilled"] == backfilled
         assert r["backfill_micro"] == backfilled * 10**6 // len(g)
+
+
+# ---------------------------------------------------------------------------
+# batch-23 battery: nearest as-of, business days, Q-Q deciles
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_asof_picks_minimum_abs_delta(spark):
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "user_id", "event_id", "event_type", "unix_micros(ts) AS us"
+    ).toPandas()
+    p = ev[ev["event_type"] == "purchase"]
+    v = ev[ev["event_type"] == "view"]
+    expected = {}
+    for _, pr in p.iterrows():
+        cand = v[(v["user_id"] == pr["user_id"])
+                 & ((v["us"] - pr["us"]).abs() <= 3_600_000_000)]
+        if len(cand):
+            cand = cand.assign(adt=(cand["us"] - pr["us"]).abs())
+            best = cand.sort_values(["adt", "event_id"],
+                                    kind="mergesort").iloc[0]
+            expected[pr["event_id"]] = (int(best["event_id"]),
+                                        int(best["us"] - pr["us"]))
+    rows = QUERIES["asof_nearest_view_per_purchase"](spark, SF).collect()
+    got = {r["event_id"]: (r["view_event_id"], r["dt_us"]) for r in rows}
+    assert got == expected
+    assert len(got) > 0
+    # both directions occur in the output
+    assert any(dt > 0 for _, dt in got.values())
+    assert any(dt < 0 for _, dt in got.values())
+
+
+def test_business_days_closed_form_vs_calendar_walk(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    first_ship = li.groupby("l_orderkey")["l_shipdate"].min()
+    spans = o.join(first_ship.rename("d2"), on="o_orderkey", how="inner")
+
+    def walk(d1, d2):
+        if d2 <= d1:
+            return 0
+        days = pd.date_range(d1 + pd.Timedelta(days=1), d2)
+        return int(sum(1 for d in days if d.weekday() < 5))
+
+    expect = {}
+    for pr, g in spans.groupby("o_orderpriority"):
+        sample = g.head(30)
+        expect[pr] = [walk(r["o_orderdate"], r["d2"])
+                      for _, r in sample.iterrows()]
+    rows = {r["priority"]: r for r in
+            QUERIES["business_days_to_ship_by_priority"](spark, SF).collect()}
+    # spot-verify the closed form equals a literal calendar walk by
+    # recomputing totals for the full table
+    total_by_p = {}
+    for pr, g in spans.groupby("o_orderpriority"):
+        total_by_p[pr] = sum(walk(r["o_orderdate"], r["d2"])
+                             for _, r in g.iterrows())
+        assert rows[pr]["n_orders"] == len(g)
+    for pr, tot in total_by_p.items():
+        assert rows[pr]["total_bdays"] == tot
+
+
+def test_qq_deciles_monotone_and_match_numpy(spark):
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).astype("int64")
+    rows = QUERIES["qq_decile_points_order_status"](spark, SF).collect()
+    assert [r["pct"] for r in rows] == [10 * i for i in range(1, 10)]
+    f = np.sort(o.loc[o["o_orderstatus"] == "F", "cents"].to_numpy())
+    oo = np.sort(o.loc[o["o_orderstatus"] == "O", "cents"].to_numpy())
+    for r in rows:
+        q = r["pct"] / 100
+        fq = np.quantile(f, q, method="linear")
+        oq = np.quantile(oo, q, method="linear")
+        assert abs(r["f_centi_cents"] / 100 - fq) < 1
+        assert abs(r["o_centi_cents"] / 100 - oq) < 1
+        assert r["diff_centi"] == r["f_centi_cents"] - r["o_centi_cents"]
+    fc = [r["f_centi_cents"] for r in rows]
+    assert fc == sorted(fc)
