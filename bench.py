@@ -213,6 +213,10 @@ HEADLINE = [
     "asof_nearest_view_per_purchase",
     "business_days_to_ship_by_priority",
     "qq_decile_points_order_status",
+    "feature_scaler_params_embeddings",
+    "class_weights_inverse_freq",
+    "split_leakage_exact_dups",
+    "target_encoding_segment_smoothed",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

@@ -2146,3 +2146,94 @@ def test_qq_deciles_monotone_and_match_numpy(spark):
         assert r["diff_centi"] == r["f_centi_cents"] - r["o_centi_cents"]
     fc = [r["f_centi_cents"] for r in rows]
     assert fc == sorted(fc)
+
+
+# ---------------------------------------------------------------------------
+# batch-24 battery: scaler params, class weights, split leakage, target
+# encoding
+# ---------------------------------------------------------------------------
+
+
+def test_scaler_params_match_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    rows = {r["dim"]: r for r in
+            QUERIES["feature_scaler_params_embeddings"](spark, SF).collect()}
+    assert len(rows) == m.shape[1]
+    for d in (1, 7, 32, 64):
+        col = m[:, d - 1]
+        r = rows[d]
+        assert r["min_micro"] == int(np.floor(col.min() * 1e6))
+        assert r["max_micro"] == int(np.floor(col.max() * 1e6))
+        p50 = np.quantile(col, 0.5, method="linear")
+        assert abs(r["p50_micro"] / 1e6 - p50) < 2e-6
+        iqr = (np.quantile(col, 0.75, method="linear")
+               - np.quantile(col, 0.25, method="linear"))
+        assert abs(r["iqr_micro"] / 1e6 - iqr) < 2e-6
+        assert r["iqr_micro"] >= 0
+        assert r["min_micro"] <= r["p50_micro"] <= r["max_micro"]
+
+
+def test_class_weights_balanced_formula(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    counts = emb["label"].value_counts()
+    tot, k = len(emb), len(counts)
+    rows = QUERIES["class_weights_inverse_freq"](spark, SF).collect()
+    assert len(rows) == k
+    for r in rows:
+        n = int(counts[r["label"]])
+        assert r["n"] == n
+        assert r["weight_micro"] == int(tot * 1e6 / (k * n))
+    # weights are inverse to counts: heaviest class has smallest weight
+    by_n = sorted(rows, key=lambda r: r["n"])
+    ws = [r["weight_micro"] for r in by_n]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_split_leakage_finds_planted_cross_split_dups(spark):
+    import hashlib
+
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    copies = docs[docs["doc_id"] % 50 == 3].copy()
+    copies["doc_id"] = copies["doc_id"] + 1000000
+    docs = pd.concat([docs, copies], ignore_index=True)
+
+    def split(doc_id):
+        h = hashlib.sha256(f"split:{doc_id}".encode()).hexdigest()
+        return "train" if h[:2] < "cc" else "holdout"
+
+    docs["split"] = docs["doc_id"].map(split)
+    docs["digest"] = docs["text"].map(
+        lambda t: hashlib.sha256(t.encode()).hexdigest())
+    train_digests = set(docs.loc[docs["split"] == "train", "digest"])
+    expected = {
+        int(r["doc_id"]) for _, r in docs.iterrows()
+        if r["split"] == "holdout" and r["digest"] in train_digests
+    }
+    rows = QUERIES["split_leakage_exact_dups"](spark, SF).collect()
+    assert {r["holdout_doc_id"] for r in rows} == expected
+    assert len(expected) > 0  # planted duplicates must cross the split
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"] * 100 + 0.5).astype("int64")
+    prior = j["cents"].sum() / len(j)
+    rows = {r["segment"]: r for r in
+            QUERIES["target_encoding_segment_smoothed"](spark, SF).collect()}
+    for seg, g in j.groupby("c_mktsegment"):
+        n, s = len(g), int(g["cents"].sum())
+        expect = int((s + 100 * prior) / (n + 100))
+        r = rows[seg]
+        assert r["n"] == n
+        assert r["encoded_cents"] == expect
+        # smoothing pulls the encoding strictly between raw mean and prior
+        raw = s / n
+        lo, hi = sorted((raw, prior))
+        assert lo - 1 <= r["encoded_cents"] <= hi + 1
