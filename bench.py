@@ -217,6 +217,10 @@ HEADLINE = [
     "class_weights_inverse_freq",
     "split_leakage_exact_dups",
     "target_encoding_segment_smoothed",
+    "relational_division_all_top_suppliers",
+    "not_in_vs_not_exists_null_trap",
+    "percentile_disc_vs_cont_by_priority",
+    "delta_encoding_advisor_lineitem",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

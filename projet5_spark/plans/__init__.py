@@ -45,5 +45,6 @@ from . import analytics19  # noqa: E402,F401
 from . import analytics20  # noqa: E402,F401
 from . import analytics21  # noqa: E402,F401
 from . import analytics22  # noqa: E402,F401
+from . import analytics23  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]

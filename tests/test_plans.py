@@ -2237,3 +2237,73 @@ def test_target_encoding_shrinks_toward_prior(spark):
         raw = s / n
         lo, hi = sorted((raw, prior))
         assert lo - 1 <= r["encoded_cents"] <= hi + 1
+
+
+# ---------------------------------------------------------------------------
+# batch-25 battery: relational division, NOT IN trap, disc-vs-cont, delta
+# advisor
+# ---------------------------------------------------------------------------
+
+
+def test_relational_division_universal_quantifier(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cnt = li.groupby("l_suppkey").size().reset_index(name="n")
+    topp = set(
+        cnt.sort_values(["n", "l_suppkey"], ascending=[False, True])
+        .head(3)["l_suppkey"]
+    )
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    cover = j[j["l_suppkey"].isin(topp)].groupby("o_custkey")["l_suppkey"].nunique()
+    expected = set(cover[cover == 3].index)
+    rows = QUERIES["relational_division_all_top_suppliers"](spark, SF).collect()
+    assert {r["custkey"] for r in rows} == expected
+    assert len(expected) > 0  # divisor dense enough to be covered
+    for r in rows:
+        assert r["n_matched"] == 3
+
+
+def test_not_in_trap_shows_zero_vs_anti_join(spark):
+    rows = {r["predicate"]: r for r in
+            QUERIES["not_in_vs_not_exists_null_trap"](spark, SF).collect()}
+    assert rows["NOT IN"]["n_rows"] == 0  # the trap
+    # NOT EXISTS counts orders from nulled-out customers (key % 100 == 42)
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    expected = int((o["o_custkey"] % 100 == 42).sum())
+    assert rows["NOT EXISTS"]["n_rows"] == expected
+    assert expected > 0
+
+
+def test_disc_vs_cont_median_definitions(spark):
+    import numpy as np
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100 + 0.5).astype("int64")
+    rows = {r["priority"]: r for r in
+            QUERIES["percentile_disc_vs_cont_by_priority"](spark, SF).collect()}
+    for pr, g in o.groupby("o_orderpriority"):
+        v = np.sort(g["cents"].to_numpy())
+        r = rows[pr]
+        assert r["n"] == len(v)
+        disc = int(np.quantile(v, 0.5, method="inverted_cdf"))
+        cont = np.quantile(v, 0.5, method="linear")
+        assert r["p50_disc_cents"] == disc
+        assert r["p50_cont_centi"] == int(np.floor(cont * 100))
+        assert r["definitions_agree"] == (disc * 100 == int(np.floor(cont * 100)))
+
+
+def test_delta_advisor_orderkey_is_delta_friendly(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+    rows = {r["col"]: r for r in
+            QUERIES["delta_encoding_advisor_lineitem"](spark, SF).collect()}
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        d = li[col].diff().dropna()
+        r = rows[col]
+        assert r["n_deltas"] == len(d)
+        assert r["max_abs_delta"] == int(d.abs().max())
+        small = int((d.abs() < 128).sum())
+        assert r["small_delta_micro"] == small * 10**6 // len(d)
+    # orderkey is sorted => deltas tiny => DELTA; random FKs => PLAIN
+    assert rows["l_orderkey"]["advice"] == "DELTA"
+    assert rows["l_partkey"]["advice"] == "PLAIN"
