@@ -221,12 +221,17 @@ HEADLINE = [
     "not_in_vs_not_exists_null_trap",
     "percentile_disc_vs_cont_by_priority",
     "delta_encoding_advisor_lineitem",
+    "poisson_bootstrap_ci_event_mean",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans
     # excluded with the other ML-fit queries (recall baseline, not a
     # throughput path); snapshot_scd2_history excluded for the same
-    # multi-action reason (two eager merge writes + a read per call)
+    # multi-action reason (two eager merge writes + a read per call);
+    # kcore3_trade_graph_unrolled excluded: deliberately iteration-deep
+    # plan (3 unrolled peels => ~10 serial tiny-stage jobs) — it is
+    # correctness-gated against the unrolled-CTE oracle, but measures
+    # scheduler latency, not data throughput
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end

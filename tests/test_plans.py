@@ -2307,3 +2307,77 @@ def test_delta_advisor_orderkey_is_delta_friendly(spark):
     # orderkey is sorted => deltas tiny => DELTA; random FKs => PLAIN
     assert rows["l_orderkey"]["advice"] == "DELTA"
     assert rows["l_partkey"]["advice"] == "PLAIN"
+
+
+# ---------------------------------------------------------------------------
+# batch-26 battery: Poisson bootstrap CI, unrolled k-core
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    import hashlib
+
+    from projet5_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF).selectExpr(
+        "event_id", "CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents"
+    ).toPandas()
+    cdf = (367879, 735758, 919698, 981011, 996340)
+
+    def w(eid, b):
+        u = int(hashlib.sha256(f"boot:{eid}:{b}".encode()).hexdigest()[:8], 16) % 10**6
+        for k, t in enumerate(cdf):
+            if u < t:
+                return k
+        return 5
+
+    means = []
+    for b in range(1, 21):
+        ws = ev["event_id"].map(lambda e: w(e, b))
+        means.append(int((ws * ev["cents"]).sum()) * 10**6 // int(ws.sum()))
+    r = QUERIES["poisson_bootstrap_ci_event_mean"](spark, SF).collect()[0]
+    assert r["n_events"] == len(ev)
+    assert r["boot_lo_micro"] == min(means)
+    assert r["boot_hi_micro"] == max(means)
+    assert r["mean_micro"] == int(ev["cents"].sum()) * 10**6 // len(ev)
+    # the CI brackets the full-data mean
+    assert r["boot_lo_micro"] <= r["mean_micro"] <= r["boot_hi_micro"]
+
+
+def test_kcore_unroll_reaches_fixpoint_and_is_true_kcore(spark):
+    rows = QUERIES["kcore3_trade_graph_unrolled"](spark, SF).collect()
+    got = {r["nationkey"]: r["degree"] for r in rows}
+    # recompute the true k-core by peeling to fixpoint in python
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    s = spark.read.parquet(f"{SF}/supplier.parquet").toPandas()
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"] != j["s_nationkey"]]
+    j["a"] = j[["c_nationkey", "s_nationkey"]].min(axis=1)
+    j["b"] = j[["c_nationkey", "s_nationkey"]].max(axis=1)
+    w = j.groupby(["a", "b"]).size()
+    thr = 1.1 * w.sum() / len(w)
+    E = set(w[w >= thr].index)
+    rounds_needed = 0
+    while True:
+        deg = {}
+        for a, b in E:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        E2 = {(a, b) for a, b in E if a in keep and b in keep}
+        if E2 == E:
+            break
+        E, rounds_needed = E2, rounds_needed + 1
+    # the fixture must converge within the plan's unroll budget — if
+    # this fails, raise _KCORE_ROUNDS
+    assert rounds_needed <= 3
+    deg = {}
+    for a, b in E:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == deg
+    assert all(d >= 3 for d in got.values())
