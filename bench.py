@@ -222,6 +222,10 @@ HEADLINE = [
     "percentile_disc_vs_cont_by_priority",
     "delta_encoding_advisor_lineitem",
     "poisson_bootstrap_ci_event_mean",
+    "eventually_follows_support",
+    "kl_divergence_doc_lengths",
+    "events_daily_densified_zero_fill",
+    "rank_with_ties_top_quantity_orders",
     # near_dup_clusters excluded: iterative (multi-action convergence
     # loop) — correctness-gated against the recursive-CTE oracle, but
     # not a single-plan throughput path; embedding_ann_ivf_kmeans

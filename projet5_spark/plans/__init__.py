@@ -47,5 +47,6 @@ from . import analytics21  # noqa: E402,F401
 from . import analytics22  # noqa: E402,F401
 from . import analytics23  # noqa: E402,F401
 from . import analytics24  # noqa: E402,F401
+from . import analytics25  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
