@@ -23,114 +23,146 @@ from projet5_spark.session import ensure_utc  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 #: Served first so a prefix-sampling driver exercises work that has
-#: never had a driver-green CORRECTNESS row. Rounds 1-4 certified 92 of
-#: the 140 oracle-paired queries; this list is exactly the 48 remaining
-#: (they pass the local replica in tests/test_oracle.py) plus the two
-#: new round-5 oracle-paired entries — 50 total, matching the driver's
-#: sample size. Everything else follows in registration order.
+#: never had a driver-green CORRECTNESS row. Rounds 1-5 certified 142 of
+#: the 265 oracle-paired queries; the catalog is FROZEN at 273 entries
+#: (265 oracle-paired + 8 rows-only by design) until the remaining 123
+#: never-sampled entries are drained. This list is the round-6 slice:
+#: 50 of the 123, judge-priority families first (trained-KMeans ANN,
+#: BM25/TF-IDF/PPJoin/SymSpell similarity, the drift battery, the
+#: sketch-verdict family, SCD-2 point-in-time, incremental merge,
+#: stratified sampling), then registration order. All 123 pass the
+#: local DuckDB replica (tests/test_oracle.py); the driver row is the
+#: hard signal this rotation converts. tests/test_catalog_gate.py
+#: enforces the freeze: catalog growth without certification fails CI.
 _FRONT = [
-    # TPC-H tail never sampled in r1-r4
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_profit_by_nation_year",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_heavy_suppliers",
-    "q21_waiting_orders",
-    "q22_global_sales_opportunity",
-    # SQL surface (CTE / subquery / lateral / set ops)
-    "sql_cte_nation_revenue_rank",
-    "sql_correlated_max_order",
-    "sql_exists_recent_buyers",
-    "sql_lateral_token_match",
-    "sql_setop_chain_part_types",
-    "sql_in_subquery_top_nations",
-    # statistics battery
-    "stats_percentiles_acctbal",
-    "stats_variance_acctbal",
-    "stats_corr_price_qty",
-    "argmax_order_per_customer",
-    "mode_priority_per_status",
-    "histogram_order_totals",
-    "collect_sorted_custkeys",
-    "unpivot_nation_metrics",
-    "bool_agg_customer_flags",
-    "bit_agg_part_sizes",
-    # window / pagination / self-join
-    "window_percent_rank_suppliers",
-    "window_rank_event_value_per_user",
-    "pagination_orders_page3",
-    "selfjoin_multi_supplier_parts",
-    # array / map / null-semantics / text scalars
-    "map_funcs_event_props",
-    "map_explode_event_props",
-    "array_funcs_doc_tokens",
-    "posexplode_tokens_ordinal",
-    "null_semantics_showcase",
-    "text_distance_funcs",
-    "series_monthly_orders_gapfill",
-    # pandas-UDF surface
-    "udf_pandas_quality_score",
-    "udf_grouped_agg_mean_chars",
-    # LLM / embeddings / analytics tail
-    "embedding_topk_cosine",
-    "embedding_norm_stats",
-    "multimodal_bytes_profile",
-    "tfidf_top_terms",
-    "cohort_weekly_retention",
-    "funnel_view_to_purchase",
-    # round-5 additions (first driver exposure)
-    "approx_distinct_parts",
-    "snapshot_scd2_history",
-    # Round-6 rotation plan: once this round certifies the 50 above,
-    # move the remaining never-sampled oracle-paired entries here —
-    # ann_recall_ivf_kmeans_at5, triangle_count_trade_graph,
-    # quantile_sketch_verdict_prices, er_blocking_match_stats,
-    # bpe_first_merge_pairs, events_resample_interpolate,
-    # stratified_sample_orders, weighted_sample_orders_aes,
-    # incremental_agg_merge_orders, url_domain_stats,
-    # cross_source_duplicate_matrix, zorder_key_orders,
-    # compaction_bin_packing, range_partition_boundaries,
-    # event_time_disorder_profile, daily_value_percentiles,
-    # hc_k_anonymity_audit, scd2_point_in_time_join,
-    # packing_efficiency_stats, gdpr_erasure_audit,
-    # freq_items_verdict_returnflag — plus the round-5 batch-6/7 and
-    # Spark-4 batteries (substring_dup_coverage, pmi_top_collocations,
-    # char_entropy_quality, interval_overlap_orders_months,
-    # user_value_trend_slope, benford_first_digit_audit,
-    # decile_lift_customers, mad_outliers_order_price,
-    # variant_event_props_stats, udtf_token_runs,
-    # pipe_syntax_monthly_revenue, listagg_nation_segments,
-    # reservoir_sample_per_segment, doc_concat_eos_offsets,
-    # bloom_membership_verdict, pysource_digest_rows,
-    # groupby_all_status_priority, basket_association_rules,
-    # rfm_segmentation, ab_test_zscore_verdict,
-    # churn_inactivity_profile, hll_partition_union_verdict,
-    # skyline_pareto_parts, table_content_checksum,
-    # embedding_int8_quant_error, event_path_trigrams,
-    # cusum_changepoint_events, seasonal_hourly_profile,
-    # acf_lag1_hourly_by_type, tokenizer_fertility_by_lang,
-    # doc_length_trim_stats, winnowing_fingerprints,
-    # ngram_novelty_decay, cdc_batch_conflicts,
-    # groupingsets_dfapi_region_nation, ks_test_event_values,
-    # psi_population_stability, chi_square_status_priority,
-    # gini_revenue_concentration, bm25_topk_docs,
-    # tfidf_cosine_pairs_topk, spatial_grid_join_profile,
-    # fd_audit_g3, hc_l_diversity_audit, lang_confusion_matrix,
-    # embedding_covariance_topvar, orders_open_backlog_by_month,
-    # partition_merkle_digests, zonemap_pruning_audit,
-    # golden_record_survivorship, woe_iv_price_bins,
-    # minhash_jaccard_estimate_gate, vocab_oov_rate_by_source,
-    # graph_strength_assortativity, join_size_estimate_audit,
-    # symspell_fuzzy_name_match, twap_event_values_daily,
-    # cycle_time_percentiles_by_priority) and any
-    # round-6 additions; they
-    # currently live in registration order below the 50-query prefix.
+    "ann_recall_ivf_kmeans_at5",
+    "bm25_topk_docs",
+    "tfidf_cosine_pairs_topk",
+    "ppjoin_prefix_filter_pairs",
+    "symspell_fuzzy_name_match",
+    "ks_test_event_values",
+    "psi_population_stability",
+    "chi_square_status_priority",
+    "quantile_sketch_verdict_prices",
+    "freq_items_verdict_returnflag",
+    "bloom_membership_verdict",
+    "hll_partition_union_verdict",
+    "minhash_jaccard_estimate_gate",
+    "decimal_exact_sum_verdict",
+    "scd2_point_in_time_join",
+    "incremental_agg_merge_orders",
+    "stratified_sample_orders",
+    "hc_k_anonymity_audit",
+    "hc_l_diversity_audit",
+    "daily_value_percentiles",
+    "url_domain_stats",
+    "cross_source_duplicate_matrix",
+    "packing_efficiency_stats",
+    "gdpr_erasure_audit",
+    "triangle_count_trade_graph",
+    "er_blocking_match_stats",
+    "bpe_first_merge_pairs",
+    "events_resample_interpolate",
+    "weighted_sample_orders_aes",
+    "zorder_key_orders",
+    "compaction_bin_packing",
+    "range_partition_boundaries",
+    "event_time_disorder_profile",
+    "substring_dup_coverage",
+    "pmi_top_collocations",
+    "char_entropy_quality",
+    "interval_overlap_orders_months",
+    "user_value_trend_slope",
+    "benford_first_digit_audit",
+    "decile_lift_customers",
+    "mad_outliers_order_price",
+    "variant_event_props_stats",
+    "udtf_token_runs",
+    "pipe_syntax_monthly_revenue",
+    "listagg_nation_segments",
+    "pysource_digest_rows",
+    "groupby_all_status_priority",
+    "recursive_cte_bfs_hops",
+    "reservoir_sample_per_segment",
+    "doc_concat_eos_offsets",
+    # ------------------------------------------------------------------
+    # Round-7 rotation: load these 50 into _FRONT once round 6 is
+    # driver-green (next never-sampled entries, registration order):
+    #   basket_association_rules
+    #   rfm_segmentation
+    #   ab_test_zscore_verdict
+    #   churn_inactivity_profile
+    #   skyline_pareto_parts
+    #   table_content_checksum
+    #   embedding_int8_quant_error
+    #   event_path_trigrams
+    #   cusum_changepoint_events
+    #   seasonal_hourly_profile
+    #   acf_lag1_hourly_by_type
+    #   tokenizer_fertility_by_lang
+    #   doc_length_trim_stats
+    #   winnowing_fingerprints
+    #   ngram_novelty_decay
+    #   cdc_batch_conflicts
+    #   groupingsets_dfapi_region_nation
+    #   gini_revenue_concentration
+    #   spatial_grid_join_profile
+    #   fd_audit_g3
+    #   lang_confusion_matrix
+    #   embedding_covariance_topvar
+    #   orders_open_backlog_by_month
+    #   partition_merkle_digests
+    #   zonemap_pruning_audit
+    #   golden_record_survivorship
+    #   woe_iv_price_bins
+    #   vocab_oov_rate_by_source
+    #   graph_strength_assortativity
+    #   join_size_estimate_audit
+    #   twap_event_values_daily
+    #   cycle_time_percentiles_by_priority
+    #   ohlc_daily_event_bars
+    #   orderkey_gap_ranges
+    #   weighted_median_price_by_flag
+    #   rle_run_profile_lineitem
+    #   dict_encoding_advisor_lineitem
+    #   mann_kendall_trend_events
+    #   shingle_containment_pairs
+    #   doc_prefix_dup_groups
+    #   zipf_slope_vocab
+    #   fs_linkage_verdicts
+    #   fk_orphan_rate_audit
+    #   stl_naive_decomposition_daily
+    #   bollinger_breakout_days
+    #   session_bounce_rate_daily
+    #   abc_classification_parts
+    #   salted_join_revenue_by_nation
+    #   trending_parts_wow_lift
+    #   multi_touch_attribution_decay
+    # Round-8 rotation (final 23 — after this every oracle-paired
+    # catalog entry has a driver-green row in some round):
+    #   label_centroid_cosine_matrix
+    #   window_cume_dist_nth_value
+    #   json_malformed_rate_audit
+    #   conversion_time_histogram
+    #   hof_zip_exists_forall_embeddings
+    #   schema_evolution_union_orders
+    #   asof_nearest_view_per_purchase
+    #   business_days_to_ship_by_priority
+    #   qq_decile_points_order_status
+    #   feature_scaler_params_embeddings
+    #   class_weights_inverse_freq
+    #   split_leakage_exact_dups
+    #   target_encoding_segment_smoothed
+    #   relational_division_all_top_suppliers
+    #   not_in_vs_not_exists_null_trap
+    #   percentile_disc_vs_cont_by_priority
+    #   delta_encoding_advisor_lineitem
+    #   poisson_bootstrap_ci_event_mean
+    #   kcore3_trade_graph_unrolled
+    #   eventually_follows_support
+    #   kl_divergence_doc_lengths
+    #   events_daily_densified_zero_fill
+    #   rank_with_ties_top_quantity_orders
 ]
 
 
