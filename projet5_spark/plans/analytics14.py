@@ -33,6 +33,102 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return fixture_table(spark, sf_dir, name)
 
 
+#: Per-variant fan-out cap: a deletion variant shared by more than this
+#: many keys is "hot" and routed through the position-exact completion
+#: instead of the plain variant self-join. 16 keeps the rare-path
+#: fan-out at <= cap^2/2 per variant while the sf0.01 fixture (max
+#: bucket 29) already exercises the hot path in the oracle run.
+_SYMSPELL_VARIANT_CAP = 16
+
+
+def _symspell_variant_rows(names: DataFrame) -> DataFrame:
+    """(k, pos, v) rows: pos 0 is the identity (v = the name itself),
+    pos i >= 1 the variant with character i deleted. Positions are kept
+    (not ``array_distinct``-collapsed) because the hot-path completion
+    joins on (v, pos)."""
+    return names.select(
+        "k",
+        F.posexplode(
+            F.concat(
+                F.array(F.col("name")),
+                F.expr(
+                    "transform(sequence(1, length(name)), i -> "
+                    "concat(substring(name, 1, i - 1), "
+                    "substring(name, i + 1, length(name))))"
+                ),
+            )
+        ).alias("pos", "v"),
+    )
+
+
+def symspell_candidate_pairs(
+    names: DataFrame, cap: int = _SYMSPELL_VARIANT_CAP
+) -> DataFrame:
+    """Distinct (key_a, key_b) candidate pairs (key_a < key_b) covering
+    every pair within edit distance 1, with per-variant join fan-out
+    capped at ``cap`` — the hot-variant cap the near-dup family's
+    DF-split uses (llm.py `_split_shingles_by_df`), made LOSSLESS here
+    by a position-exact completion:
+
+    * **rare variants** (<= cap distinct keys): plain self-join on the
+      variant string, fan-out <= cap^2/2 rows per variant;
+    * **hot variants** (> cap keys): no all-pairs join. Instead
+      (a) same-(v, pos) join — a same-length pair at distance 1 differs
+      at exactly one position p, and deleting p from both sides yields
+      the SAME variant at the SAME position, so it always shares
+      (v, p); two keys with an identical name share (name, 0); and
+      (b) identity-vs-deletion join on v — an insert/delete pair's
+      shorter string IS the shared variant, emitted at pos 0 by itself
+      and at pos >= 1 by the longer string.
+      Every hot-path candidate is a TRUE distance<=1 pair (same-pos
+      bucket-mates differ only at that position; identity pairs differ
+      by the one deleted character), so the hot path's cost is the
+      output's own size — quadratic only where the answer itself is
+      quadratic (a flood of same-position spelling variants), never
+      lev-2 false-candidate fan-out.
+
+    Completeness: a distance<=1 pair shares >= 1 variant; if any shared
+    variant is rare the rare join finds it, and if a shared variant is
+    hot the matching hot sub-join above finds it. Proven against a
+    planted 40-key hot bucket in tests/test_symspell_cap.py.
+    """
+    rows = _symspell_variant_rows(names)
+    kv = rows.select("k", "v").distinct()
+    hot = (
+        kv.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .where(F.col("nk") > F.lit(cap))
+        .select("v")
+    )
+    pair = lambda a, b: (  # noqa: E731
+        F.least(F.col(a), F.col(b)).alias("key_a"),
+        F.greatest(F.col(a), F.col(b)).alias("key_b"),
+    )
+    rare_kv = kv.join(hot, "v", "left_anti")
+    ra, rb = rare_kv.alias("a"), rare_kv.alias("b")
+    rare_pairs = ra.join(
+        rb, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k"))
+    ).select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+    hot_rows = rows.join(hot, "v").select("k", "pos", "v").distinct()
+    ha, hb = hot_rows.alias("a"), hot_rows.alias("b")
+    hot_samepos = ha.join(
+        hb,
+        (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+    ident = hot_rows.where(F.col("pos") == 0).select("k", "v")
+    dels = hot_rows.where(F.col("pos") > 0).select("k", "v")
+    hot_ident = (
+        ident.alias("a")
+        .join(dels.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.k") != F.col("b.k")))
+        .select(*pair("a.k", "b.k"))
+    )
+    return (
+        rare_pairs.unionByName(hot_samepos).unionByName(hot_ident).distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # SymSpell-style fuzzy name match (edit distance <= 1)
 # --------------------------------------------------------------------------
@@ -74,38 +170,18 @@ def symspell_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The variant shuffle carries (short-string, key) rows — L+1 per
     name; candidates dedup on the key pair before the distance filter
-    so a pair sharing several variants verifies once. At 100 TB the
-    same plan holds with a per-variant fan-out cap (hot-variant
-    skipping), mirroring the near-dup family's bounded candidate
-    generation."""
+    so a pair sharing several variants verifies once. Per-variant join
+    fan-out is capped at ``_SYMSPELL_VARIANT_CAP`` distinct keys:
+    over-cap ("hot") variants skip the all-pairs variant join and go
+    through the lossless position-exact completion instead (see
+    ``symspell_candidate_pairs``) — at sf0.01 the densest bucket holds
+    29 keys, so the hot path runs inside this very oracle pair."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
     )
-    # variants dedup per name (adjacent equal chars collapse to one
-    # deletion) and the shuffle carries (variant, key) only — names
-    # re-attach after the pair set is distinct, so no text amplifies
-    # through the join
-    vars_ = c.select(
-        "k",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("name")),
-                    F.expr(
-                        "transform(sequence(1, length(name)), i -> "
-                        "concat(substring(name, 1, i - 1), "
-                        "substring(name, i + 1, length(name))))"
-                    ),
-                )
-            )
-        ).alias("v"),
-    )
-    a, b = vars_.alias("a"), vars_.alias("b")
-    cand = (
-        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")))
-        .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-        .distinct()
-    )
+    # the shuffle carries (variant, key) only — names re-attach after
+    # the pair set is distinct, so no text amplifies through the join
+    cand = symspell_candidate_pairs(c)
     ca = c.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
     cb = c.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
     lev = F.levenshtein("name_a", "name_b")

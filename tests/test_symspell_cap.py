@@ -1,0 +1,124 @@
+"""Hot-variant fan-out cap for the SymSpell deletion-neighborhood join
+(VERDICT r5 task #5).
+
+Ground truth is a brute-force all-pairs ``levenshtein <= 1`` check on a
+planted corpus engineered so that one deletion variant ("hub") is
+shared by 40 keys — far above the cap — and contains genuine
+distance-1 pairs of every shape: exact duplicates, same-position
+substitutions, and insert/delete pairs whose shorter string IS the hot
+variant. Losing any hot-bucket candidate would show up as a missing
+pair vs the brute-force truth.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet5_spark.plans.analytics14 import (
+    _SYMSPELL_VARIANT_CAP,
+    symspell_candidate_pairs,
+)
+
+
+def _planted(spark):
+    # Hot bucket around the base string "hub": every name below emits
+    # the variant "hub" (the base itself, single insertions at each
+    # position, and exact duplicates), so the "hub" bucket holds 40
+    # keys > cap=16 > the planted rare-cluster sizes.
+    names = []
+    k = 1
+    names.append((k, "hub"))  # identity: shorter side of ins/del pairs
+    base = "hub"
+    for i in range(len(base) + 1):  # insertions of 'x' at each position
+        for ch in "xyz":
+            k += 1
+            names.append((k, base[:i] + ch + base[i:]))
+    # exact duplicates of one inserted form and of the base
+    for _ in range(10):
+        k += 1
+        names.append((k, "xhub"))
+    for _ in range(40 - len(names)):
+        k += 1
+        names.append((k, "hub"))
+    assert len(names) == 40
+    # rare-bucket cluster, below the cap: classic small fuzzy group
+    for nm in ["alpha", "alpho", "alphas", "beta", "betb", "gamma"]:
+        k += 1
+        names.append((k, nm))
+    return spark.createDataFrame(names, "k long, name string")
+
+
+def _truth(df):
+    a = df.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
+    b = df.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
+    return {
+        (r.key_a, r.key_b)
+        for r in a.join(b, F.col("key_a") < F.col("key_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    df = _planted(spark).localCheckpoint(eager=True)
+    return df, _truth(df)
+
+
+def test_hot_bucket_exceeds_cap(planted):
+    df, _ = planted
+    from projet5_spark.plans.analytics14 import _symspell_variant_rows
+
+    nk = (
+        _symspell_variant_rows(df)
+        .select("k", "v")
+        .distinct()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .where(F.col("v") == "hub")
+        .collect()[0]
+        .nk
+    )
+    assert nk == 40 > _SYMSPELL_VARIANT_CAP
+
+
+def test_no_candidate_loss_with_hot_bucket(planted):
+    df, truth = planted
+    cand = {
+        (r.key_a, r.key_b)
+        for r in symspell_candidate_pairs(df).collect()
+    }
+    missing = truth - cand
+    assert not missing, f"cap lost true pairs: {sorted(missing)[:10]}"
+
+
+def test_exact_after_verification(planted):
+    # candidates ∩ lev<=1 == truth at EVERY cap: cap=1 routes all
+    # variants hot (pure position-exact path), a huge cap routes all
+    # rare (plain variant join); both must verify to the same answer.
+    df, truth = planted
+    names_a = df.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
+    names_b = df.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
+    for cap in (1, _SYMSPELL_VARIANT_CAP, 10_000):
+        got = {
+            (r.key_a, r.key_b)
+            for r in symspell_candidate_pairs(df, cap=cap)
+            .join(names_a, "key_a")
+            .join(names_b, "key_b")
+            .where(F.levenshtein("name_a", "name_b") <= 1)
+            .collect()
+        }
+        assert got == truth, f"cap={cap} mismatch"
+
+
+def test_hot_path_candidates_are_all_true_pairs(planted):
+    # The completion's selling point: with cap=1 (everything hot) the
+    # candidate set IS the answer — zero lev-2 false candidates, so the
+    # hot path's join cost equals its output size.
+    df, truth = planted
+    cand = {
+        (r.key_a, r.key_b)
+        for r in symspell_candidate_pairs(df, cap=1).collect()
+    }
+    assert cand == truth
