@@ -91,8 +91,14 @@ def symspell_candidate_pairs(
     variant is rare the rare join finds it, and if a shared variant is
     hot the matching hot sub-join above finds it. Proven against a
     planted 40-key hot bucket in tests/test_symspell_cap.py.
+
+    The variant rows are localCheckpoint-materialized once (same
+    pattern as the shingle DF-split, llm.py `_split_shingles_by_df`):
+    the bucket-count aggregate, both rare join sides, and the hot
+    subset all re-read the materialized rows instead of re-running the
+    posexplode pipeline ~5x.
     """
-    rows = _symspell_variant_rows(names)
+    rows = _symspell_variant_rows(names).localCheckpoint(eager=True)
     kv = rows.select("k", "v").distinct()
     hot = (
         kv.groupBy("v")
@@ -109,7 +115,10 @@ def symspell_candidate_pairs(
     rare_pairs = ra.join(
         rb, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k"))
     ).select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-    hot_rows = rows.join(hot, "v").select("k", "pos", "v").distinct()
+    # (k, pos, v) rows are already distinct — posexplode emits each
+    # position once per key — so no dedup shuffle is needed here; the
+    # final pair-level distinct absorbs multi-variant double-hits.
+    hot_rows = rows.join(hot, "v").select("k", "pos", "v")
     ha, hb = hot_rows.alias("a"), hot_rows.alias("b")
     hot_samepos = ha.join(
         hb,
