@@ -274,11 +274,12 @@ def _rle_oracle() -> str:
         f"AS avg_run_len_micro FROM a"
         for i, c in enumerate(_RLE_COLS)
     )
+    order_cols = ", ".join(("l_linenumber",) + _RLE_COLS)
     return f"""
     WITH f AS (
       SELECT {flags}
       FROM lineitem
-      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)),
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY {order_cols})),
     a AS (SELECT count(*) AS n,
                  {", ".join(f"sum(s{i}) AS r{i}" for i in range(len(_RLE_COLS)))}
           FROM f)
@@ -297,9 +298,17 @@ def rle_run_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     every candidate column at once, one aggregate folds them, and the
     single result row unpivots (``stack``) into the per-column report.
     Run boundaries are evaluated within l_orderkey partitions, which is
-    what row-group-local encoding sees anyway — no global sort."""
+    what row-group-local encoding sees anyway — no global sort.
+
+    The window order appends the profiled columns as tie-breakers:
+    the fixture plants duplicate (l_orderkey, l_linenumber) pairs, so
+    ordering by l_linenumber alone is non-total and tie order would be
+    physical row order — session- and engine-dependent. Rows that tie
+    on ALL sort keys are identical in every profiled column, so the
+    residual nondeterminism cannot move a run boundary; both engines
+    use the same ordering."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", *_RLE_COLS)
 
     def start_flag(c: str) -> F.Column:
         col, prev = F.col(c), F.lag(c).over(w)
