@@ -1536,7 +1536,13 @@ def test_weighted_median_definition(spark):
 
 def test_rle_profile_counts_runs(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
-    li = li.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+    # same total order as the query: the fixture has duplicate
+    # (l_orderkey, l_linenumber) keys, so the profiled columns break
+    # ties deterministically (see rle_run_profile_lineitem docstring)
+    li = li.sort_values(
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"],
+        kind="mergesort",
+    )
     rows = {r["col"]: r for r in QUERIES["rle_run_profile_lineitem"](spark, SF).collect()}
     for col in ("l_returnflag", "l_linestatus", "l_quantity"):
         runs = 0
