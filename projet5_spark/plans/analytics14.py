@@ -33,11 +33,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return fixture_table(spark, sf_dir, name)
 
 
-#: Per-variant fan-out cap: a deletion variant shared by more than this
-#: many keys is "hot" and routed through the position-exact completion
-#: instead of the plain variant self-join. 16 keeps the rare-path
-#: fan-out at <= cap^2/2 per variant while the sf0.01 fixture (max
-#: bucket 29) already exercises the hot path in the oracle run.
+#: Per-variant fan-out cap for the SPLIT variant of
+#: ``symspell_candidate_pairs`` (cap>0): a deletion variant shared by
+#: more than this many keys is "hot" and routed through the
+#: position-exact completion instead of the plain variant self-join,
+#: keeping rare-path fan-out at <= cap^2/2 per variant. The default
+#: mode (cap=0) is position-exact everywhere and needs no cap — its
+#: fan-out is bounded by the true-match cluster size. The sf0.01
+#: fixture's densest bucket holds 29 keys > this cap, so the split
+#: mode's hot path is exercised by the planted tests.
 _SYMSPELL_VARIANT_CAP = 16
 
 
@@ -61,54 +65,85 @@ def _symspell_variant_rows(names: DataFrame) -> DataFrame:
     )
 
 
-def symspell_candidate_pairs(
-    names: DataFrame, cap: int = _SYMSPELL_VARIANT_CAP
-) -> DataFrame:
+def _position_exact_pairs(rows: DataFrame) -> DataFrame:
+    """Candidate pairs from (k, pos, v) variant rows via the
+    position-exact joins. Every candidate is a TRUE distance<=1 pair:
+
+    * same-(v, pos) join — a same-length pair at distance 1 differs at
+      exactly one position p, and deleting p from both sides yields the
+      SAME variant at the SAME position, so it always shares (v, p);
+      conversely, same-(v, pos) bucket-mates differ only at that
+      position. Two keys with an identical name share (name, 0).
+    * identity-vs-deletion join on v — an insert/delete pair's shorter
+      string IS the shared variant, emitted at pos 0 by itself and at
+      pos >= 1 by the longer string; such a candidate differs by the
+      one deleted character.
+
+    So the join cost here equals the output's own size — quadratic only
+    where the answer itself is quadratic (a flood of same-position
+    spelling variants), never lev-2 false-candidate fan-out."""
+    a, b = rows.alias("a"), rows.alias("b")
+    samepos = a.join(
+        b,
+        (F.col("a.v") == F.col("b.v"))
+        & (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+    ident = rows.where(F.col("pos") == 0).select("k", "v")
+    dels = rows.where(F.col("pos") > 0).select("k", "v")
+    ins_del = (
+        ident.alias("a")
+        .join(dels.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.k") != F.col("b.k")))
+        .select(
+            F.least(F.col("a.k"), F.col("b.k")).alias("key_a"),
+            F.greatest(F.col("a.k"), F.col("b.k")).alias("key_b"),
+        )
+    )
+    return samepos.unionByName(ins_del)
+
+
+def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     """Distinct (key_a, key_b) candidate pairs (key_a < key_b) covering
-    every pair within edit distance 1, with per-variant join fan-out
-    capped at ``cap`` — the hot-variant cap the near-dup family's
-    DF-split uses (llm.py `_split_shingles_by_df`), made LOSSLESS here
-    by a position-exact completion:
+    every pair within edit distance 1, with per-join-key fan-out bounded
+    by the TRUE-match cluster size — the information floor, stronger
+    than any fixed cap.
 
-    * **rare variants** (<= cap distinct keys): plain self-join on the
-      variant string, fan-out <= cap^2/2 rows per variant;
-    * **hot variants** (> cap keys): no all-pairs join. Instead
-      (a) same-(v, pos) join — a same-length pair at distance 1 differs
-      at exactly one position p, and deleting p from both sides yields
-      the SAME variant at the SAME position, so it always shares
-      (v, p); two keys with an identical name share (name, 0); and
-      (b) identity-vs-deletion join on v — an insert/delete pair's
-      shorter string IS the shared variant, emitted at pos 0 by itself
-      and at pos >= 1 by the longer string.
-      Every hot-path candidate is a TRUE distance<=1 pair (same-pos
-      bucket-mates differ only at that position; identity pairs differ
-      by the one deleted character), so the hot path's cost is the
-      output's own size — quadratic only where the answer itself is
-      quadratic (a flood of same-position spelling variants), never
-      lev-2 false-candidate fan-out.
+    ``cap=0`` (default): position-exact generation for every variant
+    (`_position_exact_pairs`) — candidates coincide exactly with the
+    distance<=1 pair set, so no bucket can fan out beyond its own share
+    of the answer. This is the 100 TB path AND the fastest measured
+    variant at fixture scale (sf0.1 medians: 3.9 s vs 4.3 s for the
+    split below vs 3.4 s for the uncapped plain join that a hot variant
+    would blow up at scale).
 
-    Completeness: a distance<=1 pair shares >= 1 variant; if any shared
-    variant is rare the rare join finds it, and if a shared variant is
-    hot the matching hot sub-join above finds it. Proven against a
-    planted 40-key hot bucket in tests/test_symspell_cap.py.
+    ``cap>0``: the DF-split variant mirroring the near-dup family
+    (llm.py `_split_shingles_by_df`) — plain self-join on the variant
+    string for "rare" buckets (<= cap keys; fan-out <= cap^2/2 per
+    variant, fewer shuffled rows since pos is dropped), position-exact
+    completion for hot buckets. Useful when variant rows dominate cost
+    (very short strings) and false-candidate fan-out is known-bounded.
 
-    The variant rows are localCheckpoint-materialized once (same
-    pattern as the shingle DF-split, llm.py `_split_shingles_by_df`):
-    the bucket-count aggregate, both rare join sides, and the hot
-    subset all re-read the materialized rows instead of re-running the
-    posexplode pipeline ~5x.
+    Completeness (either mode): a distance<=1 pair shares >= 1 variant;
+    a same-length pair shares it at the same deleted position, an
+    insert/delete pair shares the shorter string itself, so the
+    position-exact joins find it; in split mode a rare shared variant
+    is found by the rare join and a hot one by the completion. Proven
+    against a planted 40-key hot bucket in tests/test_symspell_cap.py
+    at caps 0, 1, 16, and 10000.
     """
-    rows = _symspell_variant_rows(names).localCheckpoint(eager=True)
+    rows = _symspell_variant_rows(names)
+    if cap <= 0:
+        return _position_exact_pairs(rows).distinct()
+    # Split mode: materialize once — the bucket-count aggregate, both
+    # rare join sides, and the hot subset re-read the materialized rows
+    # instead of re-running the posexplode pipeline ~5x.
+    rows = rows.localCheckpoint(eager=True)
     kv = rows.select("k", "v").distinct()
     hot = (
         kv.groupBy("v")
         .agg(F.count(F.lit(1)).alias("nk"))
         .where(F.col("nk") > F.lit(cap))
         .select("v")
-    )
-    pair = lambda a, b: (  # noqa: E731
-        F.least(F.col(a), F.col(b)).alias("key_a"),
-        F.greatest(F.col(a), F.col(b)).alias("key_b"),
     )
     rare_kv = kv.join(hot, "v", "left_anti")
     ra, rb = rare_kv.alias("a"), rare_kv.alias("b")
@@ -119,23 +154,7 @@ def symspell_candidate_pairs(
     # position once per key — so no dedup shuffle is needed here; the
     # final pair-level distinct absorbs multi-variant double-hits.
     hot_rows = rows.join(hot, "v").select("k", "pos", "v")
-    ha, hb = hot_rows.alias("a"), hot_rows.alias("b")
-    hot_samepos = ha.join(
-        hb,
-        (F.col("a.v") == F.col("b.v"))
-        & (F.col("a.pos") == F.col("b.pos"))
-        & (F.col("a.k") < F.col("b.k")),
-    ).select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
-    ident = hot_rows.where(F.col("pos") == 0).select("k", "v")
-    dels = hot_rows.where(F.col("pos") > 0).select("k", "v")
-    hot_ident = (
-        ident.alias("a")
-        .join(dels.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.k") != F.col("b.k")))
-        .select(*pair("a.k", "b.k"))
-    )
-    return (
-        rare_pairs.unionByName(hot_samepos).unionByName(hot_ident).distinct()
-    )
+    return rare_pairs.unionByName(_position_exact_pairs(hot_rows)).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -177,14 +196,15 @@ def symspell_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     check runs only on bucket-mates — the standard way to make fuzzy
     dedup an equi-join instead of an all-pairs scan.
 
-    The variant shuffle carries (short-string, key) rows — L+1 per
-    name; candidates dedup on the key pair before the distance filter
-    so a pair sharing several variants verifies once. Per-variant join
-    fan-out is capped at ``_SYMSPELL_VARIANT_CAP`` distinct keys:
-    over-cap ("hot") variants skip the all-pairs variant join and go
-    through the lossless position-exact completion instead (see
-    ``symspell_candidate_pairs``) — at sf0.01 the densest bucket holds
-    29 keys, so the hot path runs inside this very oracle pair."""
+    The variant shuffle carries (short-string, key, position) rows —
+    L+1 per name; candidates dedup on the key pair before the distance
+    filter so a pair sharing several variants verifies once. Candidate
+    generation is position-exact (``symspell_candidate_pairs`` default):
+    per-join-key fan-out is bounded by the true-match cluster size, so
+    no variant bucket — the sf0.01 fixture's densest holds 29 keys —
+    can blow up beyond its own share of the answer; the
+    ``_SYMSPELL_VARIANT_CAP`` DF-split variant remains available and
+    planted-tested for short-string corpora."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
     )

@@ -94,13 +94,14 @@ def test_no_candidate_loss_with_hot_bucket(planted):
 
 
 def test_exact_after_verification(planted):
-    # candidates ∩ lev<=1 == truth at EVERY cap: cap=1 routes all
-    # variants hot (pure position-exact path), a huge cap routes all
-    # rare (plain variant join); both must verify to the same answer.
+    # candidates ∩ lev<=1 == truth in EVERY mode: cap=0 is the pure
+    # position-exact default, cap=1 routes every shared variant hot
+    # inside the split, cap=16 mixes rare and hot, a huge cap routes
+    # all rare (plain variant join); all must verify to the same answer.
     df, truth = planted
     names_a = df.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
     names_b = df.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
-    for cap in (1, _SYMSPELL_VARIANT_CAP, 10_000):
+    for cap in (0, 1, _SYMSPELL_VARIANT_CAP, 10_000):
         got = {
             (r.key_a, r.key_b)
             for r in symspell_candidate_pairs(df, cap=cap)
@@ -112,13 +113,15 @@ def test_exact_after_verification(planted):
         assert got == truth, f"cap={cap} mismatch"
 
 
-def test_hot_path_candidates_are_all_true_pairs(planted):
-    # The completion's selling point: with cap=1 (everything hot) the
-    # candidate set IS the answer — zero lev-2 false candidates, so the
-    # hot path's join cost equals its output size.
+def test_position_exact_candidates_are_all_true_pairs(planted):
+    # The position-exact path's selling point: the candidate set IS the
+    # answer — zero lev-2 false candidates, so join cost equals output
+    # size. Holds for the default mode (cap=0) and for the split with
+    # everything routed hot (cap=1).
     df, truth = planted
-    cand = {
-        (r.key_a, r.key_b)
-        for r in symspell_candidate_pairs(df, cap=1).collect()
-    }
-    assert cand == truth
+    for cap in (0, 1):
+        cand = {
+            (r.key_a, r.key_b)
+            for r in symspell_candidate_pairs(df, cap=cap).collect()
+        }
+        assert cand == truth, f"cap={cap}"
