@@ -113,6 +113,43 @@ def test_exact_after_verification(planted):
         assert got == truth, f"cap={cap} mismatch"
 
 
+def test_modes_agree_on_real_fixture(spark):
+    # Cross-check on actual data (sf0.001 customer names, which carry
+    # dense digit-cluster buckets): after levenshtein verification the
+    # position-exact default and the DF-split at the production cap
+    # must produce identical pair sets — and the default's raw
+    # candidate set must already BE that verified set (zero lev-2
+    # false candidates), while the split's plain variant join
+    # legitimately over-generates (e.g. Customer#000000010 vs
+    # Customer#000000100 share a deletion variant at distance 2).
+    from pyspark.sql import functions as F
+
+    c = (
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
+    )
+    na = c.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
+    nb = c.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
+
+    def verified(cand):
+        return {
+            (r.key_a, r.key_b)
+            for r in cand.join(na, "key_a")
+            .join(nb, "key_b")
+            .where(F.levenshtein("name_a", "name_b") <= 1)
+            .collect()
+        }
+
+    default_cand = {
+        (r.key_a, r.key_b) for r in symspell_candidate_pairs(c).collect()
+    }
+    default = verified(symspell_candidate_pairs(c))
+    split = verified(symspell_candidate_pairs(c, cap=_SYMSPELL_VARIANT_CAP))
+    assert default == split
+    assert default_cand == default  # position-exact: candidates == answer
+    assert default  # the fixture genuinely contains distance<=1 pairs
+
+
 def test_position_exact_candidates_are_all_true_pairs(planted):
     # The position-exact path's selling point: the candidate set IS the
     # answer — zero lev-2 false candidates, so join cost equals output
