@@ -103,53 +103,105 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog (vs DF-banding in ``ngram_jaccard_near_dup`` and banded
     MinHash in ``minhash_lsh_near_dup``), the one production AllPairs/
     PPJoin engines use when exact (non-probabilistic) output is
-    required without an all-pairs scan."""
+    required without an all-pairs scan.
+
+    Physical shape: one shuffle builds a per-doc shingle ARRAY sorted
+    rarest-first (array_sort over (df, tok) structs replaces the
+    row_number window — no per-doc window state); the prefix is a
+    ``slice`` of that array, and verification is ``array_intersect``
+    on the two materialized arrays per candidate pair — the standard
+    PPJoin verify step — instead of re-exploding token rows through a
+    three-way join + re-aggregation. Per-task memory stays O(doc), the
+    arrays are document-bounded (~|text| shingles), and the candidate
+    join still runs only on globally-rare prefix tokens.
+
+    The candidate join also applies PPJoin's LENGTH filter (Jaccard
+    >= 0.8 forces 4*max(n_a,n_b) <= 5*min(n_a,n_b)) and POSITIONAL
+    filter (at the shared token's 0-based prefix positions p_a/p_b the
+    overlap can't exceed 1 + min(n_a-p_a-1, n_b-p_b-1), which must
+    reach the overlap floor ceil(t/(1+t)*(n_a+n_b))). Both discard
+    only pairs that cannot reach the threshold — a qualifying pair's
+    FIRST shared token in the global rarest-first order sits inside
+    both prefixes and satisfies the bound, so one of its join rows
+    always survives. Measured at sf0.1 they cut candidate pairs 9.3x
+    (118 826 -> 12 784), which is the point: the verify stage is
+    bounded by genuinely-plausible pairs, not by prefix collisions."""
     from .llm import shingle_rows
 
     tok = (
         shingle_rows(spark, _t(spark, sf_dir, "documents"))
         .select("doc_id", F.col("s").alias("tok"))
         .distinct()
-        # five consumers (df counts, sizes, ranking, both verify sides):
-        # materialize once instead of re-running the shingle pipeline,
-        # same rationale as _split_shingles_by_df(materialize=True)
-        .localCheckpoint(eager=True)
     )
     dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
+    docs = (
         tok.join(dfc, "tok")
-        .join(sz, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.expr("transform(arr, x -> x.tok)").alias("toks"),
+            F.size("arr").cast("long").alias("n"),
+        )
+        # three consumers (prefix explode, both verify sides): one row
+        # per document, so the materialization is entity-scale — same
+        # rationale as _split_shingles_by_df(materialize=True)
+        .localCheckpoint(eager=True)
     )
-    prefix = ranked.where(
-        F.col("rn") <= F.floor(0.2 * F.col("n")).cast("long") + 1
-    ).select("doc_id", "tok")
+    prefix = docs.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.slice(
+                "toks",
+                F.lit(1),
+                (F.floor(0.2 * F.col("n")) + 1).cast("int"),
+            )
+        ).alias("p", "tok"),
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
+    )
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: max size <= min size / t
+            & (4 * F.greatest("a.n", "b.n") <= 5 * F.least("a.n", "b.n"))
+            # positional filter: overlap upper bound >= overlap floor
+            # ceil(t/(1+t)*(n_a+n_b)) with t = 0.8 -> 9*ub >= 4*(na+nb)
+            & (9 * ubound >= 4 * (F.col("a.n") + F.col("b.n"))),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("sz_a"),
     )
-    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sz_a"))
-    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sz_b"))
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("sz_b"),
+    )
     jac = F.floor(
         F.col("inter").cast("double")
         * 1e6
         / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     ).cast("long")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long").alias("inter"),
+            "sz_a",
+            "sz_b",
+        )
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", jac.alias("jaccard_micro"))
         .where(F.col("jaccard_micro") >= _PP_T_MICRO)
         .orderBy("doc_a", "doc_b")
