@@ -259,6 +259,10 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (ln_det_int("n_docs") - ln_det_int("df"))
             ).alias("w"),
         )
+        # three consumers (squared norms + both self-join sides): the
+        # df-cap already shrank this to the sparse index, so materialize
+        # once instead of re-running shingle->tf->df 3x
+        .localCheckpoint(eager=True)
     )
     nsq = w.groupBy("doc_id").agg(
         F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e6)).cast("long"))
