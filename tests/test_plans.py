@@ -2023,6 +2023,61 @@ def test_ppjoin_finds_every_pair_above_threshold(spark):
     assert len(got) > 0
 
 
+def test_ppjoin_filter_boundaries_planted(spark, tmp_path):
+    """Adversarial boundary cases for the PPJoin length + positional
+    filters: pairs sitting EXACTLY on the t=0.8 Jaccard threshold and
+    on the length-filter boundary (4*max == 5*min) must survive; a
+    just-below pair sharing most of its prefix must not. Each pair
+    group uses its own token namespace so no cross-group shingles."""
+    import pandas as pd
+
+    def doc(doc_id, toks):
+        text = " ".join(toks)
+        return {"doc_id": doc_id, "text": text, "lang": "en",
+                "source": "planted", "n_chars": len(text)}
+
+    g1 = [f"a{i}" for i in range(11)]          # exact 0.8: 8/10
+    g2 = [f"b{i}" for i in range(12)]          # below: 8 shared / union 12
+    g3 = [f"c{i}" for i in range(7)]           # length boundary: 4 in 5
+    g4 = [f"d{i}" for i in range(8)]           # skewed containment: 4 in 6
+    rows = [
+        doc(1, g1),                            # 9 shingles
+        doc(2, g1[:10] + ["a_x"]),             # 9 shingles, 8 shared
+        doc(3, g2),                            # 10 shingles
+        doc(4, g2[:10] + ["b_x", "b_y"]),      # 10 shingles, 8 shared
+        doc(5, g3[:6]),                        # 4 shingles, subset of 6
+        doc(6, g3),                            # 5 shingles
+        doc(7, g4[:6]),                        # 4 shingles, subset of 8
+        doc(8, g4),                            # 6 shingles
+        doc(9, g1),                            # identical twin of 1
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in QUERIES["ppjoin_prefix_filter_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # independently recompute from the planted texts
+    sets = _shingle_sets(pd.DataFrame(rows))
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 10**6 // union >= 800_000:
+                expected[(a, b)] = inter * 10**6 // union
+    assert out == expected
+    # the cases the filters must get right, spelled out:
+    assert out[(1, 2)] == 800_000              # exactly at threshold
+    assert (3, 4) not in out                   # just below threshold
+    assert out[(5, 6)] == 800_000              # 4*max == 5*min boundary
+    assert (7, 8) not in out                   # skew beyond length filter
+    assert out[(1, 9)] == 1_000_000            # identical pair
+    assert out[(2, 9)] == 800_000              # twin inherits the 0.8 pair
+
+
 def test_conversion_histogram_counts_users_once(spark):
     from projet5_spark.sources.readers import read_events
 
