@@ -168,9 +168,14 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     to decide when more of a source stops adding information.
 
     "First seen" is min(doc_id) per shingle digest — one digest-keyed
-    aggregate over the distinct (doc, digest) set, joined back on the
-    digest; no ordered corpus scan, no window over corpus rows. Both
-    shuffles carry 32-byte digests."""
+    aggregate over the distinct (doc, digest) set. A doc's novel count
+    is then just how many digests list it as their first_doc, so the
+    per-doc totals and the per-doc novelty counts are two independent
+    aggregates joined at ENTITY scale (one row per doc) — the
+    fact-scale join-back of first_seen onto every (doc, digest) row
+    this used to do never touches the wire. Both remaining shuffles
+    carry 32-byte digests; the distinct gram set is materialized once
+    for its two aggregate consumers."""
     from .llm import shingle_rows
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -178,16 +183,23 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_rows(spark, docs)
         .select("doc_id", F.sha2(F.col("s"), 256).alias("dig"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    first_seen = g.groupBy("dig").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_shingles")
+    )
+    novel = (
+        g.groupBy("dig")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
     return (
-        g.join(first_seen, "dig")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_shingles"),
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
-            .cast("long")
-            .alias("n_novel"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",
