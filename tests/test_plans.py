@@ -1030,6 +1030,22 @@ def test_novelty_first_doc_is_fully_novel(spark):
         assert r["n_novel"] <= r["n_distinct_shingles"]
 
 
+def test_novelty_joins_only_at_doc_scale(spark):
+    """The per-doc totals and the first-doc novel counts meet in a join
+    keyed on doc_id (one row per doc). A regression back to joining
+    first_seen onto every (doc, digest) fact row would surface as a
+    join keyed on the digest column."""
+    plan = plan_of(spark, "ngram_novelty_decay")
+    key_lines = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\b(Left|Right) keys", ln) or " join keys" in ln.lower()
+    ]
+    assert key_lines, plan
+    offenders = [ln for ln in key_lines if "dig" in ln]
+    assert not offenders, offenders
+
+
 def test_cdc_conflicts_planted_by_construction(spark):
     r = QUERIES["cdc_batch_conflicts"](spark, SF).collect()[0]
     # key folding (mod 5000 over every 3rd orderkey) guarantees conflicts
