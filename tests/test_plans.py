@@ -1030,6 +1030,14 @@ def test_novelty_first_doc_is_fully_novel(spark):
         assert r["n_novel"] <= r["n_distinct_shingles"]
 
 
+def test_rank_with_ties_uses_window_group_limit(spark):
+    """rk <= 2 over rank() must prune below the shuffle with per-group
+    top-k heaps (rank-mode WindowGroupLimit keeps tie rows), not sort
+    whole order groups."""
+    plan = plan_of(spark, "rank_with_ties_top_quantity_orders")
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_novelty_joins_only_at_doc_scale(spark):
     """The per-doc totals and the first-doc novel counts meet in a join
     keyed on doc_id (one row per doc). A regression back to joining
