@@ -9,9 +9,11 @@ Scale design notes:
   per-row weights are independent, so every replicate is a weighted
   map over the partitioned data. Weights here are content-addressed
   (inverse-CDF over a sha-256 uniform), not RNG — identical across
-  engines, partitionings, and retries. B replicates = one explode of a
-  B-element sequence, one grouped aggregate; replicate means use exact
-  integer sums.
+  engines, partitionings, and retries. All B replicate sums fold in
+  ONE map-side aggregate pass (2B + 2 aggregate columns), with the B
+  uniforms carved as disjoint 8-hex windows of ⌈B/8⌉ digests per row
+  — no ×B row explode, no replicate shuffle, ~B/⌈B/8⌉ fewer hash
+  evaluations than the exploded form.
 - **k-core** is inherently iterative (peel nodes under degree k until
   fixpoint). The plan unrolls a fixed number of peels — each round is
   one degree aggregate + one semi-join, the loop builds the PLAN only
@@ -51,36 +53,48 @@ def _boot_w_sql(u: str) -> str:
     return f"CASE {arms} ELSE 5 END"
 
 
-@query(
-    "poisson_bootstrap_ci_event_mean",
-    oracle=f"""
+def _boot_u_sql(b: int) -> str:
+    """Replicate b's uniform on the 1e6 grid: 8-hex window #((b-1)%8) of
+    per-row digest #((b-1)//8) — B uniforms from ⌈B/8⌉ hashes."""
+    h, j = divmod(b - 1, 8)
+    return (
+        f"CAST(('0x' || substring(sha256('boot:' || CAST(event_id AS VARCHAR)"
+        f" || ':{h}'), {1 + 8 * j}, 8)) AS UBIGINT) % 1000000"
+    )
+
+
+def _boot_oracle() -> str:
+    rep_sums = ",\n             ".join(
+        f"CAST(sum(({_boot_w_sql(_boot_u_sql(b))}) * cents) AS BIGINT)"
+        f" AS ws{b},\n             "
+        f"CAST(sum({_boot_w_sql(_boot_u_sql(b))}) AS BIGINT) AS wt{b}"
+        for b in range(1, _BOOT_B + 1)
+    )
+    means = ", ".join(
+        f"CAST(floor(CAST(ws{b} AS DOUBLE) * 1e6 / wt{b}) AS BIGINT)"
+        for b in range(1, _BOOT_B + 1)
+    )
+    return f"""
     WITH pts AS (
       SELECT event_id,
              CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS cents
       FROM events),
-    reps AS (
-      SELECT b, cents,
-             CAST(('0x' || substring(sha256('boot:' || CAST(event_id AS VARCHAR)
-                                            || ':' || CAST(b AS VARCHAR)), 1, 8))
-                  AS UBIGINT) % 1000000 AS u
-      FROM pts CROSS JOIN (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b)),
-    means AS (
-      SELECT b,
-             CAST(floor(CAST(sum(({_boot_w_sql('u')}) * cents) AS DOUBLE) * 1e6
-                        / sum({_boot_w_sql('u')})) AS BIGINT) AS m
-      FROM reps GROUP BY b),
-    full_m AS (
+    folded AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
-             CAST(floor(CAST(sum(cents) AS DOUBLE) * 1e6 / count(*)) AS BIGINT)
-               AS mean_micro
+             CAST(sum(cents) AS BIGINT) AS csum,
+             {rep_sums}
       FROM pts)
-    SELECT n_events, mean_micro,
-           (SELECT CAST(min(m) AS BIGINT) FROM means) AS boot_lo_micro,
-           (SELECT CAST(max(m) AS BIGINT) FROM means) AS boot_hi_micro,
+    SELECT n_events,
+           CAST(floor(CAST(csum AS DOUBLE) * 1e6 / n_events) AS BIGINT)
+             AS mean_micro,
+           list_min([{means}]) AS boot_lo_micro,
+           list_max([{means}]) AS boot_hi_micro,
            CAST({_BOOT_B} AS BIGINT) AS n_replicates
-    FROM full_m
-    """,
-)
+    FROM folded
+    """
+
+
+@query("poisson_bootstrap_ci_event_mean", oracle=_boot_oracle())
 def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for the mean event value via the
     POISSON bootstrap — the resampling scheme that distributes: instead
@@ -90,71 +104,103 @@ def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFra
     RNG state, identical on both engines and on any partitioning or
     retry. The reported interval is the range of the {b} replicate
     means (a conservative ~90% CI at this B; production runs use
-    B≈200 and the 2.5/97.5 percentiles — same plan, bigger sequence).
+    B≈200 and the 2.5/97.5 percentiles — same plan, more columns).
 
-    One B-element sequence explode + one grouped aggregate; replicate
-    means are floored divisions of exact integer sums.""".format(b=_BOOT_B)
+    Physical shape: every replicate's (Σw·cents, Σw) folds as a pair
+    of aggregate columns in ONE pass over the fact — partials combine
+    map-side, the exchange carries a single 2B+2-column row per
+    partition, and no ×B row amplification ever exists. The B uniforms
+    come from ⌈B/8⌉ digests per row (disjoint 8-hex windows of
+    sha-256("boot:id:h")), cutting hash work 8× vs one digest per
+    (row, replicate). Replicate means are floored divisions of the
+    exact BIGINT sums, taken on the one folded row.""".format(b=_BOOT_B)
     pts = _t(spark, sf_dir, "events").select(
         "event_id",
         F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    reps = pts.select(
-        "event_id",
+    # the fixture's events file is a single parquet row group, so the
+    # scan is one split and the whole hash chain would run on one core;
+    # a hash-repartition of the two compact columns (~16 B/row) spreads
+    # the B-digest work across the cluster. The partition count is
+    # pinned to defaultParallelism because an unpinned repartition of
+    # this small a shuffle gets AQE-coalesced back to one partition —
+    # exactly the serialization being removed. At real scale the scan
+    # has file-granular splits already, and this one extra shuffle of
+    # the projected fact is the only shuffle in the plan.
+    pts = pts.repartition(spark.sparkContext.defaultParallelism, "event_id")
+    digests = pts.select(
         "cents",
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.sha2(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("event_id").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    ),
-                    256,
+        *[
+            F.sha2(
+                F.concat(
+                    F.lit("boot:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(f":{h}"),
                 ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000000
+                256,
+            ).alias(f"d{h}")
+            for h in range((_BOOT_B + 7) // 8)
+        ],
     )
-    w = F.when(u < _POIS_CDF_MICRO[0], 0)
-    for k, t in enumerate(_POIS_CDF_MICRO[1:], start=1):
-        w = w.when(u < t, k)
-    w = w.otherwise(5)
-    means = (
-        reps.select("b", "cents", w.alias("w"))
-        .groupBy("b")
-        .agg(
-            F.floor(
-                F.sum(F.col("w") * F.col("cents")).cast("double")
-                * 1e6
-                / F.sum("w")
+
+    def uniform(b: int):
+        h, j = divmod(b - 1, 8)
+        return (
+            F.conv(F.substring(F.col(f"d{h}"), 1 + 8 * j, 8), 16, 10).cast(
+                "bigint"
             )
-            .cast("long")
-            .alias("m")
+            % 1000000
         )
+
+    def weight(b: int):
+        u = F.col(f"u{b}")
+        w = F.when(u < _POIS_CDF_MICRO[0], 0)
+        for k, t in enumerate(_POIS_CDF_MICRO[1:], start=1):
+            w = w.when(u < t, k)
+        return w.otherwise(5)
+
+    # layered projections, each materializing its values ONCE per row:
+    # digests (3 sha) -> uniforms (20 conv/substring) -> weights (20
+    # CASE over plain u columns) -> the one aggregate. Referencing the
+    # hash chain directly from the CASE arms or the aggregate columns
+    # re-derives it per reference — subexpression elimination does not
+    # cross aggregate expressions or conditional branches — which
+    # costs more than the exploded form instead of 8x less.
+    uniforms = digests.select(
+        "cents", *[uniform(b).alias(f"u{b}") for b in range(1, _BOOT_B + 1)]
     )
-    ci = means.agg(
-        F.min("m").cast("long").alias("boot_lo_micro"),
-        F.max("m").cast("long").alias("boot_hi_micro"),
+    weights = uniforms.select(
+        "cents", *[weight(b).alias(f"w{b}") for b in range(1, _BOOT_B + 1)]
     )
-    full_m = pts.agg(
+    folded = weights.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.floor(F.sum("cents").cast("double") * 1e6 / F.count(F.lit(1)))
+        F.sum("cents").cast("long").alias("csum"),
+        *[
+            c
+            for b in range(1, _BOOT_B + 1)
+            for c in (
+                F.sum(F.col(f"w{b}") * F.col("cents"))
+                .cast("long")
+                .alias(f"ws{b}"),
+                F.sum(f"w{b}").cast("long").alias(f"wt{b}"),
+            )
+        ],
+    )
+    mean_cols = F.array(
+        *[
+            F.floor(
+                F.col(f"ws{b}").cast("double") * 1e6 / F.col(f"wt{b}")
+            ).cast("long")
+            for b in range(1, _BOOT_B + 1)
+        ]
+    )
+    return folded.select(
+        "n_events",
+        F.floor(F.col("csum").cast("double") * 1e6 / F.col("n_events"))
         .cast("long")
         .alias("mean_micro"),
-    )
-    return full_m.join(ci).select(
-        "n_events",
-        "mean_micro",
-        "boot_lo_micro",
-        "boot_hi_micro",
+        F.array_min(mean_cols).alias("boot_lo_micro"),
+        F.array_max(mean_cols).alias("boot_hi_micro"),
         F.lit(_BOOT_B).cast("long").alias("n_replicates"),
     )
 

@@ -2410,7 +2410,10 @@ def test_poisson_bootstrap_weights_and_ci(spark):
     cdf = (367879, 735758, 919698, 981011, 996340)
 
     def w(eid, b):
-        u = int(hashlib.sha256(f"boot:{eid}:{b}".encode()).hexdigest()[:8], 16) % 10**6
+        # replicate b reads 8-hex window (b-1)%8 of digest (b-1)//8
+        h, j = divmod(b - 1, 8)
+        hexd = hashlib.sha256(f"boot:{eid}:{h}".encode()).hexdigest()
+        u = int(hexd[8 * j : 8 * j + 8], 16) % 10**6
         for k, t in enumerate(cdf):
             if u < t:
                 return k
