@@ -366,10 +366,19 @@ def spatial_grid_join_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     own cell, with a ``k <`` guard. At 100 TB the identical plan holds —
     cell ids co-partition both sides, the per-cell join is bounded by
     local density, and skewed cells fall out of ``max_cell_pop``."""
-    pts = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        (F.col("c_custkey") * F.lit(_SP_MX) % F.lit(_SP_W)).alias("x"),
-        (F.col("c_custkey") * F.lit(_SP_MY) % F.lit(_SP_H)).alias("y"),
+    from .llm import _spread
+
+    # the build side broadcasts, so without this the whole 3x3-probe
+    # join — millions of candidate distance evaluations at fixture
+    # density — runs on the customer file's single input split; at real
+    # scale the scan is already multi-split (see _spread)
+    pts = _spread(
+        spark,
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_custkey") * F.lit(_SP_MX) % F.lit(_SP_W)).alias("x"),
+            (F.col("c_custkey") * F.lit(_SP_MY) % F.lit(_SP_H)).alias("y"),
+        ),
     )
     cells = pts.select(
         "k", "x", "y",
