@@ -133,7 +133,11 @@ def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     """
     rows = _symspell_variant_rows(names)
     if cap <= 0:
-        return _position_exact_pairs(rows).distinct()
+        # materialize once: the position-exact joins read the variant
+        # relation four times (samepos probe+build, identity, deletion
+        # sides), and each broadcast build is a blocking sub-job that
+        # would otherwise re-run the scan + posexplode pipeline
+        return _position_exact_pairs(rows.localCheckpoint(eager=True)).distinct()
     # Split mode: materialize once — the bucket-count aggregate, both
     # rare join sides, and the hot subset re-read the materialized rows
     # instead of re-running the posexplode pipeline ~5x.
@@ -205,12 +209,27 @@ def symspell_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     can blow up beyond its own share of the answer; the
     ``_SYMSPELL_VARIANT_CAP`` DF-split variant remains available and
     planted-tested for short-string corpora."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    from .llm import _spread
+
+    # _spread: the variant generation (an interpreted transform() HOF,
+    # L+1 substring-concats per name) otherwise runs on the customer
+    # file's single input split — once per consumer of the variant
+    # relation; at real scale the scan is already multi-split
+    c = _spread(
+        spark,
+        _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+        ),
     )
     # the shuffle carries (variant, key) only — names re-attach after
-    # the pair set is distinct, so no text amplifies through the join
-    cand = symspell_candidate_pairs(c)
+    # the pair set is distinct, so no text amplifies through the join.
+    # The pinned repartition keeps the verify tail (two broadcast name
+    # joins + levenshtein per pair) wide: the candidate set is small in
+    # BYTES, so AQE's advisory-size coalescing would fold it to 1-2
+    # partitions and serialize the per-pair CPU work behind it.
+    cand = symspell_candidate_pairs(c).repartition(
+        spark.sparkContext.defaultParallelism, "key_a", "key_b"
+    )
     ca = c.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
     cb = c.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
     lev = F.levenshtein("name_a", "name_b")
