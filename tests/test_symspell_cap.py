@@ -162,3 +162,43 @@ def test_position_exact_candidates_are_all_true_pairs(planted):
             for r in symspell_candidate_pairs(df, cap=cap).collect()
         }
         assert cand == truth, f"cap={cap}"
+
+
+def test_random_dense_corpus_all_modes(spark):
+    """Seeded-random adversarial corpus: very short strings over a
+    two-letter alphabet make the deletion-variant space maximally
+    collision-dense (the variant "a" is shared by "aa", "ab", "ba",
+    "xa", ...), with duplicate names and long insert/delete chains —
+    the regime where a candidate-generation bug would actually lose
+    pairs. Every cap mode must verify to the brute-force lev<=1 truth,
+    and the position-exact default must emit ZERO false candidates."""
+    import random
+
+    rng = random.Random(20260814)
+    names = [
+        (k, "".join(rng.choice("ab") for _ in range(rng.randint(1, 4))))
+        for k in range(1, 81)
+    ]
+    df = spark.createDataFrame(names, "k long, name string").localCheckpoint(
+        eager=True
+    )
+    truth = _truth(df)
+    assert truth, "degenerate corpus: no distance<=1 pairs planted"
+    names_a = df.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
+    names_b = df.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
+    for cap in (0, 2, _SYMSPELL_VARIANT_CAP):
+        cand = {
+            (r.key_a, r.key_b)
+            for r in symspell_candidate_pairs(df, cap=cap).collect()
+        }
+        verified = {
+            (r.key_a, r.key_b)
+            for r in symspell_candidate_pairs(df, cap=cap)
+            .join(names_a, "key_a")
+            .join(names_b, "key_b")
+            .where(F.levenshtein("name_a", "name_b") <= 1)
+            .collect()
+        }
+        assert verified == truth, f"cap={cap} lost or invented pairs"
+        if cap == 0:
+            assert cand == truth, "position-exact default over-generated"
