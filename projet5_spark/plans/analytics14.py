@@ -132,12 +132,22 @@ def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     at caps 0, 1, 16, and 10000.
     """
     rows = _symspell_variant_rows(names)
+    n_wide = names.sparkSession.sparkContext.defaultParallelism
     if cap <= 0:
         # materialize once: the position-exact joins read the variant
         # relation four times (samepos probe+build, identity, deletion
         # sides), and each broadcast build is a blocking sub-job that
-        # would otherwise re-run the scan + posexplode pipeline
-        return _position_exact_pairs(rows.localCheckpoint(eager=True)).distinct()
+        # would otherwise re-run the scan + posexplode pipeline. The
+        # pinned repartition supplies the dedup aggregate's required
+        # distribution at full width — the pair set is small in BYTES,
+        # so the aggregate's own exchange would be AQE-coalesced to 1-2
+        # partitions — and every downstream consumer (the levenshtein
+        # verify) inherits that width for free.
+        return (
+            _position_exact_pairs(rows.localCheckpoint(eager=True))
+            .repartition(n_wide, "key_a", "key_b")
+            .dropDuplicates()
+        )
     # Split mode: materialize once — the bucket-count aggregate, both
     # rare join sides, and the hot subset re-read the materialized rows
     # instead of re-running the posexplode pipeline ~5x.
@@ -158,7 +168,11 @@ def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     # position once per key — so no dedup shuffle is needed here; the
     # final pair-level distinct absorbs multi-variant double-hits.
     hot_rows = rows.join(hot, "v").select("k", "pos", "v")
-    return rare_pairs.unionByName(_position_exact_pairs(hot_rows)).distinct()
+    return (
+        rare_pairs.unionByName(_position_exact_pairs(hot_rows))
+        .repartition(n_wide, "key_a", "key_b")
+        .dropDuplicates()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -222,14 +236,11 @@ def symspell_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # the shuffle carries (variant, key) only — names re-attach after
-    # the pair set is distinct, so no text amplifies through the join.
-    # The pinned repartition keeps the verify tail (two broadcast name
-    # joins + levenshtein per pair) wide: the candidate set is small in
-    # BYTES, so AQE's advisory-size coalescing would fold it to 1-2
-    # partitions and serialize the per-pair CPU work behind it.
-    cand = symspell_candidate_pairs(c).repartition(
-        spark.sparkContext.defaultParallelism, "key_a", "key_b"
-    )
+    # the pair set is distinct, so no text amplifies through the join;
+    # the candidate relation arrives width-pinned (see
+    # symspell_candidate_pairs), so the broadcast name joins and the
+    # per-pair levenshtein verify run at full parallelism
+    cand = symspell_candidate_pairs(c)
     ca = c.select(F.col("k").alias("key_a"), F.col("name").alias("name_a"))
     cb = c.select(F.col("k").alias("key_b"), F.col("name").alias("name_b"))
     lev = F.levenshtein("name_a", "name_b")
