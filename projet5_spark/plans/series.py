@@ -195,7 +195,14 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally a driver-checked metric (ann_recall_ivf_at5)."""
     from ..functions.vectors import l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    from .llm import _spread
+
+    # _spread: the interpreted zip_with/aggregate cosine math otherwise
+    # runs on the embeddings file's single input split (see SCALING.md
+    # "Local-fixture caveats"); at real scale the scan is multi-split
+    emb = _spread(
+        spark, _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    )
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
@@ -291,7 +298,14 @@ def _recall_at5(spark: SparkSession, sf_dir: str, ann5: DataFrame) -> DataFrame:
     no grid needed.)"""
     from ..functions.vectors import cosine_similarity, l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    from .llm import _spread
+
+    # _spread: the interpreted zip_with/aggregate cosine math otherwise
+    # runs on the embeddings file's single input split (see SCALING.md
+    # "Local-fixture caveats"); at real scale the scan is multi-split
+    emb = _spread(
+        spark, _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -373,7 +387,14 @@ def embedding_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-gated via ``ann_recall_ivf_kmeans_at5``."""
     from ..functions.vectors import l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    from .llm import _spread
+
+    # _spread: the interpreted zip_with/aggregate cosine math otherwise
+    # runs on the embeddings file's single input split (see SCALING.md
+    # "Local-fixture caveats"); at real scale the scan is multi-split
+    emb = _spread(
+        spark, _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    )
     return _ivf_search(emb, _kmeans_centroids(spark, emb), nprobe=_KMEANS_NPROBE)
 
 
@@ -472,7 +493,14 @@ def _signlsh_frames(spark: SparkSession, sf_dir: str):
     pairs, norm-filtered corpus)."""
     from ..functions.vectors import dot, l2_norm
 
-    emb = _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    from .llm import _spread
+
+    # _spread: the interpreted zip_with/aggregate cosine math otherwise
+    # runs on the embeddings file's single input split (see SCALING.md
+    # "Local-fixture caveats"); at real scale the scan is multi-split
+    emb = _spread(
+        spark, _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    )
     vid = F.col("vec_id")
     planes = emb.where((vid >= 100) & (vid < 108)).select(
         F.floor((vid - 100) / 4).cast("int").alias("t"),
