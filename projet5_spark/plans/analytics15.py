@@ -216,13 +216,20 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     smallest price whose cumulative quantity weight reaches half the
     group total — the robust "typical traded price" statistic.
 
-    Rows pre-aggregate to distinct (flag, cents) values before the
-    cumulative window, so window state is value-cardinality, not
-    row-cardinality, and the heavy fact scan folds map-side. Weights
-    and the half-total comparison are exact BIGINTs; no floats cross
-    engines. At 100 TB the same pick runs over a per-group quantile
-    sketch with documented tolerance (see
-    ``quantile_sketch_verdict_prices``)."""
+    Rows pre-aggregate to distinct (flag, cents) values before any
+    ordered pass, so state is value-cardinality, not row-cardinality,
+    and the heavy fact scan folds map-side. The median pick is then
+    TWO-LEVEL: value space buckets into coarse bins, a bin-level
+    running sum (a few hundred rows per flag) locates the median bin
+    and its preceding cumulative weight, and the per-value running sum
+    — the part that used to walk the whole value distribution inside a
+    3-partition window — runs only over the one median bin per flag.
+    Prefix sums compose exactly (prev-bins cum + within-bin cum ==
+    global cum), everything is BIGINT, and no window ever holds more
+    than a bin's worth of values per group. At 100 TB the same pick
+    runs over a per-group quantile sketch with documented tolerance
+    (see ``quantile_sketch_verdict_prices``)."""
+    bin_w = 10_000  # 100-dollar value bins; ~2k bins over the fixture domain
     g = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -234,14 +241,34 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("flag", "cents")
         .agg(F.sum("wq").cast("long").alias("wv"))
+        .withColumn("bin", F.floor(F.col("cents") / bin_w))
+        # two consumers: the bin-level locator and the median-bin scan
+        .localCheckpoint(eager=True)
+    )
+    bins = g.groupBy("flag", "bin").agg(F.sum("wv").cast("long").alias("bw"))
+    wb = Window.partitionBy("flag").orderBy("bin")
+    wt = Window.partitionBy("flag")
+    located = bins.select(
+        "flag",
+        "bin",
+        (F.sum("bw").over(wb) - F.col("bw")).alias("prev_cum"),
+        F.sum("bw").over(wb).alias("cum"),
+        F.sum("bw").over(wt).alias("tw"),
+    ).where(
+        # the median bin: first bin whose cumulative weight crosses
+        # half the total (strictly-before bins stay under half)
+        (2 * F.col("cum") >= F.col("tw")) & (2 * F.col("prev_cum") < F.col("tw"))
+    )
+    med = g.join(
+        F.broadcast(located.select("flag", "bin", "prev_cum", "tw")),
+        ["flag", "bin"],
     )
     wc = Window.partitionBy("flag").orderBy("cents")
-    wt = Window.partitionBy("flag")
-    c = g.select(
+    c = med.select(
         "flag",
         "cents",
-        F.sum("wv").over(wc).alias("cw"),
-        F.sum("wv").over(wt).alias("tw"),
+        (F.col("prev_cum") + F.sum("wv").over(wc)).alias("cw"),
+        "tw",
     )
     return (
         c.where(2 * F.col("cw") >= F.col("tw"))
