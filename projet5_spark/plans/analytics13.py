@@ -112,9 +112,16 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         "is_good",
     )
-    cnt = binned.groupBy("bin").agg(
-        F.count(F.when(F.col("is_good"), 1)).alias("g"),
-        F.count(F.when(~F.col("is_good"), 1)).alias("b"),
+    cnt = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_good"), 1)).alias("g"),
+            F.count(F.when(~F.col("is_good"), 1)).alias("b"),
+        )
+        # ten rows, two consumers (the grand-total agg and the WOE
+        # terms): materialize so neither re-runs the fact scan + bin
+        # pipeline behind it
+        .localCheckpoint(eager=True)
     )
     tot = cnt.agg(
         F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")

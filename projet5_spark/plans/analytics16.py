@@ -455,9 +455,11 @@ def fk_orphan_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate publishes per batch.
 
     Each arm projects the child to its key column before planting and
-    probing (key bytes only cross the wire), the probe is a key-on-key
-    outer/anti join (AQE broadcasts small parents like nation), and
-    each arm folds to one row before the 4-row union."""
+    probing (key bytes only cross the wire); the plant is a one-scan
+    explode (1 or 2 rows per key) rather than a self-union that would
+    read the child twice, the probe is a key-on-key outer/anti join
+    (AQE broadcasts small parents like nation), and each arm folds to
+    one row before the 4-row union."""
     specs = (
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -466,11 +468,13 @@ def fk_orphan_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for fk_name, child, ckey, parent, pkey in specs:
-        ck = _t(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        planted = ck.unionByName(
-            ck.where(F.col("k") % _ORPHAN_MOD == 7).select(
-                (F.col("k") + _ORPHAN_BUMP).alias("k")
-            )
+        planted = _t(spark, sf_dir, child).select(
+            F.explode(
+                F.when(
+                    F.col(ckey) % _ORPHAN_MOD == 7,
+                    F.array(F.col(ckey), F.col(ckey) + _ORPHAN_BUMP),
+                ).otherwise(F.array(F.col(ckey)))
+            ).alias("k")
         )
         pk = _t(spark, sf_dir, parent).select(F.col(pkey).alias("pk")).distinct()
         probed = planted.join(pk, planted.k == pk.pk, "left")

@@ -124,12 +124,19 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [F.col("tok")] + [
         F.lead("tok", k).over(w) for k in range(1, _GRAM_W)
     ]
-    grams = toks.select(
-        "doc_id",
-        F.when(parts[-1].isNotNull(), F.sha2(F.concat_ws(" ", *parts), 256)).alias(
-            "dig"
-        ),
-    ).where(F.col("dig").isNotNull())
+    grams = (
+        toks.select(
+            "doc_id",
+            F.when(
+                parts[-1].isNotNull(), F.sha2(F.concat_ws(" ", *parts), 256)
+            ).alias("dig"),
+        )
+        .where(F.col("dig").isNotNull())
+        # two consumers (dup-digest build + probe join): materialize the
+        # tokenize/window/sha pipeline once instead of running it on
+        # both sides of the self-join
+        .localCheckpoint(eager=True)
+    )
     dup = (
         grams.groupBy("dig")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
