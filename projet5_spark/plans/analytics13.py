@@ -460,6 +460,10 @@ def graph_strength_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # <= |N|^2 rows with four downstream subtrees (symmetrize x2,
+        # strength, points): materialize once so none re-runs the
+        # fact-scale 4-table join behind it
+        .localCheckpoint(eager=True)
     )
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), "w"

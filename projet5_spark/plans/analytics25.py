@@ -211,7 +211,8 @@ def kl_divergence_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).cast("long").alias("c"))
     src_tot = per.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
-    n_bkts = b.agg(F.countDistinct("bkt").cast("long").alias("k"))
+    # same bucket set as b: every bucket survives the (source, bkt) agg
+    n_bkts = per.agg(F.countDistinct("bkt").cast("long").alias("k"))
     corp = per.groupBy("bkt").agg(F.sum("c").cast("long").alias("cc"))
     corp_tot = corp.agg(F.sum("cc").cast("long").alias("nc"))
     sources = per.select("source").distinct()

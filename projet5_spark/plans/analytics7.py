@@ -81,9 +81,17 @@ def hll_partition_union_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_custkey"
     )
-    monthly = orders.groupBy("month").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_d"),
+    monthly = (
+        orders.groupBy("month")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_d"),
+        )
+        # months-scale sketch table, two consumers (per-month verdicts +
+        # the union arm): materialize once — this IS the "stored
+        # sketches" state the docstring promises, so the union never
+        # re-scans facts
+        .localCheckpoint(eager=True)
     )
     ok = lambda est, exact: (  # noqa: E731
         F.abs(est.cast("double") - exact) <= F.lit(0.05) * exact

@@ -404,7 +404,14 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate rides as a residual on the equi-join key — a hash join
     on o_custkey with at most two version rows per probe to filter,
     never a nested loop. ISO date strings compare lexicographically,
-    identically on both engines."""
+    identically on both engines.
+
+    Only the first three versions per key matter downstream, so the
+    fact-wide rank pipeline folds to that entity-scale relation ONCE
+    and every consumer (v1/v2/changes/probes — six subtrees otherwise,
+    eight fact scans measured) reads the materialization — the same
+    thing a production PIT join does by reading a persisted dimension
+    instead of re-deriving it per branch."""
     orders = _t(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
@@ -418,6 +425,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("d"),
         "o_orderkey",
     ).withColumn("rn", F.row_number().over(w))
+    ranked = ranked.where(F.col("rn") <= 3).localCheckpoint(eager=True)
     day = lambda c: F.col(c).cast("date").cast("string")  # noqa: E731
     v1 = ranked.where(F.col("rn") == 1).select(
         "o_custkey", "status", "price_cents", "d"
