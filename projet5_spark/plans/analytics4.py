@@ -134,7 +134,13 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dig").isNotNull())
         # two consumers (dup-digest build + probe join): materialize the
         # tokenize/window/sha pipeline once instead of running it on
-        # both sides of the self-join
+        # both sides of the self-join. This relation is corpus-token
+        # scale (32 B + key per gram) — at 100 TB that's a deliberate
+        # spill-to-local-disk working set, ~3 GB/executor on a
+        # 1000-executor cluster, the standard shape for suffix-style
+        # dedup where the digest table IS the working set; if local
+        # disk is tighter than that, drop the checkpoint and pay the
+        # second sha pass instead
         .localCheckpoint(eager=True)
     )
     dup = (
