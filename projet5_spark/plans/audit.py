@@ -69,56 +69,61 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks, emitted as one (check_name, n_violations) summary.
 
     Each check reduces to a scalar before the union, so the result is
-    six rows whatever the table size; the only shuffle-heavy member is
-    the FK anti-join, which is exactly the shape Spark scales (hash
-    join on the key, AQE-sized)."""
+    six rows whatever the table size. All row-local checks against the
+    same table fold into ONE aggregate pass and unpivot to their
+    summary rows — a dbt-style audit suite should read each table once
+    per scan shape, not once per check — leaving exactly three
+    fact-scale operations: the orders scalar pass, the PK-uniqueness
+    groupBy, and the FK anti-join (hash join on the key, AQE-sized)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
 
-    def one(name: str, df: DataFrame) -> DataFrame:
+    def rows(df: DataFrame) -> DataFrame:
+        names = df.columns
+        pairs = ", ".join(f"'{n}', `{n}`" for n in names)
         return df.select(
-            F.lit(name).alias("check_name"),
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"
+            )
+        ).select(
+            "check_name",
+            F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
         )
 
-    null_ck = one(
-        "orders_null_custkey",
-        orders.agg(F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n")),
+    o_scalars = rows(
+        orders.agg(
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias(
+                "orders_null_custkey"
+            ),
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("orders_bad_status"),
+        )
     )
-    dup_pk = one(
-        "orders_duplicate_pk",
+    dup_pk = rows(
         orders.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") > 1)
-        .agg(F.sum(F.col("c") - 1).alias("n")),
+        .agg(F.sum(F.col("c") - 1).alias("orders_duplicate_pk"))
     )
-    bad_status = one(
-        "orders_bad_status",
-        orders.agg(
-            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("n")
-        ),
-    )
-    orphan = one(
-        "lineitem_orphan_orderkey",
+    orphan = rows(
         li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
-            F.count(F.lit(1)).alias("n")
-        ),
+            F.count(F.lit(1)).alias("lineitem_orphan_orderkey")
+        )
     )
-    bad_qty = one(
-        "lineitem_nonpositive_qty",
-        li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n")),
-    )
-    bad_disc = one(
-        "lineitem_discount_range",
+    li_scalars = rows(
         li.agg(
+            F.count(F.when(F.col("l_quantity") <= 0, 1)).alias(
+                "lineitem_nonpositive_qty"
+            ),
             F.count(
                 F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
-            ).alias("n")
-        ),
+            ).alias("lineitem_discount_range"),
+        )
     )
-    return null_ck.union(dup_pk).union(bad_status).union(orphan).union(bad_qty).union(
-        bad_disc
-    )
+    return o_scalars.union(dup_pk).union(orphan).union(li_scalars)
 
 
 #: snapshot derivations (planted drift, mirrored in the oracle):
