@@ -229,7 +229,6 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
     than a bin's worth of values per group. At 100 TB the same pick
     runs over a per-group quantile sketch with documented tolerance
     (see ``quantile_sketch_verdict_prices``)."""
-    bin_w = 10_000  # 100-dollar value bins; ~2k bins over the fixture domain
     g = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -241,7 +240,21 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("flag", "cents")
         .agg(F.sum("wq").cast("long").alias("wv"))
-        .withColumn("bin", F.floor(F.col("cents") / bin_w))
+    )
+    # 100-dollar value bins; ~2k bins over the fixture domain
+    return weighted_median_pick(g, bin_w=10_000)
+
+
+def weighted_median_pick(g: DataFrame, bin_w: int) -> DataFrame:
+    """Two-level lower weighted median over a (flag, cents, wv) value
+    table: per flag, the smallest ``cents`` whose cumulative ``wv``
+    reaches half the group total. See
+    :func:`weighted_median_price_by_flag` for the design rationale;
+    tests/test_weighted_median.py drives this against a pandas twin on
+    planted boundary cases (exact half-crossing at a bin edge, single
+    hot value, all weight in one bin) and random distributions."""
+    g = (
+        g.withColumn("bin", F.floor(F.col("cents") / bin_w))
         # two consumers: the bin-level locator and the median-bin scan
         .localCheckpoint(eager=True)
     )
