@@ -23,121 +23,71 @@ from projet5_spark.session import ensure_utc  # noqa: E402
 SF0001 = "/root/testdata/sf0.001"
 
 #: Served first so a prefix-sampling driver exercises work that has
-#: never had a driver-green CORRECTNESS row. Rounds 1-5 certified 142 of
+#: never had a driver-green CORRECTNESS row. Rounds 1-6 certified 192 of
 #: the 265 oracle-paired queries; the catalog is FROZEN at 273 entries
-#: (265 oracle-paired + 8 rows-only by design) until the remaining 123
-#: never-sampled entries are drained. This list is the round-6 slice:
-#: 50 of the 123, judge-priority families first (trained-KMeans ANN,
-#: BM25/TF-IDF/PPJoin/SymSpell similarity, the drift battery, the
-#: sketch-verdict family, SCD-2 point-in-time, incremental merge,
-#: stratified sampling), then registration order. All 123 pass the
-#: local DuckDB replica (tests/test_oracle.py); the driver row is the
-#: hard signal this rotation converts. tests/test_catalog_gate.py
+#: (265 oracle-paired + 8 rows-only by design) until the remaining 73
+#: never-sampled entries are drained. This list is the round-7 slice:
+#: 50 of the 73 (registration order), including the operators round 6's
+#: perf work touched (winnowing, ngram-novelty, shingle containment,
+#: spatial grid join, fd_audit_g3, encoding advisors, weighted median)
+#: so the driver rows also lock in the optimized plans. The 23 names in
+#: the round-8 comment below are the only entries then left unsampled.
+#: All 73 pass the local DuckDB replica (tests/test_oracle.py) and the
+#: stock-config vanilla sweep (tools/vanilla_gate.py); the driver row is
+#: the hard signal this rotation converts. tests/test_catalog_gate.py
 #: enforces the freeze: catalog growth without certification fails CI.
 _FRONT = [
-    "ann_recall_ivf_kmeans_at5",
-    "bm25_topk_docs",
-    "tfidf_cosine_pairs_topk",
-    "ppjoin_prefix_filter_pairs",
-    "symspell_fuzzy_name_match",
-    "ks_test_event_values",
-    "psi_population_stability",
-    "chi_square_status_priority",
-    "quantile_sketch_verdict_prices",
-    "freq_items_verdict_returnflag",
-    "bloom_membership_verdict",
-    "hll_partition_union_verdict",
-    "minhash_jaccard_estimate_gate",
-    "decimal_exact_sum_verdict",
-    "scd2_point_in_time_join",
-    "incremental_agg_merge_orders",
-    "stratified_sample_orders",
-    "hc_k_anonymity_audit",
-    "hc_l_diversity_audit",
-    "daily_value_percentiles",
-    "url_domain_stats",
-    "cross_source_duplicate_matrix",
-    "packing_efficiency_stats",
-    "gdpr_erasure_audit",
-    "triangle_count_trade_graph",
-    "er_blocking_match_stats",
-    "bpe_first_merge_pairs",
-    "events_resample_interpolate",
-    "weighted_sample_orders_aes",
-    "zorder_key_orders",
-    "compaction_bin_packing",
-    "range_partition_boundaries",
-    "event_time_disorder_profile",
-    "substring_dup_coverage",
-    "pmi_top_collocations",
-    "char_entropy_quality",
-    "interval_overlap_orders_months",
-    "user_value_trend_slope",
-    "benford_first_digit_audit",
-    "decile_lift_customers",
-    "mad_outliers_order_price",
-    "variant_event_props_stats",
-    "udtf_token_runs",
-    "pipe_syntax_monthly_revenue",
-    "listagg_nation_segments",
-    "pysource_digest_rows",
-    "groupby_all_status_priority",
-    "recursive_cte_bfs_hops",
-    "reservoir_sample_per_segment",
-    "doc_concat_eos_offsets",
+    "basket_association_rules",
+    "rfm_segmentation",
+    "ab_test_zscore_verdict",
+    "churn_inactivity_profile",
+    "skyline_pareto_parts",
+    "table_content_checksum",
+    "embedding_int8_quant_error",
+    "event_path_trigrams",
+    "cusum_changepoint_events",
+    "seasonal_hourly_profile",
+    "acf_lag1_hourly_by_type",
+    "tokenizer_fertility_by_lang",
+    "doc_length_trim_stats",
+    "winnowing_fingerprints",
+    "ngram_novelty_decay",
+    "cdc_batch_conflicts",
+    "groupingsets_dfapi_region_nation",
+    "gini_revenue_concentration",
+    "spatial_grid_join_profile",
+    "fd_audit_g3",
+    "lang_confusion_matrix",
+    "embedding_covariance_topvar",
+    "orders_open_backlog_by_month",
+    "partition_merkle_digests",
+    "zonemap_pruning_audit",
+    "golden_record_survivorship",
+    "woe_iv_price_bins",
+    "vocab_oov_rate_by_source",
+    "graph_strength_assortativity",
+    "join_size_estimate_audit",
+    "twap_event_values_daily",
+    "cycle_time_percentiles_by_priority",
+    "ohlc_daily_event_bars",
+    "orderkey_gap_ranges",
+    "weighted_median_price_by_flag",
+    "rle_run_profile_lineitem",
+    "dict_encoding_advisor_lineitem",
+    "mann_kendall_trend_events",
+    "shingle_containment_pairs",
+    "doc_prefix_dup_groups",
+    "zipf_slope_vocab",
+    "fs_linkage_verdicts",
+    "fk_orphan_rate_audit",
+    "stl_naive_decomposition_daily",
+    "bollinger_breakout_days",
+    "session_bounce_rate_daily",
+    "abc_classification_parts",
+    "salted_join_revenue_by_nation",
+    "trending_parts_wow_lift",
+    "multi_touch_attribution_decay",
     # ------------------------------------------------------------------
-    # Round-7 rotation: load these 50 into _FRONT once round 6 is
-    # driver-green (next never-sampled entries, registration order):
-    #   basket_association_rules
-    #   rfm_segmentation
-    #   ab_test_zscore_verdict
-    #   churn_inactivity_profile
-    #   skyline_pareto_parts
-    #   table_content_checksum
-    #   embedding_int8_quant_error
-    #   event_path_trigrams
-    #   cusum_changepoint_events
-    #   seasonal_hourly_profile
-    #   acf_lag1_hourly_by_type
-    #   tokenizer_fertility_by_lang
-    #   doc_length_trim_stats
-    #   winnowing_fingerprints
-    #   ngram_novelty_decay
-    #   cdc_batch_conflicts
-    #   groupingsets_dfapi_region_nation
-    #   gini_revenue_concentration
-    #   spatial_grid_join_profile
-    #   fd_audit_g3
-    #   lang_confusion_matrix
-    #   embedding_covariance_topvar
-    #   orders_open_backlog_by_month
-    #   partition_merkle_digests
-    #   zonemap_pruning_audit
-    #   golden_record_survivorship
-    #   woe_iv_price_bins
-    #   vocab_oov_rate_by_source
-    #   graph_strength_assortativity
-    #   join_size_estimate_audit
-    #   twap_event_values_daily
-    #   cycle_time_percentiles_by_priority
-    #   ohlc_daily_event_bars
-    #   orderkey_gap_ranges
-    #   weighted_median_price_by_flag
-    #   rle_run_profile_lineitem
-    #   dict_encoding_advisor_lineitem
-    #   mann_kendall_trend_events
-    #   shingle_containment_pairs
-    #   doc_prefix_dup_groups
-    #   zipf_slope_vocab
-    #   fs_linkage_verdicts
-    #   fk_orphan_rate_audit
-    #   stl_naive_decomposition_daily
-    #   bollinger_breakout_days
-    #   session_bounce_rate_daily
-    #   abc_classification_parts
-    #   salted_join_revenue_by_nation
-    #   trending_parts_wow_lift
-    #   multi_touch_attribution_decay
     # Round-8 rotation (final 23 — after this every oracle-paired
     # catalog entry has a driver-green row in some round):
     #   label_centroid_cosine_matrix
