@@ -244,6 +244,15 @@ HEADLINE = [
 #: cross-round comparisons can normalize instead of hand-waving.
 SENTINEL = "q01_pricing_summary"
 
+#: CPU-bound sentinel: BASELINE.md §6 showed the q01 sentinel is
+#: dominated by the stage-scheduling floor and under-captures drift on
+#: CPU-heavy queries (two identical-code runs differed 10% at matched
+#: q01 sentinels). bigram_lm_doc_score is expression-heavy (token
+#: explode + bigram window + log-prob aggregation, no similarity-join
+#: fan-out), so its isolated reading tracks the box's *compute*
+#: headroom; read both pairs before attributing per-query deltas.
+SENTINEL_CPU = "bigram_lm_doc_score"
+
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     fn = QUERIES[name]
@@ -279,9 +288,11 @@ def main() -> None:
     # the single JSON contract line
     with run_logged(spark, "bench"):
         sentinel_start = round(time_query(spark, SENTINEL, sf_dir), 4)
+        sentinel_cpu_start = round(time_query(spark, SENTINEL_CPU, sf_dir), 4)
         for name in HEADLINE:
             queries[name] = round(time_query(spark, name, sf_dir), 4)
         sentinel_end = round(time_query(spark, SENTINEL, sf_dir), 4)
+        sentinel_cpu_end = round(time_query(spark, SENTINEL_CPU, sf_dir), 4)
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "RUNSTATS.json"), "w") as f:
@@ -298,6 +309,8 @@ def main() -> None:
                 "sf": sf,
                 "sentinel_q01_start_sec": sentinel_start,
                 "sentinel_q01_end_sec": sentinel_end,
+                "sentinel_cpu_start_sec": sentinel_cpu_start,
+                "sentinel_cpu_end_sec": sentinel_cpu_end,
             }
         )
     )

@@ -130,9 +130,22 @@ def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     is found by the rare join and a hot one by the completion. Proven
     against a planted 40-key hot bucket in tests/test_symspell_cap.py
     at caps 0, 1, 16, and 10000.
+
+    Side effect: building the plan MATERIALIZES the variant relation
+    (``localCheckpoint(eager=True)`` — Spark jobs run at call time, and
+    lineage is truncated, so losing the caching executors means
+    recomputation is impossible rather than slow). Call it when you
+    will actually execute the result. The repartition width comes from
+    ``spark.sql.shuffle.partitions`` (the user/AQE-facing width knob,
+    meaningful under dynamic allocation), falling back to
+    ``defaultParallelism`` only if that conf is unreadable.
     """
     rows = _symspell_variant_rows(names)
-    n_wide = names.sparkSession.sparkContext.defaultParallelism
+    spark = names.sparkSession
+    try:
+        n_wide = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # e.g. conf set to "auto" under AQE
+        n_wide = spark.sparkContext.defaultParallelism
     if cap <= 0:
         # materialize once: the position-exact joins read the variant
         # relation four times (samepos probe+build, identity, deletion

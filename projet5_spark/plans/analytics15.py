@@ -253,8 +253,12 @@ def weighted_median_pick(g: DataFrame, bin_w: int) -> DataFrame:
     tests/test_weighted_median.py drives this against a pandas twin on
     planted boundary cases (exact half-crossing at a bin edge, single
     hot value, all weight in one bin) and random distributions."""
+    b = int(bin_w)
     g = (
-        g.withColumn("bin", F.floor(F.col("cents") / bin_w))
+        # exact BIGINT floor-division bin key (plain `div` truncates
+        # toward zero, wrong for negative cents; float floor loses
+        # exactness past 2^53) — keeps the helper exact for any long
+        g.withColumn("bin", F.expr(f"(cents - (((cents % {b}) + {b}) % {b})) div {b}"))
         # two consumers: the bin-level locator and the median-bin scan
         .localCheckpoint(eager=True)
     )

@@ -100,7 +100,9 @@ _DUCK_GRAMS = (
     GROUP BY g.doc_id
     """,
 )
-def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def substring_dup_coverage(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Cross-document substring duplication coverage: for every document,
     the fraction of its {_GRAM_W}-token gram positions whose gram also
     appears in at least one OTHER document — the per-doc signal behind
@@ -113,7 +115,16 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-byte sha-256 digests, so the gram aggregate and the coverage
     rollup both shuffle digests, never text. "Appears in another doc"
     is min(doc_id) ≠ max(doc_id) per digest — two cheap extrema instead
-    of a count-distinct."""
+    of a count-distinct.
+
+    ``materialize`` (default True, the fixture-bench win) checkpoints
+    the corpus-gram-scale digest relation so its two consumers
+    (dup-digest build + probe join) share one tokenize/window/sha pass
+    — the same flag pattern as llm.py ``_split_shingles_by_df``. This
+    is the LARGEST relation in the plan: at 100 TB it is a deliberate
+    ~3 GB/executor spill-to-local-disk working set on a 1000-executor
+    cluster; pass False when local disk is tighter than that to pay
+    the second sha pass instead."""
     docs = _spread(
         spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
@@ -132,17 +143,9 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dig"),
         )
         .where(F.col("dig").isNotNull())
-        # two consumers (dup-digest build + probe join): materialize the
-        # tokenize/window/sha pipeline once instead of running it on
-        # both sides of the self-join. This relation is corpus-token
-        # scale (32 B + key per gram) — at 100 TB that's a deliberate
-        # spill-to-local-disk working set, ~3 GB/executor on a
-        # 1000-executor cluster, the standard shape for suffix-style
-        # dedup where the digest table IS the working set; if local
-        # disk is tighter than that, drop the checkpoint and pay the
-        # second sha pass instead
-        .localCheckpoint(eager=True)
     )
+    if materialize:  # trade-off documented in the docstring
+        grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("dig")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))

@@ -47,6 +47,9 @@ def main() -> None:
     spark = get_spark(app_name="bench-subset")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"{time_query(spark, 'q01_pricing_summary', sf_dir):6.2f}  sentinel_q01")
+    # CPU-bound sentinel (bench.py SENTINEL_CPU): q01 alone is
+    # scheduling-floor-dominated and misses compute-headroom drift
+    print(f"{time_query(spark, 'bigram_lm_doc_score', sf_dir):6.2f}  sentinel_cpu")
     for n in names:
         print(f"{time_query(spark, n, sf_dir):6.2f}  {n}")
 

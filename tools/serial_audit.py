@@ -33,6 +33,35 @@ from projet5_spark.instrumentation import stage_stats  # noqa: E402
 from projet5_spark.plans import QUERIES  # noqa: E402
 from projet5_spark.session import get_spark  # noqa: E402
 
+#: Job group tagging the audit's OWN status-store snapshot collects so
+#: they can be excluded by stage id. Name-matching 'collect at' stages
+#: would also drop legitimate executor work from queries that collect
+#: internally (k-means centroid loop, driver-gated recall metrics),
+#: understating exec/wall for exactly the iterative queries under audit.
+_META_GROUP = "serial-audit-meta"
+
+
+def _snapshot(spark) -> dict[int, object]:
+    """Status-store rows keyed by stage id, collected under the meta
+    group."""
+    sc = spark.sparkContext
+    sc.setJobGroup(_META_GROUP, "serial_audit status-store snapshot")
+    try:
+        return {r["stage_id"]: r for r in stage_stats(spark).collect()}
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def _meta_stage_ids(spark) -> set[int]:
+    """Stage ids belonging to this audit's own snapshot jobs."""
+    tracker = spark.sparkContext.statusTracker()
+    ids: set[int] = set()
+    for jid in tracker.getJobIdsForGroup(_META_GROUP):
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            ids.update(info.stageIds)
+    return ids
+
 
 def main() -> None:
     names = sys.argv[1:]
@@ -49,18 +78,13 @@ def main() -> None:
     for n in names:
         q = QUERIES[n](spark, sf_dir)
         q.write.format("noop").mode("overwrite").save()  # warm
-        before = {r["stage_id"] for r in stage_stats(spark).collect()}
+        before = _snapshot(spark)
         t0 = time.perf_counter()
         q.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        rows = [
-            r
-            for r in stage_stats(spark).collect()
-            if r["stage_id"] not in before
-            # drop this audit's own status-store collect jobs — their
-            # run-time accounting is driver-side and wildly inflated
-            and not r["name"].startswith("collect at")
-        ]
+        after = _snapshot(spark)
+        skip = set(before) | _meta_stage_ids(spark)
+        rows = [r for sid, r in after.items() if sid not in skip]
         ex = sum(r["executor_run_time_ms"] for r in rows) / 1000
         cpu = sum(r["executor_cpu_time_ns"] for r in rows) / 1e9
         print(f"{wall:6.2f} {ex:7.2f} {cpu:6.2f} {ex / wall:5.1f}  {n}")
