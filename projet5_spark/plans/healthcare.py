@@ -54,7 +54,11 @@ class HealthcareResult:
     admissions: DataFrame
 
 
-def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> HealthcareResult:
+def healthcare_pipeline(
+    raw: DataFrame,
+    ordinal_col: str | None = None,
+    fuse_full_row_dedup: bool = True,
+) -> HealthcareResult:
     """Run the full §2.4 plan over a healthcare-shaped input frame.
 
     ``ordinal_col``: explicit input-order column for first-seen-wins
@@ -62,6 +66,25 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     ``monotonically_increasing_id`` — faithful to file order for a
     single-file CSV scan, which is exactly the reference's input shape
     (migration.py:130); pass a real ingest ordinal at scale.
+
+    ``fuse_full_row_dedup`` (default True): skip the standalone R7
+    full-row dedup aggregate — its effect on the admissions output is
+    PROVABLY subsumed by the R13 first-seen admission dedup, so fusing
+    removes one full-width fact shuffle from the composed plan.
+
+    Proof of R13∘R7 ≡ R13: R7 groups on every non-ordinal column and
+    keeps the min-ordinal row per group. Rows identical in all
+    non-ordinal columns derive identical admission keys (patient_id is
+    a pure function of the patient natural key; date/hospital/room are
+    themselves row columns), so each R7 group lies inside one R13
+    group. Let r* be the min-ordinal row of an R13 group. Any row that
+    would out-rank r* in R7's group (identical full row, smaller
+    ordinal) would also lie in r*'s R13 group with a smaller ordinal —
+    contradicting r*'s minimality — so R7 always keeps r*, and R13
+    picks r* with or without the R7 pass. The patients dim is built
+    from the pre-dedup frame either way (its distinct is over the
+    natural key, which full-row dedup cannot change). Parity is pinned
+    by tests/test_parity.py::test_healthcare_fused_dedup_parity.
     """
     df = normalize_columns(raw)  # R2 migration.py:133
 
@@ -72,19 +95,21 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # R7 :141 — full-row dedup keeping the FIRST occurrence's ordinal
     # (pandas drop_duplicates keeps first; a plain dropDuplicates keeps
     # an arbitrary copy, whose ordinal could then win a later
-    # first-seen admission tie it shouldn't)
+    # first-seen admission tie it shouldn't). With fusion (default) the
+    # stage is elided — see the subsumption proof in the docstring.
     pre_dedup = df
-    # float_keys_canonical: the only float column is the billing amount
-    # — a positive money decimal on every source this pipeline mirrors
-    # (reference CSV parse, parquet fixtures) — so -0.0/NaN cannot
-    # occur and the full-row fast path (plain hash aggregate, r4 perf
-    # win) remains byte-safe
-    df = first_seen_dedup_agg(
-        df,
-        [c for c in df.columns if c != ordinal_col],
-        [ordinal_col],
-        float_keys_canonical=True,
-    )
+    if not fuse_full_row_dedup:
+        # float_keys_canonical: the only float column is the billing
+        # amount — a positive money decimal on every source this
+        # pipeline mirrors (reference CSV parse, parquet fixtures) — so
+        # -0.0/NaN cannot occur and the full-row fast path (plain hash
+        # aggregate, r4 perf win) remains byte-safe
+        df = first_seen_dedup_agg(
+            df,
+            [c for c in df.columns if c != ordinal_col],
+            [ordinal_col],
+            float_keys_canonical=True,
+        )
 
     typed = (
         df.withColumn("date_of_admission", parse_date("date_of_admission"))  # R9 :196
@@ -137,7 +162,23 @@ def healthcare_pipeline(raw: DataFrame, ordinal_col: str | None = None) -> Healt
     # the input ordinal (SURVEY.md §7.4.3). The window form compiles to
     # WindowGroupLimit, which already prunes to top-1 per key below the
     # shuffle — measured equal to the min_by-aggregate variant here.
-    admissions = first_seen_dedup(fact, ADMISSION_KEY, [F.col(ordinal_col)])
+    # Explicit hash repartition on the dedup keys supplies the window's
+    # required distribution at full width: the window's own exchange is
+    # few-MB at fixture scale, so AQE advisory-size coalescing would
+    # fold the sort + row_number + admission_id sha256 onto 1-2 tasks
+    # (the round-6 SymSpell serialization mechanic, SCALING.md
+    # "Local-fixture caveats"); a user-specified repartition is exempt
+    # from coalescing and any hash partitioning on the keys satisfies
+    # the window's ClusteredDistribution, so no second exchange is
+    # added.
+    spark = fact.sparkSession
+    try:
+        n_wide = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # e.g. conf set to "auto" under AQE
+        n_wide = spark.sparkContext.defaultParallelism
+    admissions = first_seen_dedup(
+        fact.repartition(n_wide, *ADMISSION_KEY), ADMISSION_KEY, [F.col(ordinal_col)]
+    )
     admissions = admissions.select(*ADMISSION_COLS).withColumn(
         "admission_id", surrogate_key(*ADMISSION_KEY)
     )
@@ -200,7 +241,14 @@ def healthcare_raw_from_orders(spark, sf_dir: str) -> DataFrame:
     keys (exercises R7/R10/R13)."""
     from ..sources.readers import fixture_table
 
-    o = fixture_table(spark, sf_dir, "orders")
+    # single-file fixture fan-out (plans/llm.py::_spread rationale):
+    # everything downstream of this scan — the healthcare derive, R8
+    # normalization probes, tuple_digest sha256 per fact row, broadcast
+    # probe — otherwise runs on the scan's one input split (measured
+    # par=1.1 on 32 cores). A real ingest has thousands of splits.
+    o = fixture_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pid = F.col("o_custkey") % 400
     k = F.col("o_orderkey")
     adm = F.date_trunc("month", F.col("o_orderdate")).cast("date")

@@ -154,6 +154,21 @@ def test_healthcare_pipeline_invariants(spark, health_raw):
     assert ids1 == ids2
 
 
+def test_healthcare_fused_dedup_parity(spark, health_raw):
+    """The fused plan (R7 elided, subsumed by R13 — see
+    healthcare_pipeline docstring proof) must produce byte-identical
+    patients and admissions to the unfused R7→R13 composition,
+    including on planted exact-duplicate rows."""
+    # plant exact full-row duplicates so R7 actually has work to do
+    dup_raw = health_raw.unionAll(health_raw.limit(3))
+    fused = healthcare_pipeline(dup_raw.coalesce(1), fuse_full_row_dedup=True)
+    unfused = healthcare_pipeline(dup_raw.coalesce(1), fuse_full_row_dedup=False)
+    from collections import Counter
+
+    for a, b in ((fused.patients, unfused.patients), (fused.admissions, unfused.admissions)):
+        assert Counter(map(tuple, a.collect())) == Counter(map(tuple, b.collect()))
+
+
 def test_healthcare_first_seen_wins(spark):
     """R13: the surviving admission row carries the FIRST input row's
     non-key attributes (migration.py:200-202 semantics)."""
