@@ -290,13 +290,22 @@ def pagerank_nation_trade_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
-    p = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") * F.lit(1.0) / F.col("wout")).alias("p")
+    # p and nodes are ≤|N|²/|N| rows yet referenced 3-4× by the
+    # unrolled rank loop; leaf-ifying them (eager checkpoint, same
+    # rationale as the edges one above) keeps each iteration's subtree
+    # two operators deep. This query is scheduler-latency-bound, not
+    # data-bound (serial_audit: 0.36 executor-s under a 2.1 s wall) —
+    # the wins here are fewer/shallower tiny stages, not less data.
+    p = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") * F.lit(1.0) / F.col("wout")).alias("p"))
+        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col("src").alias("nk"))
         .union(edges.select(F.col("dst").alias("nk")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # bounded: |nations| — a scalar, not a collect of data
     pr = nodes.select("nk", (F.lit(1.0) / F.lit(float(n_nodes))).alias("pr"))
@@ -305,8 +314,10 @@ def pagerank_nation_trade_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer grid and sum as BIGINT (order-independent), mirroring
         # _pagerank_iter_sql — a raw double sum would depend on Spark's
         # partial-aggregation order and drift from the oracle.
+        # The rank vector is |N| rows → broadcast both per-iteration
+        # joins so the only exchange per iteration is the dst aggregate.
         acc = (
-            p.join(pr, p.src == pr.nk)
+            p.join(F.broadcast(pr), p.src == pr.nk)
             .groupBy(F.col("dst").alias("t_nk"))
             .agg(
                 (
@@ -317,7 +328,7 @@ def pagerank_nation_trade_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("acc")
             )
         )
-        pr = nodes.join(acc, nodes.nk == acc.t_nk, "left").select(
+        pr = nodes.join(F.broadcast(acc), nodes.nk == acc.t_nk, "left").select(
             "nk",
             (
                 F.lit(0.15 / float(n_nodes))
