@@ -571,6 +571,14 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # way); HLL over the distinct set estimates the same cardinality.
     # Multi-column distincts in one agg Expand-duplicate every row —
     # also avoided. The two 1-row results cross-join for free.
+    # Deliberately NOT spread off the single fixture split: the
+    # per-column partial distinct is plain bigint hashing, ~1.4
+    # executor-s on one task (serial_audit), and both fan-out shapes
+    # measured WORSE at sf0.1 (hash-repartition-first 3.6 s,
+    # round-robin spread 3.4 s, vs 1.6 s as-is — wide-task codegen
+    # overhead exceeds the serialized work). A real multi-split scan
+    # parallelizes the partial distinct natively with zero extra
+    # exchange, so this shape is also the 100 TB plan.
     def one(col: str, exact: str, est: str) -> DataFrame:
         return (
             li.select(col)
