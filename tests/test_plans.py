@@ -2632,3 +2632,26 @@ def test_fk_orphan_plants_via_explode_not_self_union(spark):
     assert counts.get("lineitem", 0) <= 2, counts
     assert counts.get("orders", 0) <= 2, counts
     assert counts.get("customer", 0) <= 2, counts
+
+
+def test_flagship_fused_plan_shape(spark):
+    """Pins the round-7 flagship restructure (plans/healthcare.py):
+    the R7 full-row dedup is fused into the R13 window (subsumption
+    proof in the healthcare_pipeline docstring), so the physical plan
+    carries exactly one Window — compiled with a WindowGroupLimit
+    below the shuffle — at most the dim branch's two hash aggregates
+    (an R7 regression would add a full-width fact aggregate + its
+    exchange), one broadcast (the key map; the fact side never
+    broadcast-builds), and two parquet scans (fact + dim branches)."""
+    import re
+
+    df = QUERIES["hc_admissions_first_seen"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:400]
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 1
+    aggs = len(re.findall(r"HashAggregate", plan)) + len(
+        re.findall(r"SortAggregate", plan)
+    ) + len(re.findall(r"ObjectHashAggregate", plan))
+    assert aggs <= 2, f"unexpected aggregate count {aggs}"
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1
