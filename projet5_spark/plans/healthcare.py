@@ -9,8 +9,13 @@ becomes a broadcast join + two hash aggregates.
 
 Scale posture: the patients dim is small relative to the fact →
 broadcast (the fact side never shuffles for the FK attach, R12); the
-only key-shuffle is the first-seen dedup window (R13), which AQE
-skew-splits if one patient dominates.
+only key-shuffle is the first-seen dedup window (R13) — the standalone
+R7 full-row dedup shuffle is elided by default because R13 provably
+subsumes it (``healthcare_pipeline`` docstring proof) — issued at
+pinned width so AQE's advisory-size coalescing cannot serialize the
+sort/row_number/sha256 stage. Key skew is bounded by construction:
+the dedup key is the four-column admission grain (patient, date,
+hospital, room), far finer than any single hot patient.
 """
 
 from __future__ import annotations
