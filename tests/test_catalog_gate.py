@@ -12,11 +12,14 @@ This gate makes that failure mode a CI failure:
 * every oracle-paired catalog entry must either have a driver-green row
   in some committed ``CORRECTNESS_r*.json`` (err-free sample), or be
   queued for the next driver round in ``__spark_entry__._FRONT``;
-* at most 75 entries may be uncertified-and-unqueued (the documented
-  round-7/8 rotation tail, which shrinks by ~50 per round).
+* at most 23 entries may be uncertified-and-unqueued (the documented
+  round-8 rotation tail; this bound only ever decreases).
 
-Adding a new battery without adding it to ``_FRONT`` (or without first
-draining the queue) trips the gate.
+``_FRONT`` is computed from the artifacts (never-certified backlog
+first, then least-recently-certified); these tests pin that contract so
+a regression in the computation — or a hand edit that reintroduces the
+stale-rotation failure mode — fails CI. Adding a new battery beyond the
+queue budget trips the growth gate.
 """
 
 from __future__ import annotations
@@ -30,10 +33,10 @@ from projet5_spark.plans import ORACLE, QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Remaining rotation budget: round-7 (50) + round-8 (23) slices are
-#: documented by name in __spark_entry__._FRONT's trailing comment and
-#: drain at ~50/round. Must only ever decrease until it reaches 0.
-MAX_UNCERTIFIED_UNQUEUED = 75
+#: Remaining rotation budget: after the round-7 slice, only the 23-name
+#: round-8 tail is uncertified-and-unqueued. Must only ever decrease
+#: until it reaches 0.
+MAX_UNCERTIFIED_UNQUEUED = 23
 
 
 def _driver_certified() -> set[str]:
@@ -62,11 +65,30 @@ def test_front_is_exactly_the_driver_sample_size():
 
 
 def test_front_prioritizes_never_certified_queries():
+    # Backlog-first contract: every never-certified oracle-paired entry
+    # fills a driver slot before any already-certified entry does, in
+    # registration order. While the backlog exceeds the 50-slot sample,
+    # that means _FRONT IS the first 50 backlog names; afterwards the
+    # whole backlog must form a prefix of _FRONT.
     certified = _driver_certified()
-    stale = [n for n in entry._FRONT if n in certified]
-    assert not stale, (
-        "certification slots wasted on already driver-green queries: "
-        f"{stale}"
+    backlog = [n for n in QUERIES if n in ORACLE and n not in certified]
+    expected_prefix = backlog[: len(entry._FRONT)]
+    assert entry._FRONT[: len(expected_prefix)] == expected_prefix, (
+        "certification slots wasted on already driver-green queries "
+        "ahead of the never-certified backlog"
+    )
+
+
+def test_front_refill_is_least_recently_certified():
+    # Once the backlog is shorter than the sample, the remaining slots
+    # must re-certify the stalest driver rows (oldest round first) so
+    # every entry keeps a rolling driver-green record.
+    certified = _driver_certified()
+    backlog = {n for n in QUERIES if n in ORACLE and n not in certified}
+    refill = [n for n in entry._FRONT if n not in backlog]
+    rounds = entry._certified_rounds()
+    assert refill == sorted(refill, key=lambda n: rounds[n]) and all(
+        n in certified for n in refill
     )
 
 
