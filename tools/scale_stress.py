@@ -1,0 +1,310 @@
+"""Scale-up stress harness: run the heavy catalog queries at N x sf0.1.
+
+The fixture benchmarks prove correctness and local latency, but the 100 TB
+story rests on claims about *scaling behavior* — partitioning holds, no
+spill, no driver-side state, wall grows ~linearly with data. This tool
+turns those claims into measurements:
+
+1. **Synthesize** an ``N x sf0.1`` dataset under ``.stress/x{N}/`` (same
+   file-per-table layout the readers expect). Each fact/dim table is
+   replicated N times with per-replica key shifts so entity counts and
+   join cardinalities scale LINEARLY — naive row duplication would
+   instead multiply matches per key and quadratically inflate joins,
+   which is a different (wrong) workload:
+
+   * ``orders``/``lineitem``: order/part/supp keys shift by
+     ``replica * (max_key + 1)``; dates stay — a day simply has N x the
+     orders, which is what a larger business looks like, and per-group
+     aggregate state grows accordingly.
+   * ``customer``/``supplier``/``part``: primary keys shift in lockstep
+     with the fact-side foreign keys; nation FKs stay (25 nations at any
+     scale — the realistic fixed-dim shape AQE must broadcast).
+   * ``events``: event/user ids shift, timestamps stay (denser traffic;
+     window/session state per user stays bounded, concurrent users
+     scale).
+   * ``region``/``nation``/``documents``/``embeddings``: copied as-is
+     (the driver's own sf-step fixtures hold documents/embeddings flat,
+     TESTDATA.md).
+
+   Scaled tables are written with enough parquet files that scans start
+   wide (the single-file fixtures start at 1 split; SCALING.md
+   "Local-fixture caveats").
+
+2. **Run** a battery of the heaviest relational/event queries once each
+   (noop sink, same execution contract as bench.py) and report per-query
+   wall plus the run-stats that matter at scale: failed tasks, spilled
+   bytes, shuffle volume.
+
+3. **Documents mode** (``--docs-mult N``): the similarity/near-dup
+   family is the 100 TB claim that matters most, and naive doc
+   replication is maximally wrong for it — N copies of every doc make
+   every cross-replica pair a near-dup, inflating pair mass
+   quadratically. Instead each replica applies a BIJECTIVE per-token
+   rename (token -> token + "q" + rep) plus a doc_id shift: within a
+   replica every exact-dup / shingle / TF-IDF / prefix-filter
+   relationship is preserved verbatim (same token counts, lengths +2,
+   same df distribution per replica), while across replicas token sets
+   are disjoint, so Jaccard/cosine/containment are ~0 and dup mass,
+   LSH bucket sizes, candidate counts, and cluster counts all scale
+   LINEARLY — the shape of a genuinely larger corpus. Runs the
+   ``DOC_BATTERY`` (near-dup + text-similarity queries); other tables
+   are symlinked from the base fixture.
+
+Usage::
+
+    python tools/scale_stress.py                    # x100 (~sf10), default battery
+    python tools/scale_stress.py --mult 10          # x10 (~sf1)
+    python tools/scale_stress.py --mult 100 q01_pricing_summary ...
+    python tools/scale_stress.py --keep             # reuse existing dataset
+    python tools/scale_stress.py --docs-mult 20     # 100k-doc similarity battery
+
+The dataset lands under the repo's ``.stress/`` (gitignored) and is
+rebuilt only when absent or ``--mult`` changes the directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from projet5_spark.plans import QUERIES  # noqa: E402
+from projet5_spark.session import ensure_utc, get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: key columns shifted per replica: table -> [(column, base-key column)]
+#: where the shift unit is max(base-key column over the base table) + 1,
+#: shared across tables so fact FKs track their dim PKs exactly.
+KEY_FAMILIES = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "eventid": [("events", "event_id")],
+    "userid": [("events", "user_id")],
+}
+
+COPY_AS_IS = ("region", "nation", "documents", "embeddings")
+
+#: Heavy battery: multi-join TPC-H-ish, wide aggregates, windows, the
+#: flagship (derives from orders, so it scales with the fact), and the
+#: event-time family. Similarity/text queries are excluded on purpose:
+#: documents/embeddings stay flat (see module docstring).
+DEFAULT_BATTERY = [
+    "q01_pricing_summary",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q18_large_volume_customers",
+    "q21_waiting_orders",
+    "q02_min_cost_supplier",
+    "dedup_first_lineitem_per_order",
+    "window_running_revenue",
+    "cycle_time_percentiles_by_priority",
+    "weighted_median_price_by_flag",
+    "salted_join_revenue_by_nation",
+    "fk_orphan_rate_audit",
+    "scd2_point_in_time_join",
+    "interval_overlap_orders_months",
+    "rle_run_profile_lineitem",
+    "delta_encoding_advisor_lineitem",
+    "approx_distinct_parts",
+    "hc_admissions_first_seen",
+    "session_windows_per_user",
+    "rolling_7d_active_users",
+    "tumbling_window_event_stats",
+    "key_skew_profile_orders",
+]
+
+#: Documents-mode battery: the similarity-join / near-dup family plus
+#: the text-analysis passes whose cost is corpus-scale. bm25/top-terms
+#: are excluded: their fixed query terms only match replica-0 tokens
+#: after the rename, so their pruned-postings work would not scale.
+DOC_BATTERY = [
+    "doc_exact_dedup",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "ngram_jaccard_near_dup",
+    "ppjoin_prefix_filter_pairs",
+    "shingle_containment_pairs",
+    "tfidf_cosine_pairs_topk",
+    "winnowing_fingerprints",
+    "ngram_novelty_decay",
+    "doc_repetition_quality",
+    "near_dup_clusters",
+]
+
+
+def _read(spark: SparkSession, table: str):
+    if table == "events":
+        from projet5_spark.sources.readers import read_events
+
+        return read_events(spark, BASE_SF)
+    return spark.read.parquet(f"{BASE_SF}/{table}.parquet")
+
+
+def synthesize(spark: SparkSession, mult: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    # shift units from the base data, shared across tables per family
+    shift: dict[tuple[str, str], int] = {}
+    for family, members in KEY_FAMILIES.items():
+        unit = 0
+        for table, col in members:
+            mx = _read(spark, table).agg(F.max(col)).first()[0]
+            unit = max(unit, int(mx) + 1)
+        for table, col in members:
+            shift[(table, col)] = unit
+
+    replicas = F.explode(
+        F.sequence(F.lit(0), F.lit(mult - 1))
+    ).alias("__rep")
+
+    for table in ("orders", "lineitem", "customer", "supplier", "part", "events"):
+        df = _read(spark, table).select("*", replicas)
+        for (t, col), unit in shift.items():
+            if t == table:
+                df = df.withColumn(
+                    col, F.col(col) + F.col("__rep") * F.lit(unit)
+                )
+        n_files = max(8, min(256, mult))
+        (
+            df.drop("__rep")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{table}.parquet")
+        )
+    for table in COPY_AS_IS:
+        src = f"{BASE_SF}/{table}.parquet"
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copyfile(src, dst)
+
+
+def synthesize_docs(spark: SparkSession, mult: int, out_dir: str) -> None:
+    """Scaled documents corpus (see module docstring item 3); every
+    other table is symlinked from the base fixture so the full reader
+    surface keeps working against ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = _read(spark, "documents")
+    unit = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    rep = F.col("__rep")
+    salted = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("q"), rep.cast("string")),
+        ),
+    )
+    scaled = (
+        docs.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep"),
+        )
+        .withColumn("doc_id", F.col("doc_id") + rep * F.lit(unit))
+        # replica 0 keeps the base text verbatim so base-run results
+        # are literally a subset of the scaled run's
+        .withColumn("text", F.when(rep == 0, F.col("text")).otherwise(salted))
+        .withColumn("n_chars", F.length("text"))
+        .drop("__rep")
+    )
+    n_files = max(8, min(64, mult))
+    scaled.repartition(n_files).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    for table in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(src) and not os.path.lexists(dst):
+            os.symlink(src, dst)
+
+
+def run_battery(
+    spark: SparkSession, names: list[str], sf_dir: str
+) -> dict[str, float]:
+    walls: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls[name] = round(time.perf_counter() - t0, 2)
+        print(f"{walls[name]:8.2f}  {name}", flush=True)
+    return walls
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument("--docs-mult", type=int, default=0,
+                    help="documents mode: scale the corpus instead of "
+                         "the facts and run DOC_BATTERY")
+    ap.add_argument("--keep", action="store_true", help="reuse existing dataset")
+    ap.add_argument("--base-compare", action="store_true",
+                    help="also run the battery at the base sf for ratios")
+    ap.add_argument("queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    docs_mode = args.docs_mult > 0
+    mult = args.docs_mult if docs_mode else args.mult
+    out_dir = os.path.join(
+        REPO, ".stress", f"docs_x{mult}" if docs_mode else f"x{mult}"
+    )
+    names = args.queries or (DOC_BATTERY if docs_mode else DEFAULT_BATTERY)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    spark = get_spark(app_name=f"scale-stress-x{mult}")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_utc(spark)
+
+    if not (args.keep and os.path.isdir(out_dir)):
+        t0 = time.perf_counter()
+        if docs_mode:
+            synthesize_docs(spark, mult, out_dir)
+        else:
+            synthesize(spark, mult, out_dir)
+        print(f"synthesized x{mult} dataset in "
+              f"{time.perf_counter() - t0:.1f}s at {out_dir}", flush=True)
+
+    base = run_battery(spark, names, BASE_SF) if args.base_compare else {}
+    walls = run_battery(spark, names, out_dir)
+
+    from projet5_spark.instrumentation import run_stats_summary
+
+    stats = run_stats_summary(spark)
+    report = {
+        "mult": mult,
+        "mode": "documents" if docs_mode else "facts",
+        "total_wall_sec": round(sum(walls.values()), 2),
+        "queries": walls,
+        "base_queries": base or None,
+        "scaling_ratio": (
+            {n: round(walls[n] / base[n], 1) for n in walls if base.get(n)}
+            if base
+            else None
+        ),
+        "failed_tasks": stats.get("num_failed_tasks"),
+        "spilled_bytes": (
+            stats.get("disk_bytes_spilled", 0)
+            + stats.get("memory_bytes_spilled", 0)
+        ),
+        "shuffle_read_bytes": stats.get("shuffle_read_bytes"),
+        "input_bytes": stats.get("input_bytes"),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
