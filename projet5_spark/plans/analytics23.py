@@ -260,11 +260,12 @@ def _delta_oracle() -> str:
         f" ELSE 'PLAIN' END AS advice FROM a"
         for i, c in enumerate(_DELTA_COLS)
     )
+    order_cols = ", ".join(("l_orderkey", "l_linenumber") + _DELTA_COLS[1:])
     return f"""
     WITH f AS (
       SELECT {flags}
       FROM lineitem
-      WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+      WINDOW w AS (ORDER BY {order_cols})),
     a AS (SELECT {aggs} FROM f)
     SELECT * FROM ({arms}) ORDER BY col
     """
@@ -279,20 +280,57 @@ def delta_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
     what a columnar writer consults before choosing
     DELTA_BINARY_PACKED over PLAIN.
 
-    The oracle states the naive single global window; the plan here
-    computes all columns' deltas in that same one pass, and (as with
-    the RLE profile) a production run scopes the window to row-group
-    batches — delta encoding is row-group-local anyway, and the
-    advisor's verdict is insensitive to the handful of batch-boundary
-    deltas."""
+    The oracle states the naive single global window — which Spark
+    executes as a SINGLE partition (every row funnels through one
+    task; the x100 stress run measured it at 181 s and the app's only
+    large spill). The plan here computes the identical delta multiset
+    distributed: bucket the total order into contiguous l_orderkey
+    ranges sized so ~``spark.sql.shuffle.partitions`` buckets cover
+    the key domain, lag WITHIN each bucket in parallel (one hash
+    shuffle on the bucket id, never a global sort), and reconstruct
+    the one missing delta per bucket boundary from each bucket's
+    first/last row (``min_by``/``max_by`` — a buckets-scale relation).
+    count/max/small-share aggregate over the union, so the result is
+    bit-identical to the global window's. The window order appends the
+    profiled columns as tie-breakers (both engines): the fixture
+    plants duplicate (l_orderkey, l_linenumber) pairs whose suppkey
+    differs, so the bare ordering is non-total and tie order would be
+    physical row order — the single-partition plan this replaces only
+    matched DuckDB by luck of file order. Under the total order, rows
+    that still tie are identical in every profiled column, so ties
+    cannot move a delta. Bucket width derives from max(l_orderkey) — one
+    metadata-cheap aggregate at plan-build time (the repo's documented
+    eager-build pattern, SCALING.md)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    f = li.select(
+    try:
+        n_wide = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_wide = spark.sparkContext.defaultParallelism
+    mx = li.agg(F.max("l_orderkey")).first()[0]
+    bin_w = max(1, (int(mx) + 1) // max(1, n_wide))
+    order_cols = ("l_orderkey", "l_linenumber") + _DELTA_COLS[1:]
+    order_key = F.struct(*order_cols)
+    vals = F.struct(*_DELTA_COLS)
+    d = li.withColumn("__b", F.expr(f"l_orderkey div {bin_w}"))
+    wb = Window.partitionBy("__b").orderBy(*order_cols)
+    inner = d.select(
         *[
-            (F.col(c) - F.lag(c).over(w)).alias(f"d{i}")
+            (F.col(c) - F.lag(c).over(wb)).alias(f"d{i}")
             for i, c in enumerate(_DELTA_COLS)
         ]
     )
+    edges = d.groupBy("__b").agg(
+        F.min_by(vals, order_key).alias("fst"),
+        F.max_by(vals, order_key).alias("lst"),
+    )
+    we = Window.orderBy("__b")  # buckets-scale rows only: tiny by design
+    boundary = edges.select(
+        *[
+            (F.col(f"fst.{c}") - F.lag(f"lst.{c}").over(we)).alias(f"d{i}")
+            for i, c in enumerate(_DELTA_COLS)
+        ]
+    )
+    f = inner.unionByName(boundary)
     aggs = []
     for i in range(len(_DELTA_COLS)):
         aggs.append(F.count(f"d{i}").alias(f"n{i}"))
