@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rank import with_global_ntile
 from .registry import query, quantize as _q
 
 
@@ -154,6 +155,13 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RFM segmentation
 # --------------------------------------------------------------------------
 
+#: Fact-count crossover between the native single-partition ntile
+#: windows and the two-phase distributed rank (operators/rank.py) —
+#: native still won at the largest measured point (x100 stress, 15M
+#: facts: 11.4 s vs 27 s), so the switch sits where a single-task sort
+#: of the entity relation starts spilling instead.
+_NTILE_DISTRIBUTED_MIN = 50_000_000
+
 
 @query(
     "rfm_segmentation",
@@ -190,7 +198,19 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per customer), each with a total tie-break order so both
     engines tile identically; a higher score is better on every axis
     (most recent / most frequent / highest spend → 5). Facts are
-    touched once."""
+    touched once.
+
+    Plan choice is size-adaptive, both arms measured (x100 stress,
+    15M orders / 1.5M customers): below ``_NTILE_DISTRIBUTED_MIN``
+    facts the native single-partition ntile windows win outright —
+    sorting ≤ a few 10⁷ entity rows in one task is cheap next to the
+    two-phase scheme's extra jobs (11.4 s native vs 27 s distributed
+    at x100, 1.2 vs 3.9 s at sf0.1). Above it — the 10⁸-plus regime
+    where a single-task sort spills and eventually cannot hold the
+    run — the plan switches to ``operators.rank.with_global_ntile``
+    (two-phase bucketed rank, equivalence pinned against native ntile
+    in tests/test_rank.py). The switch reads one metadata-cheap
+    parquet count."""
     orders = _t(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long")
     cust = orders.groupBy("o_custkey").agg(
@@ -202,21 +222,44 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust.join(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff(F.col("a"), F.col("last_order"))
     )
-    scored = cust.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("freq"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("m_score"),
-        "cents",
-    )
+    if orders.count() <= _NTILE_DISTRIBUTED_MIN:
+        scored = cust.select(
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.asc("freq"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+            .cast("long")
+            .alias("m_score"),
+            "cents",
+        )
+        return scored.groupBy("r_score", "f_score", "m_score").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("segment_cents"),
+        )
+    # entity-scale relation feeding each rank's build/count/window arms:
+    # materialize once (SCALING.md shared-subtree policy). The three
+    # scores are ranked independently off the checkpoint and joined
+    # back on the customer key — chaining them instead would re-rank
+    # the previous score's plan inside each arm of the next.
+    base = cust.select(
+        "o_custkey", "recency_days", "freq", "cents"
+    ).localCheckpoint(eager=True)
+    scored = base.select("o_custkey", "cents")
+    for key, out in (
+        (-F.col("recency_days"), "r_score"),  # desc recency = asc negation
+        (F.col("freq"), "f_score"),
+        (F.col("cents"), "m_score"),
+    ):
+        part = with_global_ntile(
+            base, 5, key, [F.asc("o_custkey")], out
+        ).select("o_custkey", out)
+        scored = scored.join(part, "o_custkey")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("segment_cents"),
