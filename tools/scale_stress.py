@@ -122,6 +122,13 @@ DEFAULT_BATTERY = [
     "rolling_7d_active_users",
     "tumbling_window_event_stats",
     "key_skew_profile_orders",
+    # the global-rank family (round-7 distributed rewrites)
+    "zonemap_pruning_audit",
+    "quantile_sketch_verdict_prices",
+    "weighted_sample_orders_aes",
+    "decile_lift_customers",
+    "rfm_segmentation",
+    "skyline_pareto_parts",
 ]
 
 #: Documents-mode battery: the similarity-join / near-dup family plus
@@ -233,14 +240,34 @@ def synthesize_docs(spark: SparkSession, mult: int, out_dir: str) -> None:
 
 def run_battery(
     spark: SparkSession, names: list[str], sf_dir: str
-) -> dict[str, float]:
+) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
+    """Per-query wall plus per-query run-stat DELTAS (spill, shuffle) —
+    the app-wide totals alone cannot attribute a spill to a query."""
+    from projet5_spark.instrumentation import run_stats_summary
+
     walls: dict[str, float] = {}
+    deltas: dict[str, dict[str, int]] = {}
+    watched = ("disk_bytes_spilled", "memory_bytes_spilled",
+               "shuffle_read_bytes")
+    before = run_stats_summary(spark)
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls[name] = round(time.perf_counter() - t0, 2)
-        print(f"{walls[name]:8.2f}  {name}", flush=True)
-    return walls
+        after = run_stats_summary(spark)
+        deltas[name] = {
+            k: after.get(k, 0) - before.get(k, 0) for k in watched
+        }
+        before = after
+        spill = deltas[name]["disk_bytes_spilled"] + deltas[name][
+            "memory_bytes_spilled"
+        ]
+        print(
+            f"{walls[name]:8.2f}  {name}"
+            + (f"  [spill {spill / 1e9:.1f} GB]" if spill else ""),
+            flush=True,
+        )
+    return walls, deltas
 
 
 def main() -> None:
@@ -278,17 +305,25 @@ def main() -> None:
         print(f"synthesized x{mult} dataset in "
               f"{time.perf_counter() - t0:.1f}s at {out_dir}", flush=True)
 
-    base = run_battery(spark, names, BASE_SF) if args.base_compare else {}
-    walls = run_battery(spark, names, out_dir)
+    base = run_battery(spark, names, BASE_SF)[0] if args.base_compare else {}
+    walls, deltas = run_battery(spark, names, out_dir)
 
     from projet5_spark.instrumentation import run_stats_summary
 
     stats = run_stats_summary(spark)
+    spillers = {
+        n: round(
+            (d["disk_bytes_spilled"] + d["memory_bytes_spilled"]) / 1e9, 1
+        )
+        for n, d in deltas.items()
+        if d["disk_bytes_spilled"] + d["memory_bytes_spilled"] > 1e9
+    }
     report = {
         "mult": mult,
         "mode": "documents" if docs_mode else "facts",
         "total_wall_sec": round(sum(walls.values()), 2),
         "queries": walls,
+        "spillers_gb": spillers,
         "base_queries": base or None,
         "scaling_ratio": (
             {n: round(walls[n] / base[n], 1) for n in walls if base.get(n)}
