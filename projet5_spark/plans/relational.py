@@ -860,7 +860,15 @@ def dedup_first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFram
     "whatever partition won the race"."""
     from ..operators.dedup import first_seen_dedup_agg
 
-    li = _t(spark, sf_dir, "lineitem")
+    # project BEFORE the dedup: the min_by struct references every
+    # input column explicitly, so Catalyst cannot prune through it —
+    # feeding the full 16-column lineitem drags l_comment etc. through
+    # the aggregate buffers (x100 stress: 15.3 GB of the battery's
+    # spill was this query's sort-fallback carrying those bytes)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_quantity",
+    )
     # fixture's (orderkey, linenumber) is non-unique → extend the order
     # until it totally orders rows within a key (determinism, §7.4.3).
     # min_by-aggregate form: map-side partial min, no window sort.
