@@ -66,12 +66,21 @@ def connected_components(
             "below cannot reach will linger until an untuned JVM GC "
             "(the engine session factory pins the interval to 15s)"
         )
+    # materialize the directed edge list BEFORE symmetrizing: the union
+    # references `edges` twice, and Spark evaluates each branch's
+    # subtree independently — with an expensive upstream (the Jaccard
+    # candidate pipeline) that doubled its work and spill (x20 docs
+    # stress: 16.1 GB here vs 7.8 GB for the pipeline run once). The
+    # edge list itself is pair-scale, so this checkpoint is small.
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    _release_checkpoint(e0)
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )

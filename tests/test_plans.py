@@ -2379,7 +2379,11 @@ def test_disc_vs_cont_median_definitions(spark):
 
 def test_delta_advisor_orderkey_is_delta_friendly(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
-    li = li.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+    # same TOTAL order as the query/oracle window (the profiled columns
+    # break (orderkey, linenumber) ties — see the query docstring)
+    li = li.sort_values(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    )
     rows = {r["col"]: r for r in
             QUERIES["delta_encoding_advisor_lineitem"](spark, SF).collect()}
     for col in ("l_orderkey", "l_partkey", "l_suppkey"):
