@@ -496,46 +496,58 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: the hardest TPC-H join topology — a fact self-semi
     join AND a correlated self-anti join on the same key with a theta
-    residual. Expressed as two self-joins (left_semi, left_anti) over
-    the late-lineitem base; all three lineitem scans prune to 4 columns.
+    residual. DECORRELATED into per-order aggregates instead of the
+    literal two self-joins: over the F-order lineitems, count late
+    rows per (order, supplier), then suppliers and late-suppliers per
+    order; an l1 row qualifies iff its supplier is late on the order
+    (late_rows ≥ 1), the order has another supplier (EXISTS ⇔
+    n_supp ≥ 2), and nobody else is late (NOT EXISTS ⇔
+    n_late_supp = 1); it then contributes its supplier's late_rows to
+    numwait — row multiplicity preserved exactly. One shuffle of the
+    pruned fact instead of three (x100 stress, measured: 44 s /
+    11.7 GB SMJ spill for the self-join form → 34.5 s / 8.6 GB here,
+    and 2.0 → 1.3 s warm at sf0.1; the residual spill is the
+    fact⋈orders sort-merge sort, which the late flag genuinely needs
+    row-level).
 
     status-'F' orders are ~half the table (SF-proportional), and
-    supplier scales with SF too — no broadcast hints; the self-joins
-    shuffle on l_orderkey and AQE upgrades to broadcast only when a
-    side is genuinely small at runtime.
+    supplier scales with SF too — no broadcast hints; AQE upgrades the
+    order-key joins to broadcast only when a side is genuinely small
+    at runtime.
     """
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     supp = _t(spark, sf_dir, "supplier")
-    late = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .cast("long")
+        .alias("late"),
     )
-    other = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
-        F.col("l_shipdate").alias("sd"),
+    per_sk = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("late_rows")
     )
-    # some other supplier contributed to the order
-    semi = late.join(
-        other,
-        (F.col("l_orderkey") == F.col("ok")) & (F.col("l_suppkey") != F.col("sk")),
-        "left_semi",
+    per_ok = per_sk.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("long")).alias("n_late_supp"),
     )
-    # ...but no other supplier was ALSO late on it
-    anti = semi.join(
-        other,
-        (F.col("l_orderkey") == F.col("ok"))
-        & (F.col("l_suppkey") != F.col("sk"))
-        & (F.col("sd") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
-        "left_anti",
+    winners = per_sk.join(per_ok, "l_orderkey").where(
+        (F.col("late_rows") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     return (
-        anti.join(supp, anti.l_suppkey == supp.s_suppkey)
+        winners.join(supp, winners.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )
 
 
