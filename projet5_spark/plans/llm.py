@@ -1294,9 +1294,10 @@ def cosine_pairs_blocked(
     spark: SparkSession,
     emb: DataFrame,
     tau: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 8192,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ τ via block-pair co-location +
     per-block vectorized matmul.
@@ -1321,7 +1322,17 @@ def cosine_pairs_blocked(
     Scale: shuffle is O(n·B) rows, per-task memory O(n/B) vectors,
     compute O(n²) spread over B(B+1)/2 independent groups — no driver
     collect, no corpus broadcast, no full pair materialization (only
-    matches leave the kernel). Pick B ≈ √(2·cluster cores) at scale.
+    matches leave the kernel). With ``n_blocks=None`` (the default) B
+    adapts to the corpus: one entity-scale ``count()`` at plan-build
+    sizes B = max(8, ⌈n / rows_per_block⌉), bounding every block at
+    ~``rows_per_block`` vectors no matter the corpus — a fixed B of 8
+    would put n/8 vectors in each block, and the kernel's similarity
+    tile grows with the SQUARE of the block size (200k vectors → 25k×25k
+    float64 = 5 GB per task). The kernel additionally walks the tile in
+    row chunks so its peak allocation is ``chunk × |block|`` doubles
+    (~128 MB at the defaults), never the full block pair. The op is
+    EXACT under any B — blocking changes only the physical plan, so the
+    adaptive switch can never alter results.
 
     Determinism: numpy's matmul may reassociate each dot sum, so a sim
     within ULPs of the τ cut or a 1e-4 grid edge could floor
@@ -1333,7 +1344,13 @@ def cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    B = n_blocks
+    if n_blocks is None:
+        # entity-scale pruned scan; bounds the per-task tile regardless
+        # of corpus size (see docstring)
+        n = emb.count()
+        B = max(8, -(-n // rows_per_block))
+    else:
+        B = n_blocks
     # each block b participates in B unordered pairs: (min(b,x), max(b,x))
     bmap = spark.createDataFrame(
         sorted({(b, min(b, x), max(b, x)) for b in range(B) for x in range(B)}),
@@ -1370,19 +1387,29 @@ def cosine_pairs_blocked(
         ib, mb = prep(b)
         if ia.size == 0 or ib.size == 0:
             return empty
-        sims = ma @ mb.T
-        mask = sims >= tau
-        if i == j:
-            mask &= ia[:, None] < ib[None, :]
-        ra, rb = np.nonzero(mask)
-        va, vb = ia[ra], ib[rb]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(va, vb),
-                "vec_b": np.maximum(va, vb),
-                "sim": np.floor(sims[ra, rb] * 1e4) / 1e4,
-            }
-        )
+        # row-chunked tile walk: peak allocation is chunk×|b| doubles,
+        # not |a|×|b| — the full tile at a 25k-row block is 5 GB
+        chunk = 2048
+        outs = []
+        for lo in range(0, ia.size, chunk):
+            sims = ma[lo : lo + chunk] @ mb.T
+            mask = sims >= tau
+            if i == j:
+                mask &= ia[lo : lo + chunk, None] < ib[None, :]
+            ra, rb = np.nonzero(mask)
+            if ra.size == 0:
+                continue
+            va, vb = ia[lo + ra], ib[rb]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(va, vb),
+                        "vec_b": np.maximum(va, vb),
+                        "sim": np.floor(sims[ra, rb] * 1e4) / 1e4,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return tagged.groupBy("i", "j").applyInPandas(
         block_pairs, schema="vec_a long, vec_b long, sim double"
