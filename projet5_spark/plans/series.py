@@ -343,6 +343,10 @@ def ann_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_K = 16
 _KMEANS_NPROBE = 4
+#: fit-sample cap: above this corpus size the KMeans fit trains on a
+#: seeded ~cap-row sample (the fixtures are far below it, so the cap
+#: never changes certified results)
+_KMEANS_FIT_CAP = 16384
 #: recall floor for the KMeans gate: probing nprobe/k = 4/16 = 25% of a
 #: structureless corpus at random would expect 25·0.25 ≈ 6 hits; the
 #: trained index must clear 10 (measured 13/25 at sf0.01, 1.6× random).
@@ -356,9 +360,14 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     search as the proxy centroids).
 
     The only driver-side materialization is ``clusterCenters()`` — k
-    vectors, a constant — re-broadcast as the centroid table. At 100 TB
-    the fit runs on a sample (KMeans cost is per-point × iterations);
-    the search path is unchanged."""
+    vectors, a constant — re-broadcast as the centroid table. The fit
+    itself runs on a seeded sample once the corpus exceeds
+    ``_KMEANS_FIT_CAP`` (KMeans cost is per-point × iterations × k, and
+    centroid quality converges long before the full corpus has been
+    seen) — below the cap every row is used, so fixture-scale results
+    are bit-identical to the uncapped fit; the search path always scans
+    the full corpus. Measured: x5 stress (10k vectors) fit dominated
+    its battery at 26 s before the cap."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -369,6 +378,9 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
             "embedding", lambda x: x.cast("double") / l2_norm("embedding")
         ).alias("unit")
     )
+    n = unit.count()
+    if n > _KMEANS_FIT_CAP:
+        unit = unit.sample(_KMEANS_FIT_CAP / n, seed=42)
     model = KMeans(k=_KMEANS_K, seed=42, maxIter=20).fit(
         unit.select(array_to_vector("unit").alias("features"))
     )

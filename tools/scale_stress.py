@@ -57,6 +57,7 @@ Usage::
     python tools/scale_stress.py --mult 100 q01_pricing_summary ...
     python tools/scale_stress.py --keep             # reuse existing dataset
     python tools/scale_stress.py --docs-mult 20     # 100k-doc similarity battery
+    python tools/scale_stress.py --emb-mult 100     # 200k-vector ANN battery
 
 The dataset lands under the repo's ``.stress/`` (gitignored) and is
 rebuilt only when absent or ``--mult`` changes the directory.
@@ -150,6 +151,30 @@ DOC_BATTERY = [
 ]
 
 
+#: Embeddings-mode battery: the similarity-search / ANN family plus the
+#: vector-profile passes whose cost is corpus-scale. The recall gates
+#: compute brute-force truth AND the bucketed path inside one query, so
+#: they measure both scale and whether pruning recall survives a bigger
+#: corpus; embedding_cosine_near_dup is the exact all-pairs kernel
+#: (adaptive block count; the O(n^2) flop path under test).
+EMB_BATTERY = [
+    "embedding_norm_stats",
+    "feature_scaler_params_embeddings",
+    "embedding_int8_quant_error",
+    "embedding_covariance_topvar",
+    "label_centroid_cosine_matrix",
+    "hof_zip_exists_forall_embeddings",
+    "embedding_topk_cosine",
+    "embedding_cosine_near_dup",
+    "embedding_ann_ivf",
+    "ann_recall_ivf_at5",
+    "embedding_ann_ivf_kmeans",
+    "ann_recall_ivf_kmeans_at5",
+    "embedding_ann_signlsh",
+    "ann_recall_signlsh_at5",
+]
+
+
 def _read(spark: SparkSession, table: str):
     if table == "events":
         from projet5_spark.sources.readers import read_events
@@ -238,6 +263,65 @@ def synthesize_docs(spark: SparkSession, mult: int, out_dir: str) -> None:
             os.symlink(src, dst)
 
 
+def synthesize_embeddings(spark: SparkSession, mult: int, out_dir: str) -> None:
+    """Scaled embeddings corpus (``--emb-mult``): vec_id shift + a
+    per-replica PERMUTATION of the 64 dimensions. A permutation is an
+    orthogonal transform, so every intra-replica cosine/norm/dot is
+    preserved EXACTLY (replica 0 keeps the identity permutation — the
+    base run's pair set is literally a subset of the scaled run's),
+    while cross-replica pairs behave like fresh random pairs (the same
+    sim distribution the base corpus has across unrelated vectors). So
+    near-dup pair mass, ANN bucket occupancy, IVF cell sizes and
+    top-k candidate counts all scale the way a genuinely larger
+    embedded corpus scales — naive row duplication would instead make
+    every cross-replica twin an exact dup (sim 1.0) and quadratically
+    inflate the τ-survivor set, a different (wrong) workload. Labels
+    stay as-is: per-label/per-dim aggregates grow linearly in input,
+    and the label-pair output stays fixed-size. Other tables symlink
+    from the base fixture."""
+    import random
+
+    os.makedirs(out_dir, exist_ok=True)
+    emb = _read(spark, "embeddings")
+    unit = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    rng = random.Random(20260815)
+    perms = []
+    for rep in range(mult):
+        p = list(range(dim))
+        if rep:
+            rng.shuffle(p)
+        perms.append((rep, p))
+    perm_df = spark.createDataFrame(perms, "__rep INT, __perm ARRAY<INT>")
+    scaled = (
+        emb.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__rep"),
+        )
+        .join(F.broadcast(perm_df), "__rep")
+        .withColumn(
+            "embedding",
+            F.transform(
+                "__perm", lambda i: F.element_at("embedding", i + F.lit(1))
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(unit))
+        .drop("__rep", "__perm")
+    )
+    n_files = max(8, min(64, mult))
+    scaled.repartition(n_files).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    for table in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents",
+    ):
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(src) and not os.path.lexists(dst):
+            os.symlink(src, dst)
+
+
 def run_battery(
     spark: SparkSession, names: list[str], sf_dir: str
 ) -> tuple[dict[str, float], dict[str, dict[str, int]]]:
@@ -276,6 +360,10 @@ def main() -> None:
     ap.add_argument("--docs-mult", type=int, default=0,
                     help="documents mode: scale the corpus instead of "
                          "the facts and run DOC_BATTERY")
+    ap.add_argument("--emb-mult", type=int, default=0,
+                    help="embeddings mode: scale the vector corpus "
+                         "(per-replica dim permutation) and run "
+                         "EMB_BATTERY")
     ap.add_argument("--keep", action="store_true", help="reuse existing dataset")
     ap.add_argument("--base-compare", action="store_true",
                     help="also run the battery at the base sf for ratios")
@@ -283,11 +371,16 @@ def main() -> None:
     args = ap.parse_args()
 
     docs_mode = args.docs_mult > 0
-    mult = args.docs_mult if docs_mode else args.mult
-    out_dir = os.path.join(
-        REPO, ".stress", f"docs_x{mult}" if docs_mode else f"x{mult}"
+    emb_mode = args.emb_mult > 0
+    if docs_mode and emb_mode:
+        raise SystemExit("--docs-mult and --emb-mult are exclusive")
+    mode = "documents" if docs_mode else "embeddings" if emb_mode else "facts"
+    mult = args.docs_mult if docs_mode else args.emb_mult if emb_mode else args.mult
+    prefix = {"documents": "docs_x", "embeddings": "emb_x", "facts": "x"}[mode]
+    out_dir = os.path.join(REPO, ".stress", f"{prefix}{mult}")
+    names = args.queries or (
+        DOC_BATTERY if docs_mode else EMB_BATTERY if emb_mode else DEFAULT_BATTERY
     )
-    names = args.queries or (DOC_BATTERY if docs_mode else DEFAULT_BATTERY)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
@@ -300,6 +393,8 @@ def main() -> None:
         t0 = time.perf_counter()
         if docs_mode:
             synthesize_docs(spark, mult, out_dir)
+        elif emb_mode:
+            synthesize_embeddings(spark, mult, out_dir)
         else:
             synthesize(spark, mult, out_dir)
         print(f"synthesized x{mult} dataset in "
@@ -320,7 +415,7 @@ def main() -> None:
     }
     report = {
         "mult": mult,
-        "mode": "documents" if docs_mode else "facts",
+        "mode": mode,
         "total_wall_sec": round(sum(walls.values()), 2),
         "queries": walls,
         "spillers_gb": spillers,
