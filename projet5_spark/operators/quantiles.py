@@ -1,0 +1,126 @@
+"""Exact distributed quantiles without per-group value buffering.
+
+``F.percentile`` (exact interpolated percentile) is an
+ObjectHashAggregate that holds EVERY value of a group in one in-memory
+JVM buffer — per-group state grows linearly with the data, which both
+super-linearizes wall clock (measured in the x100 embeddings stress:
+8.1 s at 40k vectors → 90.1 s at 200k for the per-dim scaler fit) and
+guarantees an eventual OOM at real scale. The sketch aggregates
+(``approx_percentile``) are the bounded-state answer when tolerance is
+acceptable; this module is the bounded-state answer when the result
+must stay EXACT (oracle-paired queries, billing-grade stats):
+
+1. **Fold to distinct values.** ``groupBy(keys, value).count()`` — a
+   map-side-combinable aggregate whose output is bounded by the value
+   DOMAIN per group (distinct cents / day counts / token lengths), not
+   by row count. For fact tables this is typically a 10³–10⁶× fold.
+2. **Locate rank brackets.** One cumulative-count window over the
+   sorted distinct values per group (Tungsten external sort — spills,
+   never OOMs). A type-7 quantile at fraction q needs the values at
+   0-indexed ranks ``floor(pos)`` / ``ceil(pos)`` where
+   ``pos = q·(n−1)``; a distinct-value row covers rank r iff
+   ``prev_cum ≤ r < cum``.
+3. **Interpolate exactly like Spark.** Only the ≤ 2·|qs| bracket rows
+   per group survive to a tiny final aggregate applying
+   ``Percentile``'s own formula ``(ceil−pos)·v[floor] +
+   (pos−floor)·v[ceil]`` verbatim in double — results are
+   bit-identical to ``F.percentile`` (same double ops, same order;
+   asserted by tests/test_quantiles.py on random data with ties).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    qs: Mapping[str, float],
+    count_col: str | None = None,
+    disc_qs: Mapping[str, float] | None = None,
+) -> DataFrame:
+    """Exact type-7 (``F.percentile``-convention) quantiles of ``value``
+    per ``keys`` group, with bounded executor state at any data size.
+
+    ``qs`` maps output column name → fraction in [0, 1]; ``q=0.0`` /
+    ``q=1.0`` are the exact min / max, so callers needing those get
+    them from the same pass. Returns one row per group: ``keys`` +
+    one DOUBLE column per ``qs`` entry (callers apply their own output
+    grids). ``count_col`` additionally emits the group's non-null row
+    count as a LONG column of that name — callers that also need ``n``
+    get it from this pass instead of re-scanning the input relation.
+    ``disc_qs`` entries emit ``percentile_disc`` semantics instead —
+    the smallest actually-occurring value whose cumulative distribution
+    reaches q (0-indexed rank ``max(0, ceil(q·n)−1)``) — keeping the
+    value's own type, since no interpolation happens.
+    With ``keys=[]`` the result is a single global row — the
+    window then runs single-partition, but over the DISTINCT-value
+    relation, which stays domain-bounded when rows do not.
+
+    NULL ``value`` rows are ignored (``F.percentile`` semantics); a
+    group whose values are ALL null disappears from the output entirely
+    (``F.percentile`` would emit the group with a NULL quantile — no
+    current caller feeds all-null groups; filter upstream if that
+    distinction matters).
+    """
+    vc = (
+        df.where(F.col(value).isNotNull())
+        .groupBy(*keys, value)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # both frames share one (partition, order) spec so they evaluate in
+    # a single WindowExec over a single sort
+    wo = Window.partitionBy(*keys).orderBy(value)
+    wv = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = (
+        vc.withColumn("__cum", F.sum("__c").over(wv))
+        .withColumn("__n", F.sum("__c").over(wt))
+        .withColumn("__prev", F.col("__cum") - F.col("__c"))
+    )
+
+    def pos(q: float, n: Column) -> Column:
+        return (n - 1).cast("double") * F.lit(q)
+
+    def covers(rank: Column) -> Column:
+        return (F.col("__prev") <= rank) & (rank < F.col("__cum"))
+
+    def disc_rank(q: float, n: Column) -> Column:
+        return F.greatest(F.ceil(n.cast("double") * F.lit(q)) - 1, F.lit(0))
+
+    keep = F.lit(False)
+    for q in qs.values():
+        p = pos(q, F.col("__n"))
+        keep = keep | covers(F.floor(p)) | covers(F.ceil(p))
+    for q in (disc_qs or {}).values():
+        keep = keep | covers(disc_rank(q, F.col("__n")))
+    kept = r.where(keep)
+
+    def interp(q: float) -> Column:
+        p_row = pos(q, F.col("__n"))
+        v = F.col(value).cast("double")
+        lo = F.max(F.when(covers(F.floor(p_row)), v))
+        hi = F.max(F.when(covers(F.ceil(p_row)), v))
+        # per-group constants re-derived from the aggregated n so the
+        # expression survives the groupBy
+        p = pos(q, F.max("__n"))
+        return F.when(F.floor(p) == F.ceil(p), lo).otherwise(
+            (F.ceil(p).cast("double") - p) * lo
+            + (p - F.floor(p).cast("double")) * hi
+        )
+
+    aggs = [interp(q).alias(name) for name, q in qs.items()]
+    for name, q in (disc_qs or {}).items():
+        aggs.append(
+            F.max(
+                F.when(covers(disc_rank(q, F.col("__n"))), F.col(value))
+            ).alias(name)
+        )
+    if count_col is not None:
+        aggs.append(F.max("__n").cast("long").alias(count_col))
+    return kept.groupBy(*keys).agg(*aggs)

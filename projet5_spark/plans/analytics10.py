@@ -177,14 +177,17 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
         (F.col("o_orderdate") < _PSI_CUTOFF).alias("is_ref"),
     )
-    qs = (
-        base.where("is_ref")
-        .agg(
-            F.percentile(
-                "cents", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
-            ).alias("qs")
-        )
-    )
+    # grouped_exact_quantiles: bit-identical deciles without buffering
+    # every reference-arm price in one JVM aggregate buffer (state is
+    # bounded by distinct cents — the price domain)
+    from ..operators.quantiles import grouped_exact_quantiles
+
+    qs = grouped_exact_quantiles(
+        base.where("is_ref"),
+        [],
+        "cents",
+        {f"d{i}": i / 10.0 for i in range(1, 10)},
+    ).select(F.array(*[f"d{i}" for i in range(1, 10)]).alias("qs"))
     binned = base.join(F.broadcast(qs)).select(
         F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
         .cast("long")

@@ -101,11 +101,14 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
         (F.col("o_orderpriority") == _WOE_TARGET).alias("is_good"),
     )
-    qs = base.agg(
-        F.percentile("cents", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])).alias(
-            "qs"
-        )
-    )
+    # grouped_exact_quantiles: bit-identical deciles without buffering
+    # every price in one JVM aggregate buffer (same swap as
+    # psi_population_stability)
+    from ..operators.quantiles import grouped_exact_quantiles
+
+    qs = grouped_exact_quantiles(
+        base, [], "cents", {f"d{i}": i / 10.0 for i in range(1, 10)}
+    ).select(F.array(*[f"d{i}" for i in range(1, 10)]).alias("qs"))
     binned = base.join(F.broadcast(qs)).select(
         F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
         .cast("long")

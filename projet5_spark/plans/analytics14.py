@@ -374,10 +374,13 @@ def cycle_time_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> Data
     does URGENT actually ship faster, and what does the tail look like?
 
     The fact table folds to one integer day-span per order before the
-    percentile aggregate, so ranking work is entity-scale; Spark
-    ``percentile`` and DuckDB ``quantile_cont`` share the same linear
-    interpolation on those exact integers, floored to 4dp. At 100 TB
-    the same query swaps in a per-group quantile sketch (see
+    percentile pass, and the percentiles come from
+    ``grouped_exact_quantiles`` — bit-identical to ``F.percentile`` /
+    DuckDB ``quantile_cont`` linear interpolation on those exact
+    integers (floored to 4dp), but with ranking state bounded by the
+    day-span DOMAIN per priority rather than buffering every span in
+    one JVM aggregate buffer, so the exact form survives 100 TB (a
+    per-group sketch remains the cheaper-still option; see
     ``quantile_sketch_verdict_prices`` for the certified pattern).
 
     The per-order max ship date is aggregated BELOW the join (Catalyst
@@ -399,16 +402,26 @@ def cycle_time_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> Data
         F.col("o_orderpriority").alias("priority"),
         F.datediff("close_d", "o_orderdate").alias("days"),
     )
-    def pct(p: float, name: str):
-        return (F.floor(F.percentile("days", F.lit(p)) * F.lit(1e4)) / F.lit(1e4)).alias(name)
+    # grouped_exact_quantiles: bit-identical to F.percentile without
+    # buffering every span per group (the day-span DOMAIN bounds the
+    # ranking state instead)
+    from ..operators.quantiles import grouped_exact_quantiles
 
-    return (
-        spans.groupBy("priority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            pct(0.50, "p50_days"),
-            pct(0.90, "p90_days"),
-            pct(0.99, "p99_days"),
-        )
-        .orderBy("priority")
+    qt = grouped_exact_quantiles(
+        spans,
+        ["priority"],
+        "days",
+        {"p50": 0.50, "p90": 0.90, "p99": 0.99},
+        count_col="n_orders",
     )
+
+    def grid(c: str, name: str):
+        return (F.floor(F.col(c) * F.lit(1e4)) / F.lit(1e4)).alias(name)
+
+    return qt.select(
+        "priority",
+        "n_orders",
+        grid("p50", "p50_days"),
+        grid("p90", "p90_days"),
+        grid("p99", "p99_days"),
+    ).orderBy("priority")

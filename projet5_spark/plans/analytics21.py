@@ -231,13 +231,23 @@ def qq_decile_points_order_status(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderstatus",
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    pcts = F.array(*[F.lit(p) for p in _QQ_PCTS])
+    # grouped_exact_quantiles: bit-identical deciles without buffering
+    # every group's prices in one JVM aggregate buffer; BOTH status
+    # arms come from the same grouped pass (keys=status), so the
+    # rank-bracket pipeline runs once, not per side
+    from ..operators.quantiles import grouped_exact_quantiles
+
+    cols = [f"d{i}" for i in range(len(_QQ_PCTS))]
+    qt = grouped_exact_quantiles(
+        o.where(F.col("o_orderstatus").isin("F", "O")),
+        ["o_orderstatus"],
+        "cents",
+        dict(zip(cols, _QQ_PCTS)),
+    ).localCheckpoint(eager=True)  # 2-row relation, two consumers
 
     def side(status: str, name: str) -> DataFrame:
-        return (
-            o.where(F.col("o_orderstatus") == status)
-            .agg(F.percentile("cents", pcts).alias("qs"))
-            .select(F.posexplode("qs").alias("p", name))
+        return qt.where(F.col("o_orderstatus") == status).select(
+            F.posexplode(F.array(*cols)).alias("p", name)
         )
 
     f, oo = side("F", "fq"), side("O", "oq")

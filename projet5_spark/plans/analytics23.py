@@ -210,16 +210,26 @@ def percentile_disc_vs_cont_by_priority(spark: SparkSession, sf_dir: str) -> Dat
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    disc = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").cast(
-        "long"
+    # grouped_exact_quantiles serves BOTH definitions from one pass
+    # (disc = rank-select, cont = bracket-interpolate), bit-identical
+    # to percentile_disc / F.percentile without their per-group
+    # all-values aggregate buffers
+    from ..operators.quantiles import grouped_exact_quantiles
+
+    qt = grouped_exact_quantiles(
+        c,
+        ["priority"],
+        "cents",
+        {"cont": 0.5},
+        count_col="n",
+        disc_qs={"disc": 0.5},
     )
-    cont = F.floor(F.percentile("cents", F.lit(0.5)) * 1e2).cast("long")
     return (
-        c.groupBy("priority")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            disc.alias("p50_disc_cents"),
-            cont.alias("p50_cont_centi"),
+        qt.select(
+            "priority",
+            "n",
+            F.col("disc").cast("long").alias("p50_disc_cents"),
+            F.floor(F.col("cont") * 1e2).cast("long").alias("p50_cont_centi"),
         )
         .select(
             "priority",

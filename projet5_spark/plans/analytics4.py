@@ -633,21 +633,25 @@ def mad_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact interpolated medians over the integer-cents grid — every
     interpolated value lands on the half-cent grid, so the doubles are
     engine-identical and even the strict ``>`` cutoff comparison is
-    hash-stable. Per-group scalars broadcast back onto the facts (two
-    tiny joins, one fact shuffle); at 100 TB the medians would come
-    from t-digest sketches with the same join-back shape
+    hash-stable. Both medians come from
+    :func:`~projet5_spark.operators.quantiles.grouped_exact_quantiles`
+    (bit-identical to ``F.percentile`` without its per-group
+    all-values buffer — bounded state at any fact size); per-group
+    scalars broadcast back onto the facts (two tiny joins, one fact
+    shuffle). At 100 TB the medians could also come from t-digest
+    sketches with the same join-back shape
     (quantile_sketch_verdict_prices shows the sketch certification)."""
+    from ..operators.quantiles import grouped_exact_quantiles
+
     pts = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pri"),
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    med = pts.groupBy("pri").agg(
-        F.percentile("cents", F.lit(0.5)).alias("med")
-    )
+    med = grouped_exact_quantiles(pts, ["pri"], "cents", {"med": 0.5})
     dev = pts.join(F.broadcast(med), "pri").select(
         "pri", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dv")
     )
-    mad = dev.groupBy("pri").agg(F.percentile("dv", F.lit(0.5)).alias("mad"))
+    mad = grouped_exact_quantiles(dev, ["pri"], "dv", {"mad": 0.5})
     k = F.expr(_MAD_K)
     return (
         dev.join(F.broadcast(mad), "pri")

@@ -354,19 +354,21 @@ def doc_length_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragments and runaway concatenations before training-set selection.
 
     The cutoffs are a 1-row broadcast joined onto the per-doc lengths;
-    exact interpolated percentiles land on the half-token grid so the
-    boundary comparisons are engine-identical (at 100 TB the cutoffs
-    come from a t-digest with the same join-back shape)."""
+    exact interpolated percentiles (via ``grouped_exact_quantiles`` —
+    bit-identical to ``F.percentile``, but the state folds to distinct
+    token counts instead of buffering every doc's length in one JVM
+    buffer) land on the half-token grid so the boundary comparisons
+    are engine-identical (at 100 TB a t-digest has the same join-back
+    shape)."""
+    from ..operators.quantiles import grouped_exact_quantiles
+
     d = _t(spark, sf_dir, "documents").select(
         "source",
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
         .cast("long")
         .alias("n_tokens"),
     )
-    cuts = d.agg(
-        F.percentile("n_tokens", F.lit(0.05)).alias("lo"),
-        F.percentile("n_tokens", F.lit(0.95)).alias("hi"),
-    )
+    cuts = grouped_exact_quantiles(d, [], "n_tokens", {"lo": 0.05, "hi": 0.95})
     kept = F.count(
         F.when((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")), 1)
     )

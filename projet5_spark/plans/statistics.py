@@ -38,14 +38,24 @@ _CENTS = "CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)"
     """,
 )
 def stats_percentiles_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (``percentile``, not the sketch
-    ``percentile_approx``) — matches SQL ``quantile_cont``. At 100 TB
+    """Exact interpolated percentiles — matches SQL ``quantile_cont``
+    bit-for-bit, via ``grouped_exact_quantiles`` (rank-bracket window
+    selection; no per-group all-values aggregate buffer). At 100 TB
     you'd trade this for the t-digest sketch; exact is the oracle."""
+    from ..operators.quantiles import grouped_exact_quantiles
+
     cust = _t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        _q(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("p25"),
-        _q(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median"),
-        _q(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75"),
+    qt = grouped_exact_quantiles(
+        cust,
+        ["c_mktsegment"],
+        "c_acctbal",
+        {"q25": 0.25, "q50": 0.5, "q75": 0.75},
+    )
+    return qt.select(
+        "c_mktsegment",
+        _q(F.col("q25"), 4).alias("p25"),
+        _q(F.col("q50"), 4).alias("median"),
+        _q(F.col("q75"), 4).alias("p75"),
     )
 
 
