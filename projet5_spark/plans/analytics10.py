@@ -325,10 +325,15 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("i"),
     )
+    # Σ i·cents in DECIMAL: rank i grows with the customer count, so
+    # the product crosses 2⁶³ near ~1M customers under ANSI checking;
+    # decimal casts to the same correctly-rounded double below
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sx"),
-        F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        ).alias("six"),
     )
     gini = (
         F.lit(2.0) * F.col("six") / (F.col("n").cast("double") * F.col("sx"))

@@ -480,23 +480,35 @@ def graph_strength_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sv), F.col("v") == F.col("sv.nk"))
         .select(F.col("su.st").alias("x"), F.col("sv.st").alias("y"))
     )
+    # strength products in DECIMAL: node strengths scale with trade
+    # volume, so x², x·y cross 2⁶³ under ANSI checking at high-traffic
+    # graphs; outputs keep their BIGINT contract (strengths-scale
+    # values), only the internal closed form is widened
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
     m = pts.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy_d"),
     )
+    sxd = F.col("sx").cast("decimal(19,0)")
+    syd = F.col("sy").cast("decimal(19,0)")
     r_micro = F.floor(
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        (F.col("n") * F.col("sxy_d") - sxd * syd).cast("double")
         / (
-            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            F.sqrt((F.col("n") * F.col("sxx") - sxd * sxd).cast("double"))
+            * F.sqrt((F.col("n") * F.col("syy") - syd * syd).cast("double"))
         )
         * F.lit(1e6)
     ).cast("long")
-    return m.select("n", "sx", "sxy", r_micro.alias("assortativity_micro"))
+    return m.select(
+        "n",
+        "sx",
+        F.col("sxy_d").cast("long").alias("sxy"),
+        r_micro.alias("assortativity_micro"),
+    )
 
 
 # --------------------------------------------------------------------------

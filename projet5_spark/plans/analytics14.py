@@ -329,7 +329,13 @@ def twap_event_values_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.groupBy("user_id", "day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias("wsum"),
+            # cents × µs-duration ≈ 1e16 per span — the BIGINT sum
+            # crosses 2⁶³ within a few hundred spans of a hot user-day
+            # under ANSI checking; decimal → the same floored ratio
+            F.sum(
+                F.col("cents").cast("decimal(19,0)")
+                * F.col("dur_us").cast("decimal(19,0)")
+            ).alias("wsum"),
             F.sum("dur_us").cast("long").alias("wtot"),
         )
         .where(F.col("wtot") > 0)

@@ -186,16 +186,22 @@ def bollinger_breakout_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(-6, Window.currentRow)
     )
+    # the band test's products (v², s1²) run in DECIMAL: v is a daily
+    # traffic sum, so the BIGINT squares cross 2⁶³ once a day's cents
+    # reach ~3e9 under ANSI checking; the comparison is exact integer
+    # arithmetic either way, and the BIGINT output casts below only
+    # materialize for surviving rows (whose magnitudes are band-scale)
+    vd = F.col("v").cast("decimal(19,0)")
     st = daily.select(
         "event_type",
         "day",
         "v",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("v").over(w).alias("s1"),
-        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+        F.sum(vd * vd).over(w).alias("s2"),
     )
-    dev = 7 * F.col("v") - F.col("s1")
-    band = 4 * (7 * F.col("s2") - F.col("s1") * F.col("s1"))
+    dev = 7 * vd - F.col("s1")
+    band = 4 * (7 * F.col("s2") - F.col("s1").cast("decimal(19,0)") * F.col("s1").cast("decimal(19,0)"))
     return (
         st.where((F.col("n") == 7) & (dev * dev > band))
         .select(

@@ -179,9 +179,14 @@ def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFra
             c
             for b in range(1, _BOOT_B + 1)
             for c in (
-                F.sum(F.col(f"w{b}") * F.col("cents"))
-                .cast("long")
-                .alias(f"ws{b}"),
+                # weighted replicate sums in DECIMAL — a global-group
+                # Σ(w·cents) crosses 2⁶³ near 1e13 event-rows under
+                # ANSI checking; the ratio below casts to the same
+                # correctly-rounded double either way
+                F.sum(
+                    F.col(f"w{b}").cast("decimal(19,0)")
+                    * F.col("cents").cast("decimal(19,0)")
+                ).alias(f"ws{b}"),
                 F.sum(f"w{b}").cast("long").alias(f"wt{b}"),
             )
         ],

@@ -325,12 +325,16 @@ def ab_test_zscore_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the query self-certifying at a glance."""
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long")
+    # Σcents² in DECIMAL: the arms are global groups, so the BIGINT sum
+    # crosses 2⁶³ once the arm reaches ~1e9 rows under ANSI checking;
+    # decimal casts to the same correctly-rounded double downstream
+    cd = cents.cast("decimal(19,0)")
 
     def moments(arm: str, pfx: str) -> DataFrame:
         return ev.where(F.col("event_type") == arm).agg(
             F.count(F.lit(1)).alias(f"{pfx}n"),
             F.sum(cents).alias(f"{pfx}sy"),
-            F.sum(cents * cents).alias(f"{pfx}syy"),
+            F.sum(cd * cd).alias(f"{pfx}syy"),
         )
 
     t, c = moments(_AB_TREATMENT, "t_"), moments(_AB_CONTROL, "c_")

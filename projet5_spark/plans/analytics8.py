@@ -230,10 +230,15 @@ def acf_lag1_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Facts compress to hourly integer sums, one lead window builds the
     lag pairs, and the correlation is the closed-form moments ratio
-    (statistics.py pattern): all five sums are exact BIGINTs, the
-    expression is fixed IEEE arithmetic with a correctly-rounded sqrt —
-    the 10⁻⁶-grid coefficient hash-matches across engines. Degenerate
-    series (constant either side) are filtered on both sides."""
+    (statistics.py pattern): all five sums are exact — the product
+    moments in DECIMAL(38,0), not BIGINT, because hourly cent sums
+    grow with traffic and x·y crossed 2⁶³ in the x100 events stress
+    (ANSI overflow abort); decimal keeps ~38 digits of exact headroom
+    and casts to the same correctly-rounded double the BIGINT path
+    produced, so the 10⁻⁶-grid coefficient still hash-matches across
+    engines (DuckDB's integer sums promote to HUGEINT similarly).
+    Degenerate series (constant either side) are filtered on both
+    sides."""
     hourly = _hourly(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("h")
     lagged = hourly.select(
@@ -241,17 +246,22 @@ def acf_lag1_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("x"),
         F.lead("cents").over(w).alias("y"),
     ).where(F.col("y").isNotNull())
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
     m = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    # the cross terms (sx·sy ~ squared group totals) overflow BIGINT at
+    # the same traffic scale as the product moments — keep the whole
+    # closed form in decimal
+    sxd, syd = F.col("sx").cast("decimal(19,0)"), F.col("sy").cast("decimal(19,0)")
+    num = F.col("m") * F.col("sxy") - sxd * syd
+    dx = F.col("m") * F.col("sxx") - sxd * sxd
+    dy = F.col("m") * F.col("syy") - syd * syd
     return (
         m.where((F.col("m") >= 2) & (dx > 0) & (dy > 0))
         .select(

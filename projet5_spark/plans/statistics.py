@@ -81,9 +81,13 @@ def stats_variance_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of producing a comparable value)."""
     cust = _t(spark, sf_dir, "customer")
     c = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    # Σc² accumulates in DECIMAL, not BIGINT: cents² ≈ 1e12 per row
+    # crosses 2⁶³ near 10M rows per group under ANSI checking; the
+    # decimal sum casts to the same correctly-rounded double
+    cd = c.cast("decimal(19,0)")
     n = F.count(F.lit(1))
     s1 = F.sum(c).cast("double")
-    s2 = F.sum(c * c).cast("double")
+    s2 = F.sum(cd * cd).cast("double")
     var = F.when(n > 1, (s2 - s1 * s1 / n) / (n - 1) / 1e4)
     return cust.groupBy("c_mktsegment").agg(
         n.alias("n"), _q(var, 4).alias("var_bal")
@@ -116,11 +120,17 @@ def stats_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx = F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long")
     cy = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
     t = li.select(cx.alias("cx"), cy.alias("cy"))
+    # product moments in DECIMAL: dollars² ≈ 1e10 per row crosses 2⁶³
+    # near 1e9 rows under ANSI checking (the dollar grid alone only
+    # buys ~100× over cents); decimal → the same correctly-rounded
+    # double, and DuckDB's integer sums promote to HUGEINT similarly
+    xd = F.col("cx").cast("decimal(19,0)")
+    yd = F.col("cy").cast("decimal(19,0)")
     n = F.count(F.lit(1))
     sx, sy = F.sum("cx").cast("double"), F.sum("cy").cast("double")
-    sxx = F.sum(F.col("cx") * F.col("cx")).cast("double")
-    syy = F.sum(F.col("cy") * F.col("cy")).cast("double")
-    sxy = F.sum(F.col("cx") * F.col("cy")).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
+    syy = F.sum(yd * yd).cast("double")
+    sxy = F.sum(xd * yd).cast("double")
     # degenerate-variance guard: zero spread on either axis leaves
     # correlation undefined — NULL on both engines, never a 0-division
     denom_sq = (n * sxx - sx * sx) * (n * syy - sy * sy)

@@ -336,7 +336,17 @@ def run_battery(
     before = run_stats_summary(spark)
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # record and keep going — a scale
+            # defect in one query must not hide the rest of the battery
+            walls[name] = -1.0
+            print(f"   ERROR  {name}: {type(exc).__name__}: "
+                  f"{str(exc).splitlines()[0][:200]}", flush=True)
+            before = run_stats_summary(spark)
+            continue
         walls[name] = round(time.perf_counter() - t0, 2)
         after = run_stats_summary(spark)
         deltas[name] = {
