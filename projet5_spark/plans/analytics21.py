@@ -150,16 +150,20 @@ def business_days_to_ship_by_priority(spark: SparkSession, sf_dir: str) -> DataF
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    spans = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+    # per-order first ship date aggregated BELOW the join (the
+    # cycle_time_percentiles fix): the min depends only on l_orderkey,
+    # so the join carries the folded per-order relation instead of
+    # fact-width rows — same result (orders are unique per key; the
+    # inner join drops orphan groups either way)
+    firsts = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(F.min("l_shipdate").alias("d2"))
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            F.greatest(F.datediff("d2", "o_orderdate"), F.lit(0)).alias("total"),
-            F.weekday("o_orderdate").alias("wd1"),
-        )
+    )
+    spans = o.join(firsts, o.o_orderkey == firsts.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.greatest(F.datediff("d2", "o_orderdate"), F.lit(0)).alias("total"),
+        F.weekday("o_orderdate").alias("wd1"),
     )
     rem = F.col("total") % 7
     extra = F.when(rem == 0, F.lit(0)).otherwise(

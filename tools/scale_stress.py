@@ -199,6 +199,25 @@ def synthesize(spark: SparkSession, mult: int, out_dir: str) -> None:
         F.sequence(F.lit(0), F.lit(mult - 1))
     ).alias("__rep")
 
+    #: entity-name columns must track the shifted keys they identify:
+    #: names feed blocking keys (er_blocking/fs_linkage substring-block
+    #: on c_name positions 10-17) and groupBy keys (q21 groups by
+    #: s_name), so leaving them duplicated across replicas
+    #: quadratically inflates block pair mass / merges unrelated
+    #: entities — the exact wrong-workload shape the key shifts exist
+    #: to avoid (measured: er_blocking 1.0 s at sf0.1 → 160 s at x100
+    #: on replicated names, ~3e9 levenshtein calls over 100×-fat
+    #: blocks; a suffix does NOT fix it because the block substring
+    #: sits mid-name). The fixture derives these names from the key
+    #: ('Customer#%09d'), so rebuilding from the shifted key gives a
+    #: genuinely-bigger entity space and replica 0 reproduces the base
+    #: name bit-for-bit. p_name stays as-is: it is a category-like
+    #: phrase (duplicates exist in the base fixture) and token-pattern
+    #: workloads (anchored regex over p_name) must keep matching.
+    name_fmt = {
+        "customer": ("c_name", "c_custkey", "Customer#%09d"),
+        "supplier": ("s_name", "s_suppkey", "Supplier#%09d"),
+    }
     for table in ("orders", "lineitem", "customer", "supplier", "part", "events"):
         df = _read(spark, table).select("*", replicas)
         for (t, col), unit in shift.items():
@@ -206,6 +225,11 @@ def synthesize(spark: SparkSession, mult: int, out_dir: str) -> None:
                 df = df.withColumn(
                     col, F.col(col) + F.col("__rep") * F.lit(unit)
                 )
+        if table in name_fmt:
+            name_col, key_col, fmt = name_fmt[table]
+            df = df.withColumn(
+                name_col, F.format_string(fmt, F.col(key_col))
+            )
         n_files = max(8, min(256, mult))
         (
             df.drop("__rep")
