@@ -182,29 +182,58 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     what Spark's RangePartitioner derives by sampling, made exact,
     reproducible, and auditable.
 
-    Fixture-scale uses the exact global rank; at 100 TB the same plan
-    runs on a deterministic sample (``stratified_sample_orders``
-    pattern) — boundaries only need sample precision."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    ks = spark.range(1, _N_PARTS).select(F.col("id").cast("long").alias("k"))
-    return (
-        F.broadcast(ks)
-        .join(
-            ranked,
-            ranked.rn
-            == F.ceil(ks.k * ranked.n * F.lit(1.0) / F.lit(_N_PARTS)).cast("long"),
-        )
+    The boundary at cut k is the value at rank ``ceil(k·n/32)``
+    (``percentile_disc(k/32)``), so the plan never ranks rows: fold to
+    distinct cents (map-combinable, bounded by the price DOMAIN at any
+    data size — the previous per-row global rank window ran
+    single-task, 41.9 s at x100), one cumulative window over the
+    distinct-value relation, then each row emits exactly the cuts its
+    rank interval covers via closed-form integer arithmetic —
+    ``k ∈ (P·prev/n, P·cum/n]`` — O(1) per row (a 31-way OR of
+    per-cut predicates measured 1.7 interpreted CPU-s on this
+    fixture). Selecting cents instead of raw price is safe: the cent
+    grid is a non-decreasing transform, so order statistics commute
+    with it, and the price/key tie-break never changes the selected
+    VALUE."""
+    vc = (
+        _t(spark, sf_dir, "orders")
         .select(
-            "k",
             F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
             .cast("long")
-            .alias("boundary_cents"),
+            .alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wo = Window.orderBy("cents")
+    r = (
+        vc.withColumn(
+            "cum",
+            F.sum("c").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "n",
+            F.sum("c").over(
+                wo.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn("prev", F.col("cum") - F.col("c"))
+    )
+    # cut k's rank ceil(k·n/P) lands on this row iff prev < k·n/P ≤ cum
+    # ⇔ floor(P·prev/n) < k ≤ floor(P·cum/n) (integer k; exact BIGINT)
+    kmin = F.greatest(F.expr(f"({_N_PARTS} * prev) div n + 1"), F.lit(1))
+    kmax = F.least(F.expr(f"({_N_PARTS} * cum) div n"), F.lit(_N_PARTS - 1))
+    return (
+        r.withColumn("kmin", kmin)
+        .withColumn("kmax", kmax)
+        .where(F.col("kmin") <= F.col("kmax"))
+        .select(
+            F.explode(F.sequence("kmin", "kmax")).alias("k"),
+            F.col("cents").alias("boundary_cents"),
         )
     )
 
