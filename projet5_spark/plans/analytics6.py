@@ -96,24 +96,38 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
+    # one sorted item-set row per basket replaces the fact-scale
+    # basket self-join: collect_set partially aggregates map-side (the
+    # distinct+join shuffled the fact TWICE more for the join sides —
+    # 22.7 GB of sort-merge spill at x100; this shape spills nothing),
+    # and the C(size, 2) pair expansion is a per-row array transform
+    # over the ~4-brand baskets — the same pairs, generated in place.
+    sets = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
-        .distinct()
-        # three consumers (item counts, the pair self-join's both sides);
-        # truncate so the fact-scale join/distinct runs once
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+        # three consumers (basket count, item counts, pair expansion)
         .localCheckpoint()
     )
-    n = baskets.agg(F.countDistinct("basket").alias("n_baskets"))
-    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    b1, b2 = baskets.alias("b1"), baskets.alias("b2")
+    n = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    items = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pairs = (
-        b1.join(
-            b2,
-            (F.col("b1.basket") == F.col("b2.basket"))
-            & (F.col("b1.item") < F.col("b2.item")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(items, (x, i) -> "
+                        "transform(slice(items, i + 2, size(items)), "
+                        "y -> struct(x AS a, y AS b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("b1.item").alias("a"), F.col("b2.item").alias("b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= _RULE_MIN_PAIRS)
     )
