@@ -213,11 +213,16 @@ def orders_open_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per month: peak backlog and the level on the month's last active
     day (``max_by`` with a unique date key — tie-free)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    spans = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
+    # per-order close date folded BELOW the join (the cycle_time /
+    # business_days fix): the max depends only on l_orderkey, so the
+    # join carries the per-order relation instead of fact-width rows
+    closes = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("close_d"))
+    )
+    spans = o.join(closes, o.o_orderkey == closes.l_orderkey).select(
+        "o_orderdate", "close_d"
     )
     deltas = spans.select(
         F.col("o_orderdate").alias("d"), F.lit(1).cast("long").alias("delta")
