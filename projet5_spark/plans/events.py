@@ -492,16 +492,23 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (decay 0.9) of each
     user's value stream, truncated to the trailing 20 events.
 
-    EWMA's recursion is not frame-expressible, so the bounded form
-    joins each event to its ≤19 predecessors by row-number distance —
-    a constant ≤20× fanout on the user_id shuffle key, NOT a range
-    self-join over time (the fanout is the window length regardless of
-    event density). Exactness: the 20 decay weights are PRE-COMPUTED
+    EWMA's recursion is not frame-expressible, but the truncated form
+    IS a fixed 20-term linear combination of trailing values, so it
+    evaluates as 20 ``lag`` expressions over ONE per-user window sort —
+    no self-join, no ×20 row fan-out (the previous row-number band
+    join shuffled a 20×-expanded relation and re-grouped it; at x100
+    events that expansion was the query's entire cost). Ragged starts
+    fall out naturally: a null lag contributes nothing to either the
+    term sum or the weight normalizer, exactly like the band join's
+    missing history rows. Exactness: the 20 decay weights are
+    PRE-COMPUTED
     doubles embedded as identical decimal literals in both engines
     (runtime pow() differs by 1 ulp between libm and the JVM, which
     flips floor grids); each weighted term is then a single IEEE
     multiply of that literal by an exact integer, floored onto a 1e-6
     grid and summed as BIGINT — bit-identical everywhere."""
+    from functools import reduce
+
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select(
@@ -510,48 +517,26 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("vc"),
-        F.row_number().over(w).alias("rn"),
     )
-    cur = r.select(
-        F.col("user_id").alias("u"),
-        F.col("event_id").alias("eid"),
-        F.col("ts").alias("cts"),
-        F.col("value").alias("cvalue"),
-        F.col("rn").alias("crn"),
-    )
-    hist = r.select(
-        F.col("user_id").alias("hu"), F.col("rn").alias("hrn"), F.col("vc").alias("hvc")
-    )
-    w_arr = F.array(*[F.lit(x) for x in WEIGHTS_EWMA])
-    wm_arr = F.array(*[F.lit(m) for m in _W_MICRO])
-    k1 = (F.col("crn") - F.col("hrn") + 1).cast("int")
-    j = cur.join(
-        hist,
-        (F.col("u") == F.col("hu"))
-        & (F.col("hrn") >= F.col("crn") - 19)
-        & (F.col("hrn") <= F.col("crn")),
-    ).select(
-        "u",
-        "eid",
-        "cts",
-        "cvalue",
-        F.floor(F.element_at(w_arr, k1) * (F.col("hvc") * F.lit(10000)))
-        .cast("long")
-        .alias("term_micro"),
-        F.element_at(wm_arr, k1).cast("long").alias("w_micro"),
-    )
-    return (
-        j.groupBy("u", "eid", "cts", "cvalue")
-        .agg(
-            _q(F.sum("term_micro") * F.lit(1.0) / F.sum("w_micro"), 4).alias("ewma")
+    terms, weights = [], []
+    for k, (wk, mk) in enumerate(zip(WEIGHTS_EWMA, _W_MICRO)):
+        lv = F.lag("vc", k).over(w) if k else F.col("vc")
+        terms.append(
+            F.coalesce(
+                F.floor(F.lit(wk) * (lv * F.lit(10000))).cast("long"), F.lit(0)
+            )
         )
-        .select(
-            F.col("u").alias("user_id"),
-            F.col("eid").alias("event_id"),
-            F.date_format("cts", _TS_FMT_SPARK).alias("ts"),
-            F.col("cvalue").alias("value"),
-            "ewma",
+        weights.append(
+            F.when(lv.isNotNull(), F.lit(mk).cast("long")).otherwise(F.lit(0))
         )
+    term_sum = reduce(lambda a, b: a + b, terms)
+    w_sum = reduce(lambda a, b: a + b, weights)
+    return r.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "value",
+        _q(term_sum * F.lit(1.0) / w_sum, 4).alias("ewma"),
     )
 
 
