@@ -82,7 +82,13 @@ def _position_exact_pairs(rows: DataFrame) -> DataFrame:
     So the join cost here equals the output's own size — quadratic only
     where the answer itself is quadratic (a flood of same-position
     spelling variants), never lev-2 false-candidate fan-out."""
-    a, b = rows.alias("a"), rows.alias("b")
+    # both joins MERGE-pinned: every side is entity-PROPORTIONAL
+    # (names × variants), so a size-based broadcast is never scale-safe
+    # (a narrower keying experiment showed AQE will promote the 15M-row
+    # identity side to broadcast and OOM the driver when its byte
+    # estimate dips), and a shuffle-hash build of the variant relation
+    # OOMs per-partition where sort-merge spills gracefully
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
     samepos = a.join(
         b,
         (F.col("a.v") == F.col("b.v"))
@@ -93,6 +99,7 @@ def _position_exact_pairs(rows: DataFrame) -> DataFrame:
     dels = rows.where(F.col("pos") > 0).select("k", "v")
     ins_del = (
         ident.alias("a")
+        .hint("merge")
         .join(dels.alias("b"), (F.col("a.v") == F.col("b.v")) & (F.col("a.k") != F.col("b.k")))
         .select(
             F.least(F.col("a.k"), F.col("b.k")).alias("key_a"),
@@ -130,6 +137,15 @@ def symspell_candidate_pairs(names: DataFrame, cap: int = 0) -> DataFrame:
     is found by the rare join and a hot one by the completion. Proven
     against a planted 40-key hot bucket in tests/test_symspell_cap.py
     at caps 0, 1, 16, and 10000.
+
+    Negative result recorded so it is not retried: swapping the join
+    key for ``xxhash64(variant)`` (narrower rows, long-compare sorts)
+    left the x100 wall and its ~22.5 GB spill unchanged — the working
+    set is the candidate/name pipeline, not the variant-string sort —
+    while making AQE size-estimate the 15M-row identity side as
+    broadcastable (driver OOM). The joins keep the string keys, now
+    MERGE-pinned: every side is entity-proportional, so a size-based
+    broadcast is never scale-safe.
 
     Side effect: building the plan MATERIALIZES the variant relation
     (``localCheckpoint(eager=True)`` — Spark jobs run at call time, and
