@@ -69,19 +69,18 @@ def feature_scaler_params_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     ObjectHashAggregate buffer, so per-dim state grows with the corpus
     (measured: 8.1 s at 40k vectors → 90.1 s at 200k in the x100
     embeddings stress, and an eventual OOM at real scale — 64 dims ×
-    corpus/64 doubles each in single JVM buffers). Instead the values
-    sort under a per-dim window — Tungsten external sort, spills
-    gracefully, parallel across dims — and only the ≤8 bracket rows
-    each dim needs (rank 1, rank n, and the floor/ceil ranks of the
-    three quantile positions) survive to a tiny final aggregate that
-    applies Spark's own interpolation formula
-    ``(ceil−pos)·v[floor] + (pos−floor)·v[ceil]`` verbatim, so the
-    result is bit-identical to ``F.percentile`` (same double ops, same
-    order). Rank ties on equal values are harmless: order statistics
-    depend only on the sorted multiset. Values are float32 components
+    corpus/64 doubles each in single JVM buffers). Instead the five
+    order statistics (min and max are just q=0 and q=1) come from one
+    :func:`~projet5_spark.operators.quantiles.grouped_exact_quantiles`
+    pass — distinct-value fold, spillable per-dim cumulative window,
+    rank-bracket pick with Spark's own type-7 interpolation — so the
+    result is bit-identical to ``F.percentile`` with state bounded at
+    any corpus size. Values are float32 components
     cast to double identically in both engines, floored to micro AFTER
     the interpolation (the sketch swap for the approx-at-scale variant
     is certified by ``quantile_sketch_verdict_prices``)."""
+    from ..operators.quantiles import grouped_exact_quantiles
+
     x = (
         _t(spark, sf_dir, "embeddings")
         .select(F.posexplode("embedding").alias("p", "vf"))
@@ -90,58 +89,21 @@ def feature_scaler_params_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("vf").cast("double").alias("v"),
         )
     )
-    wd = Window.partitionBy("dim")
-    r = (
-        x.withColumn("rn", F.row_number().over(wd.orderBy("v")))
-        .withColumn("n", F.count(F.lit(1)).over(wd))
+    qt = grouped_exact_quantiles(
+        x,
+        ["dim"],
+        "v",
+        {"mn": 0.0, "q25": 0.25, "q50": 0.5, "q75": 0.75, "mx": 1.0},
     )
-
-    def pos(q: float):
-        return (F.col("n") - 1).cast("double") * F.lit(q)
-
-    def is_bracket(q: float):
-        return ((F.col("rn") - 1) == F.floor(pos(q))) | (
-            (F.col("rn") - 1) == F.ceil(pos(q))
-        )
-
-    kept = r.where(
-        (F.col("rn") == 1)
-        | (F.col("rn") == F.col("n"))
-        | is_bracket(0.25)
-        | is_bracket(0.5)
-        | is_bracket(0.75)
-    )
-
-    def interp(q: float):
-        p = pos(q)
-        lo = F.max(F.when((F.col("rn") - 1) == F.floor(p), F.col("v")))
-        hi = F.max(F.when((F.col("rn") - 1) == F.ceil(p), F.col("v")))
-        # the aggregate sees one (n, dim)-consistent p per group; re-ex-
-        # press it over the aggregated n so it survives the groupBy
-        pa = (F.max("n") - 1).cast("double") * F.lit(q)
-        return F.when(F.floor(pa) == F.ceil(pa), lo).otherwise(
-            (F.ceil(pa).cast("double") - pa) * lo
-            + (pa - F.floor(pa).cast("double")) * hi
-        )
-
-    return (
-        kept.groupBy("dim")
-        .agg(
-            F.floor(F.max(F.when(F.col("rn") == 1, F.col("v"))) * 1e6)
-            .cast("long")
-            .alias("min_micro"),
-            F.floor(
-                F.max(F.when(F.col("rn") == F.col("n"), F.col("v"))) * 1e6
-            )
-            .cast("long")
-            .alias("max_micro"),
-            F.floor(interp(0.5) * 1e6).cast("long").alias("p50_micro"),
-            F.floor((interp(0.75) - interp(0.25)) * 1e6)
-            .cast("long")
-            .alias("iqr_micro"),
-        )
-        .orderBy("dim")
-    )
+    return qt.select(
+        "dim",
+        F.floor(F.col("mn") * 1e6).cast("long").alias("min_micro"),
+        F.floor(F.col("mx") * 1e6).cast("long").alias("max_micro"),
+        F.floor(F.col("q50") * 1e6).cast("long").alias("p50_micro"),
+        F.floor((F.col("q75") - F.col("q25")) * 1e6)
+        .cast("long")
+        .alias("iqr_micro"),
+    ).orderBy("dim")
 
 
 # --------------------------------------------------------------------------
