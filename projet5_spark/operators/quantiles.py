@@ -124,3 +124,23 @@ def grouped_exact_quantiles(
     if count_col is not None:
         aggs.append(F.max("__n").cast("long").alias(count_col))
     return kept.groupBy(*keys).agg(*aggs)
+
+
+def decile_array_or_fail(qdf: DataFrame, cols: list[str], context: str) -> DataFrame:
+    """Fold the quantile columns of a one-row global-quantile result
+    into a single array column named ``qs`` — failing LOUDLY when the
+    quantiles are NULL (the input arm was empty or all-NULL, so
+    ``grouped_exact_quantiles`` with ``keys=[]`` emitted its one
+    all-NULL row). Callers bin rows with
+    ``size(filter(qs, q -> q < x))``, and an array of NULLs would
+    silently place EVERY row in bin 0 — a wrong-but-plausible result
+    the guard converts into an explicit error (ADVICE r7)."""
+    arr = F.when(F.col(cols[0]).isNotNull(), F.array(*cols)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{context}: quantile input arm is empty or all-NULL — "
+                "decile bins are undefined"
+            )
+        )
+    )
+    return qdf.select(arr.alias("qs"))

@@ -180,14 +180,20 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped_exact_quantiles: bit-identical deciles without buffering
     # every reference-arm price in one JVM aggregate buffer (state is
     # bounded by distinct cents — the price domain)
-    from ..operators.quantiles import grouped_exact_quantiles
+    from ..operators.quantiles import decile_array_or_fail, grouped_exact_quantiles
 
-    qs = grouped_exact_quantiles(
-        base.where("is_ref"),
-        [],
-        "cents",
-        {f"d{i}": i / 10.0 for i in range(1, 10)},
-    ).select(F.array(*[f"d{i}" for i in range(1, 10)]).alias("qs"))
+    # guarded: an empty reference arm must fail loudly, not bin every
+    # row into bin 0 via an array of NULL deciles
+    qs = decile_array_or_fail(
+        grouped_exact_quantiles(
+            base.where("is_ref"),
+            [],
+            "cents",
+            {f"d{i}": i / 10.0 for i in range(1, 10)},
+        ),
+        [f"d{i}" for i in range(1, 10)],
+        "psi_population_stability",
+    )
     binned = base.join(F.broadcast(qs)).select(
         F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
         .cast("long")

@@ -104,11 +104,17 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped_exact_quantiles: bit-identical deciles without buffering
     # every price in one JVM aggregate buffer (same swap as
     # psi_population_stability)
-    from ..operators.quantiles import grouped_exact_quantiles
+    from ..operators.quantiles import decile_array_or_fail, grouped_exact_quantiles
 
-    qs = grouped_exact_quantiles(
-        base, [], "cents", {f"d{i}": i / 10.0 for i in range(1, 10)}
-    ).select(F.array(*[f"d{i}" for i in range(1, 10)]).alias("qs"))
+    # guarded: an empty/all-null price column must fail loudly, not
+    # bin every row into bin 0 via an array of NULL deciles
+    qs = decile_array_or_fail(
+        grouped_exact_quantiles(
+            base, [], "cents", {f"d{i}": i / 10.0 for i in range(1, 10)}
+        ),
+        [f"d{i}" for i in range(1, 10)],
+        "woe_iv_price_bins",
+    )
     binned = base.join(F.broadcast(qs)).select(
         F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
         .cast("long")
@@ -417,14 +423,14 @@ def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy,
-             CAST(sum(x * y) AS BIGINT) AS sxy
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy_h
       FROM pts)
-    SELECT n, sx, sxy,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6)
+    SELECT n, sx, CAST(sxy_h AS DOUBLE) AS sxy,
+           CAST(floor(CAST(n * sxy_h - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) * 1e6)
                 AS BIGINT) AS assortativity_micro
     FROM m
     """,
@@ -503,10 +509,15 @@ def graph_strength_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1e6)
     ).cast("long")
+    # sxy is the sum of the WIDENED products — at the very scale the
+    # decimal widening exists for, a decimal→long cast of it would
+    # throw under ANSI. Emit it as double instead: the exact decimal
+    # integer rounds to double identically in Spark and DuckDB
+    # (round-to-nearest-even of the same exact value).
     return m.select(
         "n",
         "sx",
-        F.col("sxy_d").cast("long").alias("sxy"),
+        F.col("sxy_d").cast("double").alias("sxy"),
         r_micro.alias("assortativity_micro"),
     )
 

@@ -437,8 +437,13 @@ def dict_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
         ],
     )
     for i, c in enumerate(_DICT_COLS):
+        # null-filter BEFORE the distinct fold: count(DISTINCT c)
+        # excludes NULL, but distinct().count() would tally it as one
+        # extra value and silently drift the 2^8/2^16 advice
+        # thresholds on nullable columns
         ndv = (
-            li.select(c)
+            li.where(F.col(c).isNotNull())
+            .select(c)
             .distinct()
             .agg(F.count(F.lit(1)).alias(f"d{i}"))
         )

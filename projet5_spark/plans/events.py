@@ -478,13 +478,16 @@ _WM_SQL = "[" + ", ".join(str(m) for m in _W_MICRO) + "]"
     j AS (
       SELECT c.user_id, c.event_id, c.ts, c.value,
              CAST(floor(({_W_SQL})[c.rn - h.rn + 1] * (h.vc * 1e4)) AS BIGINT) AS term_micro,
-             ({_WM_SQL})[c.rn - h.rn + 1] AS w_micro
+             CASE WHEN h.vc IS NOT NULL
+                  THEN ({_WM_SQL})[c.rn - h.rn + 1] ELSE 0 END AS w_micro
       FROM r c JOIN r h
         ON c.user_id = h.user_id AND h.rn BETWEEN c.rn - 19 AND c.rn)
     SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            value,
-           floor((sum(term_micro) * 1.0 / sum(w_micro)) * 1e4) / 1e4 AS ewma
+           CASE WHEN sum(w_micro) = 0 THEN NULL
+                ELSE floor((sum(term_micro) * 1.0 / sum(w_micro)) * 1e4) / 1e4
+           END AS ewma
     FROM j GROUP BY user_id, event_id, ts, value
     """,
 )
@@ -531,12 +534,17 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     term_sum = reduce(lambda a, b: a + b, terms)
     w_sum = reduce(lambda a, b: a + b, weights)
+    # A null lag now drops BOTH the term and its weight in BOTH
+    # engines (oracle gates w_micro on h.vc IS NOT NULL), so a null
+    # events.value is a shared no-op rather than a divergence; and a
+    # user whose entire trailing window is null values yields
+    # ewma=NULL instead of an ANSI divide-by-zero abort.
     return r.select(
         "user_id",
         "event_id",
         F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
         "value",
-        _q(term_sum * F.lit(1.0) / w_sum, 4).alias("ewma"),
+        F.when(w_sum > 0, _q(term_sum * F.lit(1.0) / w_sum, 4)).alias("ewma"),
     )
 
 

@@ -1328,7 +1328,13 @@ def cosine_pairs_blocked(
     ~``rows_per_block`` vectors no matter the corpus — a fixed B of 8
     would put n/8 vectors in each block, and the kernel's similarity
     tile grows with the SQUARE of the block size (200k vectors → 25k×25k
-    float64 = 5 GB per task). The kernel additionally walks the tile in
+    float64 = 5 GB per task). CAVEAT: that sizing ``count()`` executes
+    the upstream plan once at plan-build time and again for the real
+    job — free for a parquet scan (pruned to the id column), but a
+    DERIVED ``emb`` (joins, UDF-normalized vectors) pays its full cost
+    twice. Callers with an expensive upstream should either
+    ``localCheckpoint`` it first or pass a known row count via
+    ``n_blocks = max(8, ceil(n / rows_per_block))`` to skip the scan. The kernel additionally walks the tile in
     row chunks so its peak allocation is ``chunk × |block|`` doubles
     (~128 MB at the defaults), never the full block pair. The op is
     EXACT under any B — blocking changes only the physical plan, so the
