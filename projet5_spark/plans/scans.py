@@ -1,0 +1,300 @@
+"""Source-scan certification battery (SURVEY.md §2.5 row 1).
+
+The reference's pipeline STARTS at a file scan (migration.py:130,
+``pd.read_csv`` on whatever the job is pointed at), so every ingest
+format the engine claims needs a driver-certified round-trip, not just
+a pytest: each query here WRITES a fixture table out in the format
+under test, reads it back through the ``sources.readers`` entry point
+with an explicit schema, and aggregates — while the DuckDB oracle runs
+the same aggregate on the original parquet view. Equality certifies
+both directions of the format boundary (writer fidelity + reader
+correctness) with zero tolerance.
+
+Scale notes per format:
+- **CSV / JSONL split by line ranges** — a 1 TB input parallelizes
+  across the cluster exactly like parquet minus column pruning; both
+  readers here take explicit schemas so no inference pass runs.
+- **multiline JSON does NOT split** — one file = one task; the query
+  that exercises it uses the 5-row region table on purpose, and the
+  docstring is the warning label.
+- **partitioned parquet write → pruned read** is the R17 layout story
+  end-to-end: the scan of one partition must not touch the others
+  (plan-shape asserted in tests/test_plans.py).
+
+Scratch space: ``<repo>/spark-warehouse/scans_<sf>/…`` (gitignored),
+rebuilt per invocation — same convention as ``snapshot_scd2_history``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.readers import fixture_table
+
+    return fixture_table(spark, sf_dir, name)
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    path = os.path.join(
+        _REPO, "spark-warehouse", f"scans_{os.path.basename(sf_dir)}", leaf
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+# --------------------------------------------------------------------------
+# R1: CSV scan, driver-certified round trip
+# --------------------------------------------------------------------------
+
+_NATION_SCHEMA = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+
+
+@query(
+    "csv_scan_roundtrip_nation",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name,
+           max(n_name) AS last_name,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def csv_scan_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 CSV scan (migration.py:130) certified end-to-end: write the
+    nation fixture as headered CSV, read it back through
+    :func:`~projet5_spark.sources.readers.read_csv` with the explicit
+    schema, aggregate — the oracle aggregates the ORIGINAL parquet, so
+    any quoting/escaping/typing drift across the CSV boundary fails the
+    value hash (quoting of free text is separately pytest-certified on
+    a messy fixture in tests/test_sources.py)."""
+    from ..sources.readers import read_csv
+
+    path = _scratch(sf_dir, "nation_csv")
+    _t(spark, sf_dir, "nation").write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=_NATION_SCHEMA)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+            F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON Lines scan (the §2.5 gap named in VERDICT r7)
+# --------------------------------------------------------------------------
+
+_EVJ_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT, ts_us BIGINT"
+
+
+@query(
+    "json_scan_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_scan_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Lines scan certified end-to-end: project events onto an
+    integer-exact shape (cents grid + epoch-µs), write as JSONL, read
+    back through :func:`~projet5_spark.sources.readers.read_json` with
+    the explicit schema, aggregate per type — oracle aggregates the
+    original parquet. Integers round-trip through JSON text exactly, so
+    the comparison has zero float tolerance; JSONL splits by line
+    ranges, so the same plan parallelizes at any input size."""
+    from ..sources.readers import read_json
+
+    path = _scratch(sf_dir, "events_jsonl")
+    (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .write.json(path)
+    )
+    back = read_json(spark, path, schema=_EVJ_SCHEMA)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("ts_us").cast("long").alias("first_us"),
+            F.max("ts_us").cast("long").alias("last_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_REGION_SCHEMA = "r_regionkey BIGINT, r_name STRING"
+
+
+@query(
+    "json_multiline_scan_region",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+           CAST(length(r_name) AS BIGINT) AS name_chars
+    FROM region ORDER BY r_regionkey
+    """,
+)
+def json_multiline_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline-JSON scan: fold region into ONE JSON array document
+    (``to_json(collect_list(struct(...)))``), land it as a text file,
+    and read it back with ``multiLine=true`` — the config-file layout.
+    Deliberately run on the 5-row region table: a multiline JSON file
+    is one unsplittable task (the reader must see the whole document),
+    so this path is for small inputs by construction; bulk data goes
+    through the JSONL reader above."""
+    from ..sources.readers import read_json
+
+    path = _scratch(sf_dir, "region_json_doc")
+    doc = (
+        _t(spark, sf_dir, "region")
+        .orderBy("r_regionkey")
+        .agg(
+            F.to_json(
+                F.collect_list(F.struct("r_regionkey", "r_name"))
+            ).alias("value")
+        )
+    )
+    doc.coalesce(1).write.text(path)
+    back = read_json(spark, path, schema=_REGION_SCHEMA, multiline=True)
+    return back.select(
+        "r_regionkey",
+        "r_name",
+        F.length("r_name").cast("long").alias("name_chars"),
+    ).orderBy("r_regionkey")
+
+
+# --------------------------------------------------------------------------
+# to_json -> schema_of_json -> from_json loop (serialization surface)
+# --------------------------------------------------------------------------
+
+_O2J_SAMPLE = '{"k": 1, "status": "F", "cents": 1, "d": "1992-01-01"}'
+
+
+@query(
+    "to_json_from_json_roundtrip_orders",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(o_orderdate) AS VARCHAR) AS first_day,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_day
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def to_json_from_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan JSON serialization loop: pack each order into a JSON
+    string with ``to_json(struct(...))``, derive the parse schema from
+    a sample literal with ``schema_of_json`` (how a pipeline binds to a
+    payload it does not control), parse back with ``from_json``, and
+    aggregate the unpacked fields — the oracle never leaves the parquet
+    table, so every packed/parsed value must survive the loop exactly.
+    All three functions are Catalyst expressions: the loop stays inside
+    whole-stage codegen, no shuffle is added, and the integer-cents /
+    ISO-date shape keeps the comparison tolerance-free."""
+    o = _t(spark, sf_dir, "orders")
+    packed = o.select(
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                F.col("o_orderdate").cast("string").alias("d"),
+            )
+        ).alias("payload")
+    )
+    parsed = packed.select(
+        F.from_json("payload", F.schema_of_json(F.lit(_O2J_SAMPLE))).alias("r")
+    )
+    return (
+        parsed.select("r.status", "r.cents", "r.d")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("d").alias("first_day"),
+            F.max("d").alias("last_day"),
+        )
+        .orderBy("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# R17 end-to-end: partitioned write -> partition-pruned read
+# --------------------------------------------------------------------------
+
+
+@query(
+    "partitioned_write_pruned_scan_orders",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY month ORDER BY month
+    """,
+)
+def partitioned_write_pruned_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R17's layout analog certified end-to-end (migration.py:80-103:
+    the reference creates a secondary index; Spark's physical analog is
+    directory partitioning): write orders partitioned by
+    ``o_orderstatus`` through the sink layer, then read back with a
+    status predicate and aggregate by month. The predicate resolves at
+    the DIRECTORY level — the scan lists only the ``o_orderstatus=F``
+    partition and never opens the others (PartitionFilters in the scan
+    node; asserted in tests/test_plans.py) — which is the mechanism
+    that lets a 100 TB table answer a one-partition query at
+    one-partition cost. Oracle: the same filter+aggregate on the
+    original table, so the write→prune→read loop must be lossless."""
+    from ..sources.writers import write_parquet
+
+    path = _scratch(sf_dir, "orders_by_status")
+    write_parquet(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        ),
+        path,
+        partition_by=["o_orderstatus"],
+    )
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("month")
+    )

@@ -67,6 +67,43 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON file scan (SURVEY.md §2.5 row 1, the third ingest format
+    beside parquet/CSV — reference analog migration.py:130, the scan
+    slot the pipeline points at whatever input it is given).
+
+    Defaults target JSON Lines (one object per line), the only JSON
+    layout that SPLITS at scale: Spark assigns line ranges of a JSONL
+    file to tasks the same way it does CSV, so a 1 TB JSONL input
+    parallelizes across the cluster. ``multiline=True`` parses whole
+    files as single JSON documents/arrays instead — each FILE becomes
+    one unsplittable task, so it is for small config-ish inputs only.
+
+    Explicit ``schema`` preferred for the same reasons as
+    :func:`read_csv` (inference costs an extra full pass and drifts);
+    it also pins the semantics of malformed rows: with
+    ``mode="PERMISSIVE"`` (default) a bad line yields a null-fielded
+    row, optionally captured whole in ``corrupt_col`` for a quarantine
+    audit; ``mode="DROPMALFORMED"`` silently drops; ``mode="FAILFAST"``
+    aborts the scan.
+    """
+    reader = spark.read.option("multiLine", str(multiline).lower()).option(
+        "mode", mode
+    )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture reader: the file stores nanosecond timestamps,
     which Spark's parquet reader rejects by default — read them as

@@ -33,10 +33,13 @@ from projet5_spark.plans import ORACLE, QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Remaining rotation budget: after the round-7 slice, only the 23-name
-#: round-8 tail is uncertified-and-unqueued. Must only ever decrease
-#: until it reaches 0.
-MAX_UNCERTIFIED_UNQUEUED = 23
+#: Remaining rotation budget: as of round 8 every uncertified
+#: oracle-paired entry fits inside the 50-slot driver sample (23
+#: backlog + 7 new source-scan/battery queries = 30 queued), so the
+#: bound is now 0 and stays there: new batteries may only be added
+#: while the whole never-certified set still fits in one round's
+#: sample.
+MAX_UNCERTIFIED_UNQUEUED = 0
 
 
 def _driver_certified() -> set[str]:
