@@ -159,28 +159,62 @@ def _split_shingles_by_df(
     shingle rows: every downstream branch (sizes, both pair-join
     sides, DF counts, stop-set arrays) re-reads the materialized rows
     instead of re-running the explode+window pipeline ~5×.
+
+    Rows carry ``(doc_id, h1, h2)`` — two independently-seeded
+    ``xxhash64`` of the shingle — and NOT the shingle string, which is
+    hashed away at the scan boundary: the dedup distinct, the
+    rare-pair self-join, the DF count, the anti/semi splits, and the
+    stop-set intersections all shuffle and sort 16-byte longs instead
+    of ~30–60-byte strings (the string-keyed sorts were the ngram
+    family's last x50 spiller, 8–9 GB; SCALING.md).
+    Shingle identity ≡ hash-pair identity up to a 128-bit birthday
+    bound (~n²/2¹²⁹: ~10⁻¹⁵ even at 10¹² distinct shingles — below
+    hardware error rates); tests/test_operators.py additionally
+    asserts zero collisions on the fixture corpus. Seeds −1/−2 are
+    disjoint from the minhash band seeds (0..7).
     """
-    sh = shingle_rows(spark, docs).distinct()
+    # hash FIRST, then dedup on the hashes: the (doc_id, shingle)
+    # distinct was itself a string-keyed sort (and the checkpoint held
+    # the strings); after the rekey nothing downstream reads `s`, so
+    # the string dies at the scan boundary and every sort/shuffle/
+    # checkpoint in the family carries only longs
+    sh = (
+        shingle_rows(spark, docs)
+        .select(
+            "doc_id",
+            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+        )
+        .distinct()
+    )
     if materialize:
         sh = sh.localCheckpoint(eager=True)
     ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dfc = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     stop = (
         dfc.join(F.broadcast(ntot))
         .where(
             F.col("df")
             > F.greatest(F.lit(min_df_cap), F.col("n_docs") * F.lit(max_df_frac))
         )
-        .select("s")
+        .select("h1", "h2")
     )
-    rare = sh.join(stop, "s", "left_anti")
+    rare = sh.join(stop, ["h1", "h2"], "left_anti")
     return sh, rare, stop
 
 
 def _pairs_from_rare(rare: DataFrame) -> DataFrame:
-    a, b = rare.alias("a"), rare.alias("b")
+    # project the string away BEFORE the self-join: the quadratic join
+    # shuffles/sorts only (doc_id, h1, h2) longs
+    hr = rare.select("doc_id", "h1", "h2")
+    a, b = hr.alias("a"), hr.alias("b")
     return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common_rare"))
     )
@@ -194,8 +228,8 @@ def _stop_chain_pairs(sh: DataFrame, stop: DataFrame) -> DataFrame:
     whose shared shingles all crossed the DF threshold still collapses
     (its chain pairs score J≈1 and survive verification), while output
     stays linear in the stop-row count."""
-    srows = sh.join(stop, "s")
-    w = Window.partitionBy("s").orderBy("doc_id")
+    srows = sh.select("doc_id", "h1", "h2").join(stop, ["h1", "h2"])
+    w = Window.partitionBy("h1", "h2").orderBy("doc_id")
     nxt = F.lead("doc_id").over(w)
     return (
         srows.select(F.col("doc_id").alias("doc_a"), nxt.alias("doc_b"))
@@ -246,7 +280,7 @@ def _heavy_stop_pairs(
     nothing here; a corpus that is wall-to-wall boilerplate pays the
     cost its exact answer requires — the bounded scale path remains
     minhash_lsh_near_dup."""
-    srows = sh.join(stop, "s")
+    srows = sh.select("doc_id", "h1", "h2").join(stop, ["h1", "h2"])
     heavy = (
         srows.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_stop"))
@@ -257,7 +291,12 @@ def _heavy_stop_pairs(
     hrows = srows.join(heavy, "doc_id", "left_semi")
     a, b = hrows.alias("a"), hrows.alias("b")
     return (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -303,11 +342,12 @@ def ngram_near_dup_pairs(
         .agg(F.max("common_rare").alias("common_rare"))
     )
     stop_sets = (
-        sh.join(stop, "s", "left_semi")
+        sh.select("doc_id", "h1", "h2")
+        .join(stop, ["h1", "h2"], "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("ds"))
+        .agg(F.collect_set(F.struct("h1", "h2")).alias("ds"))
     )
-    empty = F.array().cast("array<string>")
+    empty = F.array().cast("array<struct<h1:bigint,h2:bigint>>")
     pa = stop_sets.select(F.col("doc_id").alias("doc_a"), F.col("ds").alias("ds_a"))
     pb = stop_sets.select(F.col("doc_id").alias("doc_b"), F.col("ds").alias("ds_b"))
     shared_stop = F.size(
@@ -434,9 +474,21 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # exact-verify joins keyed on a 128-bit shingle hash instead of the
+    # shingle string — same rekey as _split_shingles_by_df (the
+    # string-keyed verify sort was the family's x50 spiller); seeds
+    # -1/-2 are disjoint from the band seeds 0..7
+    shh = sh.select(
+        "doc_id",
+        F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+        F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+    )
     inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        cand.join(shh.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
+        .join(
+            shh.select(F.col("doc_id").alias("doc_b"), "h1", "h2"),
+            ["doc_b", "h1", "h2"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

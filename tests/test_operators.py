@@ -824,3 +824,25 @@ def test_asof_join_rejects_colliding_value_columns(spark):
     right = spark.createDataFrame([(1, "2024-01-01 09:00:00", 5.0)], "k long, ts string, v double")
     with pytest.raises(ValueError, match="collide with left columns"):
         asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts", right_vals=["v"])
+
+
+def test_shingle_hash_keys_collision_free_on_fixture(spark, sf_dir):
+    """The ngram family keys every shuffle on (xxhash64(-1,s),
+    xxhash64(-2,s)) instead of the shingle string (SCALING.md: the
+    string-keyed verify sort was the family's last spiller). Identity
+    is exact only while no two distinct shingles share the 128-bit
+    pair — probability ~n²/2¹²⁹, but assert it on the real fixture so
+    a seed regression or a hash-function change fails loudly."""
+    from pyspark.sql import functions as F
+
+    from projet5_spark.plans.llm import shingle_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_rows(spark, docs).select(
+        "s",
+        F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+        F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+    )
+    n_s = sh.select("s").distinct().count()
+    n_h = sh.select("h1", "h2").distinct().count()
+    assert n_s == n_h

@@ -2659,3 +2659,15 @@ def test_flagship_fused_plan_shape(spark):
     ) + len(re.findall(r"ObjectHashAggregate", plan))
     assert aggs <= 2, f"unexpected aggregate count {aggs}"
     assert len(re.findall(r"BroadcastExchange", plan)) == 1
+
+
+def test_partitioned_write_scan_prunes_partitions(spark):
+    """partitioned_write_pruned_scan_orders claims directory-level
+    pruning: the status predicate must appear as a PartitionFilter on
+    the scan of the partitioned copy (resolved from the file listing,
+    reading ONLY the o_orderstatus=F directory), not as a row-level
+    PushedFilter over all partitions."""
+    plan = plan_of(spark, "partitioned_write_pruned_scan_orders")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "o_orderstatus" in pf[0], pf[0]

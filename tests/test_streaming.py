@@ -472,3 +472,70 @@ def test_transform_with_state_processor_logic_unit(spark):
     assert out["n_events"][0] == len(vals)
     assert out["sum_value"][0] == sum(cents) / 100.0
     assert out["max_value"][0] == max(cents) / 100.0
+
+
+def test_transform_with_state_batch_twin_fixture_replay(spark):
+    """Full batch-twin equivalence for the transformWithState operator
+    WITHOUT the state server: replay the real events fixture through
+    the StatefulProcessor — one processor instance per key (the
+    engine's per-key state isolation), rows split into three simulated
+    micro-batches — and assert the final emitted profile per key equals
+    ``batch_event_type_stats``. Together with the wire-protocol test
+    above (skipped where protobuf is absent), this pins everything but
+    the protobuf transport itself."""
+    import pandas as pd
+
+    from projet5_spark.sources.readers import read_events
+    from projet5_spark.streaming.stateful import (
+        EventTypeStatsProcessor,
+        batch_event_type_stats,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    pdf = read_events(spark, SF).select("event_type", "value").toPandas()
+    got = {}
+    for key, grp in pdf.groupby("event_type"):
+        proc = EventTypeStatsProcessor()
+        proc.init(FakeHandle())
+        last = None
+        n = len(grp)
+        for lo in range(0, n, max(1, -(-n // 3))):  # 3 micro-batches
+            chunk = grp.iloc[lo : lo + max(1, -(-n // 3))]
+            outs = list(
+                proc.handleInputRows((key,), iter([chunk[["value"]]]), None)
+            )
+            last = outs[-1]
+        got[key] = (
+            int(last["n_events"][0]),
+            float(last["sum_value"][0]),
+            float(last["max_value"][0]),
+        )
+
+    want = {
+        r["event_type"]: (
+            int(r["n_events"]),
+            float(r["sum_value"]),
+            float(r["max_value"]),
+        )
+        for r in batch_event_type_stats(read_events(spark, SF)).collect()
+    }
+    assert got == want
