@@ -109,19 +109,37 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # four consumers (df band, sizes, both pair-join sides): materialize
     # once instead of re-running the shingle pipeline, same rationale
-    # as _split_shingles_by_df(materialize=True)
-    sh = shingle_rows(spark, docs).distinct().localCheckpoint(eager=True)
+    # as _split_shingles_by_df(materialize=True). Rows carry the
+    # 128-bit shingle hash (same rekey + seeds as
+    # _split_shingles_by_df): the dedup distinct, DF band, and the
+    # quadratic pair join all sort/shuffle longs, and the shingle
+    # string never leaves the scan.
+    sh = (
+        shingle_rows(spark, docs)
+        .select(
+            "doc_id",
+            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     keep = (
-        sh.groupBy("s")
+        sh.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df").between(2, _CONT_DF_CAP))
-        .select("s")
+        .select("h1", "h2")
     )
-    r = sh.join(keep, "s")
+    r = sh.join(keep, ["h1", "h2"])
     sizes = r.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a, b = r.alias("a"), r.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
     )
