@@ -298,3 +298,73 @@ def partitioned_write_pruned_scan_orders(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# CSV dead-letter quarantine (PERMISSIVE + corrupt-record column)
+# --------------------------------------------------------------------------
+
+_CSVQ_SCHEMA = (
+    "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt STRING"
+)
+
+
+@query(
+    "csv_scan_corrupt_quarantine",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN n_nationkey % 3 = 0 THEN 1 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(count(CASE WHEN n_nationkey % 3 <> 0 THEN 1 END) AS BIGINT)
+             AS n_good,
+           CAST(sum(CASE WHEN n_nationkey % 3 <> 0 THEN n_nationkey END)
+                AS BIGINT) AS good_key_sum,
+           max(CASE WHEN n_nationkey % 3 <> 0 THEN n_name END) AS last_good_name
+    FROM nation
+    """,
+)
+def csv_scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter CSV ingest: synthesize a CSV where every third
+    nation row carries an unparseable key (``x<k>``), read it back
+    through :func:`~projet5_spark.sources.readers.read_csv` in
+    PERMISSIVE mode with a corrupt-record column, and report the
+    quarantine split — the load-don't-abort posture a 100 TB ingest
+    needs when one malformed line of a trillion must not kill hour ten
+    of the run (the FAILFAST/ANSI counterpart is
+    ``try_arithmetic_null_on_error``). The oracle reconstructs the
+    same split arithmetically from the clean table, so the reader's
+    malformed-row semantics (null fields + raw line quarantined) are
+    value-certified."""
+    from ..sources.readers import read_csv
+
+    nat = _t(spark, sf_dir, "nation")
+    key_txt = F.when(
+        F.col("n_nationkey") % 3 == 0,
+        F.concat(F.lit("x"), F.col("n_nationkey").cast("string")),
+    ).otherwise(F.col("n_nationkey").cast("string"))
+    path = _scratch(sf_dir, "nation_csv_corrupt")
+    nat.select(
+        F.concat_ws(
+            ",", key_txt, F.col("n_name"), F.col("n_regionkey").cast("string")
+        ).alias("value")
+    ).write.text(path)
+    back = read_csv(
+        spark,
+        path,
+        schema=_CSVQ_SCHEMA,
+        header=False,
+        mode="PERMISSIVE",
+        corrupt_col="_corrupt",
+    )
+    # PERMISSIVE nulls only the malformed FIELD; sibling fields of a
+    # quarantined line still parse (n_name survives) — so "good" must
+    # be defined by the quarantine flag, not by any one field
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("_corrupt").cast("long").alias("n_quarantined"),
+        F.count("n_nationkey").cast("long").alias("n_good"),
+        F.sum("n_nationkey").cast("long").alias("good_key_sum"),
+        F.max(F.when(F.col("_corrupt").isNull(), F.col("n_name"))).alias(
+            "last_good_name"
+        ),
+    )

@@ -53,13 +53,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_csv(
     spark: SparkSession,
     path: str,
-    schema: StructType | None = None,
+    schema: StructType | str | None = None,
     header: bool = True,
     infer: bool = False,
+    mode: str | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """R1: CSV scan. Explicit ``schema`` preferred; ``infer=True`` only for
-    reference-parity experiments (extra pass over the data)."""
+    reference-parity experiments (extra pass over the data).
+
+    ``mode``/``corrupt_col`` mirror :func:`read_json`: with
+    ``mode="PERMISSIVE"`` a malformed line (type mismatch, wrong field
+    count) yields a null-fielded row, and if ``corrupt_col`` is named —
+    it must also appear in ``schema`` as a STRING field — the raw line
+    is quarantined there for a dead-letter audit instead of silently
+    poisoning the load. Spark requires such a query to reference at
+    least one ordinary column besides the corrupt one."""
     reader = spark.read.option("header", str(header).lower())
+    if mode is not None:
+        reader = reader.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:
