@@ -140,6 +140,18 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_DF_FRAC = 0.10
 #: absolute DF floor so tiny corpora never drop their whole vocabulary
 _NGRAM_MIN_DF_CAP = 5
+#: absolute DF CEILING: a shingle shared by more docs than this is
+#: stop regardless of corpus size. The relative cap alone lets the
+#: quadratic pair term grow with the corpus — at n docs the threshold
+#: is 0.1·n, so a shingle can legally emit C(0.1·n, 2) pairs, and the
+#: x50 docs stress measured exactly that failure (27 GB of pair-join
+#: spill once 0.1·n outgrew every real cluster). The ceiling bounds
+#: the self-join at C(ceiling,2) pairs per shingle FOREVER; exactness
+#: is untouched because the rare/stop partition only routes WORK:
+#: stop-only pairs stay covered by the _heavy_stop_pairs lemma (which
+#: is threshold-agnostic) and every emitted pair still scores its
+#: exact Jaccard with the stop contribution reconstructed.
+_NGRAM_ABS_DF_CEILING = 2000
 
 
 def _split_shingles_by_df(
@@ -195,7 +207,13 @@ def _split_shingles_by_df(
         dfc.join(F.broadcast(ntot))
         .where(
             F.col("df")
-            > F.greatest(F.lit(min_df_cap), F.col("n_docs") * F.lit(max_df_frac))
+            > F.least(
+                F.lit(_NGRAM_ABS_DF_CEILING).cast("double"),
+                F.greatest(
+                    F.lit(min_df_cap).cast("double"),
+                    F.col("n_docs") * F.lit(max_df_frac),
+                ),
+            )
         )
         .select("h1", "h2")
     )
@@ -348,20 +366,33 @@ def ngram_near_dup_pairs(
         .agg(F.collect_set(F.struct("h1", "h2")).alias("ds"))
     )
     empty = F.array().cast("array<struct<h1:bigint,h2:bigint>>")
-    pa = stop_sets.select(F.col("doc_id").alias("doc_a"), F.col("ds").alias("ds_a"))
-    pb = stop_sets.select(F.col("doc_id").alias("doc_b"), F.col("ds").alias("ds_b"))
+    # ONE doc-level side-table (size + stop set) instead of four
+    # separate attach joins: the pair relation is pair-SCALE
+    # (candidate mass ≫ doc count — 63M rows in the x50 stress), so
+    # halving the number of joins it flows through halves its
+    # exchanges. No join-strategy hint: AQE broadcasts the doc-scale
+    # side when it is small and picks the shuffle strategy from real
+    # sizes otherwise (a pinned shuffle_hash measured +0.5 s at
+    # fixture scale by blocking exactly that broadcast upgrade).
+    doc_info = sizes.join(stop_sets, "doc_id", "left")
+    ia = doc_info.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n1"),
+        F.col("ds").alias("ds_a"),
+    )
+    ib = doc_info.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n2"),
+        F.col("ds").alias("ds_b"),
+    )
     shared_stop = F.size(
         F.array_intersect(F.coalesce("ds_a", empty), F.coalesce("ds_b", empty))
     )
-    s1 = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n1")
-    s2 = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n2")
     common = F.col("common_rare") + shared_stop
     jac = common / (F.col("n1") + F.col("n2") - common)
     return (
-        pairs.join(pa, "doc_a", "left")
-        .join(pb, "doc_b", "left")
-        .join(s1, "doc_a")
-        .join(s2, "doc_b")
+        pairs.join(ia, "doc_a")
+        .join(ib, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
