@@ -181,3 +181,35 @@ def gopher_quality_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset EXCEPT ALL (bag difference)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_except_all_multiplicity",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics: each value keeps
+    ``max(0, count_left − count_right)`` occurrences) — the
+    per-occurrence counterpart of ``set_except_custkeys``'s distinct
+    subtract, and the semantics a ledger reconciliation actually wants
+    (a customer with 5 'F' orders and 2 'O' orders survives 3 times,
+    not once or zero). Spark plans ``exceptAll`` as a
+    count-and-replicate aggregate — one shuffle on the value, no
+    row-pairing join — which is exactly the 100 TB-safe shape."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
