@@ -113,3 +113,75 @@ def test_write_mongodb_raises_actionable_error_without_connector(spark):
     df = spark.range(3)
     with pytest.raises(RuntimeError, match="mongo-spark-connector"):
         write_mongodb(df, "mongodb://localhost", "db", "c")
+
+
+def test_read_json_mode_matrix(spark, tmp_path):
+    """The three malformed-row policies of read_json on one planted-bad
+    JSONL file: PERMISSIVE quarantines the raw line and nulls the
+    fields, DROPMALFORMED silently drops the row, FAILFAST aborts the
+    scan. (PERMISSIVE is also driver-certified end-to-end by
+    csv_scan_corrupt_quarantine / json_scan_roundtrip_events.)"""
+    import pytest
+
+    from projet5_spark.sources.readers import read_json
+
+    path = str(tmp_path / "bad_jsonl")
+    lines = ['{"id": 1, "v": "a"}', "{not json at all", '{"id": 3, "v": "c"}']
+    spark.createDataFrame([(ln,) for ln in lines], "value string").coalesce(
+        1
+    ).write.text(path)
+
+    perm = read_json(
+        spark,
+        path,
+        schema="id BIGINT, v STRING, _corrupt STRING",
+        corrupt_col="_corrupt",
+    )
+    rows = {r["id"]: r for r in perm.collect()}
+    assert sorted(k for k in rows if k is not None) == [1, 3]
+    bad = [r for r in perm.collect() if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None and "not json" in bad[0]["_corrupt"]
+
+    dropped = read_json(spark, path, schema="id BIGINT, v STRING", mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    failfast = read_json(spark, path, schema="id BIGINT, v STRING", mode="FAILFAST")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.collect()
+
+
+def test_read_csv_mode_matrix(spark, tmp_path):
+    """Same matrix for read_csv: a type-malformed line is quarantined
+    (PERMISSIVE + corrupt col), dropped (DROPMALFORMED), or aborts
+    (FAILFAST)."""
+    import pytest
+
+    from projet5_spark.sources.readers import read_csv
+
+    path = str(tmp_path / "bad_csv")
+    lines = ["1,a", "x,b", "3,c"]
+    spark.createDataFrame([(ln,) for ln in lines], "value string").coalesce(
+        1
+    ).write.text(path)
+
+    perm = read_csv(
+        spark,
+        path,
+        schema="id BIGINT, v STRING, _corrupt STRING",
+        header=False,
+        mode="PERMISSIVE",
+        corrupt_col="_corrupt",
+    )
+    bad = [r for r in perm.collect() if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None and bad[0]["_corrupt"] == "x,b"
+
+    dropped = read_csv(
+        spark, path, schema="id BIGINT, v STRING", header=False, mode="DROPMALFORMED"
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    failfast = read_csv(
+        spark, path, schema="id BIGINT, v STRING", header=False, mode="FAILFAST"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.collect()
