@@ -55,20 +55,19 @@ def _valueerror_on_corruption(fn):
     import functools
 
     @functools.wraps(fn)
-    def wrapped(data: bytes):
+    def wrapped(*args, **kwargs):
         try:
-            return fn(data)
+            return fn(*args, **kwargs)
         except (struct.error, zlib.error, IndexError) as e:
             raise ValueError(f"corrupt payload: {e}") from e
 
     return wrapped
 
 
-@_valueerror_on_corruption
-def decode_png(data: bytes) -> dict:
-    """Parse a PNG: walk chunks, verify every CRC, inflate IDAT, strip
-    filter bytes, and compute per-channel pixel means from the actual
-    scanline payload. Raises ``ValueError`` on any corruption."""
+def _png_raw(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a PNG to ``(width, height, channels, raw_scanlines)``:
+    chunk walk, CRC verification per chunk, zlib inflate, length
+    check. The raw payload keeps its per-scanline filter byte."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, width = 8, None
@@ -96,18 +95,28 @@ def decode_png(data: bytes) -> dict:
     if width < 1 or height < 1:
         # a CRC-valid IHDR can still declare a degenerate geometry; the
         # spec requires both dimensions nonzero, and letting it through
-        # would divide by zero below — outside the ValueError contract
+        # would divide by zero downstream — outside the ValueError contract
         raise ValueError("PNG declares zero width or height")
     raw = zlib.decompress(bytes(idat))
     stride = 1 + width * channels
     if len(raw) != stride * height:
         raise ValueError("PNG scanline payload has wrong length")
+    for y in range(height):
+        if raw[y * stride] != 0:
+            raise ValueError("decoder handles filter type 0 only")
+    return width, height, channels, raw
+
+
+@_valueerror_on_corruption
+def decode_png(data: bytes) -> dict:
+    """Parse a PNG: walk chunks, verify every CRC, inflate IDAT, strip
+    filter bytes, and compute per-channel pixel means from the actual
+    scanline payload. Raises ``ValueError`` on any corruption."""
+    width, height, channels, raw = _png_raw(data)
+    stride = 1 + width * channels
     sums = [0, 0, 0]
     for y in range(height):
-        line = raw[y * stride : (y + 1) * stride]
-        if line[0] != 0:
-            raise ValueError("decoder handles filter type 0 only")
-        px = line[1:]
+        px = raw[y * stride + 1 : (y + 1) * stride]
         for c in range(channels):
             sums[c] += sum(px[c::channels])
     n = width * height
@@ -120,6 +129,36 @@ def decode_png(data: bytes) -> dict:
         "n_frames": None,
         "features": [round(s / n, 4) for s in sums],
     }
+
+
+@_valueerror_on_corruption
+def resize_png(data: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize to ``out_w × out_h``, emitting a NEW
+    spec-valid PNG (SURVEY.md §2.7 multimodal resize). Output pixel
+    (x, y) samples source pixel (⌊x·W/out_w⌋, ⌊y·H/out_h⌋) — the
+    floor-mapping convention every NN resampler uses, and a pure
+    integer formula an external oracle can replicate exactly. Raises
+    ``ValueError`` on any input corruption (same contract as the
+    decoders)."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize target must be at least 1x1")
+    width, height, channels, raw = _png_raw(data)
+    stride = 1 + width * channels
+    out = bytearray()
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        line = raw[sy * stride + 1 : (sy + 1) * stride]
+        out.append(0)  # filter type 0
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            out += line[sx * channels : (sx + 1) * channels]
+    ihdr = struct.pack(">IIBBBBB", out_w, out_h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def synth_wav(sample_rate: int, n_samples: int, seed: int, channels: int = 1) -> bytes:

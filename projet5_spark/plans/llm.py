@@ -1712,3 +1712,80 @@ def mixture_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
         tok.select("doc_id", "lang", "n_tokens", start_off)
         .where(F.col("start_off") < budget)
     )
+
+
+@query(
+    "multimodal_resize_thumbnails",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 16 AS w,
+             8 + (doc_id // 2) % 12 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((d.doc_id * 31 + ((x.i * d.w) // 4) * 7
+                             + ((y.i * d.h) // 4) * 13) % 256) AS base
+      FROM d, range(4) x(i), range(4) y(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(base) AS DOUBLE) / 16 AS thumb_mean_r,
+           CAST(sum((base * 3 + 1) % 256) AS DOUBLE) / 16 AS thumb_mean_g,
+           CAST(sum((base * 5 + 2) % 256) AS DOUBLE) / 16 AS thumb_mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE (SURVEY.md §2.7): decode each PNG payload,
+    nearest-neighbor-resample it to a 4×4 thumbnail (emitting a new
+    spec-valid PNG), re-decode the thumbnail, and report its
+    per-channel means — the thumbnail/preview stage of an image
+    pipeline, run as Arrow-batched ``mapInPandas`` exactly like the
+    decode query (swap PIL in for more formats and only the Python
+    kernel changes, never the plan).
+
+    Oracle-paired the honest way: the synthetic pixel function and the
+    resampler's floor mapping ⌊x·W/out⌋ are both closed-form integer
+    arithmetic, so DuckDB reconstructs every sampled pixel of every
+    thumbnail and the means compare EXACTLY (all sums are multiples of
+    1/16 — binary-exact doubles in both engines). The payload still
+    goes through the full encode → CRC-verified decode → resample →
+    re-encode → re-decode byte path on the Spark side, so a one-pixel
+    defect anywhere in that chain fails the value hash."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id")).where(
+        F.col("doc_id") % 2 == 0
+    )
+
+    def thumbs(it):
+        # absolute import: the closure executes on executor workers
+        from projet5_spark.functions.multimodal import (
+            decode_png,
+            resize_png,
+            synth_payload,
+        )
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "thumb_mean_r": [], "thumb_mean_g": [], "thumb_mean_b": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                png = synth_payload(d)
+                orig = decode_png(png)
+                th = decode_png(resize_png(png, 4, 4))
+                out["doc_id"].append(d)
+                out["width"].append(orig["width"])
+                out["height"].append(orig["height"])
+                out["thumb_mean_r"].append(th["features"][0])
+                out["thumb_mean_g"].append(th["features"][1])
+                out["thumb_mean_b"].append(th["features"][2])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        thumbs,
+        schema=(
+            "doc_id long, width long, height long, "
+            "thumb_mean_r double, thumb_mean_g double, thumb_mean_b double"
+        ),
+    )
