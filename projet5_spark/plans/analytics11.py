@@ -239,21 +239,31 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,
     # vs the interpreted explode(transform(...)) HOF whose generator
     # re-evaluates the child per output row — O(shingles²) per document.
-    shingles = shingle_rows(spark, docs)
-    tf = shingles.groupBy("doc_id", "s").agg(
+    # Term identity is the 128-bit xxhash64 pair (same rekey + seeds as
+    # llm._split_shingles_by_df, collision-asserted on the fixture in
+    # CI): the tf fold, df count, weight join, and the quadratic pair
+    # self-join all shuffle/sort 16-byte longs and the shingle string
+    # dies at the scan boundary.
+    shingles = shingle_rows(spark, docs).select(
+        "doc_id",
+        F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+        F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+    )
+    tf = shingles.groupBy("doc_id", "h1", "h2").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dfreq = (
-        tf.groupBy("s")
+        tf.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .where(F.col("df").between(2, _COS_DF_CAP))
     )
     w = (
-        tf.join(dfreq, "s")
+        tf.join(dfreq, ["h1", "h2"])
         .join(F.broadcast(tot))
         .select(
             "doc_id",
-            "s",
+            "h1",
+            "h2",
             (
                 F.col("tf").cast("double")
                 * (ln_det_int("n_docs") - ln_det_int("df"))
@@ -273,7 +283,8 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
