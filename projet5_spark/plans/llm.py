@@ -359,13 +359,21 @@ def ngram_near_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.max("common_rare").alias("common_rare"))
     )
+    # stop-set elements are the hash pair PACKED into one string
+    # ("h1:h2", injective for decimal longs): array_intersect only has
+    # its fast hash-lookup path for atomic element types — over struct
+    # elements it falls back to an O(n·m) interpreted scan (measured
+    # 13× on the ppjoin verify before this was caught), and heavy docs
+    # in a boilerplate-dominated corpus can carry long stop arrays
     stop_sets = (
         sh.select("doc_id", "h1", "h2")
         .join(stop, ["h1", "h2"], "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_set(F.struct("h1", "h2")).alias("ds"))
+        .agg(
+            F.collect_set(F.concat_ws(":", F.col("h1"), F.col("h2"))).alias("ds")
+        )
     )
-    empty = F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+    empty = F.array().cast("array<string>")
     # ONE doc-level side-table (size + stop set) instead of four
     # separate attach joins: the pair relation is pair-SCALE
     # (candidate mass ≫ doc count — 63M rows in the x50 stress), so
