@@ -236,6 +236,17 @@ HEADLINE = [
     # plan (3 unrolled peels => ~10 serial tiny-stage jobs) — it is
     # correctness-gated against the unrolled-CTE oracle, but measures
     # scheduler latency, not data throughput
+    # --- round 8 additions ---
+    "csv_scan_roundtrip_nation",
+    "json_scan_roundtrip_events",
+    "json_multiline_scan_region",
+    "to_json_from_json_roundtrip_orders",
+    "partitioned_write_pruned_scan_orders",
+    "csv_scan_corrupt_quarantine",
+    "try_arithmetic_null_on_error",
+    "gopher_quality_rules_docs",
+    "set_except_all_multiplicity",
+    "multimodal_resize_thumbnails",
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end

@@ -68,7 +68,14 @@ def try_arithmetic_null_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overflow probe. The oracle mirrors each with CASE-guarded
     exact arithmetic — DuckDB's lazy CASE keeps its own BIGINT
     addition from overflowing — so the null-on-error contract is
-    value-certified, not just run-certified."""
+    value-certified, not just run-certified.
+
+    Scale note: the try_* expressions knock this stage OUT of
+    whole-stage codegen (no WholeStageCodegen node in the plan —
+    verified; the projection runs interpreted at ~0.5 µs/row). Fine
+    for a quarantine audit; for a 100 TB hot path prefer pre-filtering
+    with a cheap codegen-able predicate (rlike / CASE) and reserving
+    try_* for the residue."""
     o = _t(spark, sf_dir, "orders")
     digit = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
     probed = o.select(
