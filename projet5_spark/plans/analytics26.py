@@ -76,7 +76,13 @@ def try_arithmetic_null_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a quarantine audit; for a 100 TB hot path prefer pre-filtering
     with a cheap codegen-able predicate (rlike / CASE) and reserving
     try_* for the residue."""
-    o = _t(spark, sf_dir, "orders")
+    # spread: the try_* projection runs INTERPRETED (see scale note),
+    # so on the single-split fixture scan it is one core doing
+    # ~0.5 µs/row × 1.5M rows — the llm._spread widen-only-when-heavy
+    # rule applies (a real multi-split input never needs this)
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     digit = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
     probed = o.select(
         F.expr("try_cast(o_orderpriority AS BIGINT)").alias("prio_cast"),
