@@ -185,3 +185,40 @@ def test_read_csv_mode_matrix(spark, tmp_path):
     )
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         failfast.collect()
+
+
+def test_line_format_scans_split_across_tasks(spark, tmp_path):
+    """The scale claim behind the JSONL/CSV readers is that they SPLIT
+    by line ranges (a 1 TB input parallelizes like parquet). Prove it
+    at fixture size by shrinking maxPartitionBytes: the same file must
+    scan as multiple input partitions AND still produce exactly the
+    original rows (no line torn at a split boundary)."""
+    from pyspark.sql import functions as F
+
+    from projet5_spark.sources.readers import read_csv, read_json
+
+    n = 20_000
+    src = spark.range(n).select(
+        F.col("id"), F.concat(F.lit("name_"), F.col("id")).alias("v")
+    )
+    jpath, cpath = str(tmp_path / "big_jsonl"), str(tmp_path / "big_csv")
+    src.coalesce(1).write.json(jpath)
+    src.coalesce(1).write.option("header", "true").csv(cpath)
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(64 * 1024))
+    try:
+        j = read_json(spark, jpath, schema="id BIGINT, v STRING")
+        c = read_csv(spark, cpath, schema="id BIGINT, v STRING")
+        assert j.rdd.getNumPartitions() > 1, "JSONL scan did not split"
+        assert c.rdd.getNumPartitions() > 1, "CSV scan did not split"
+        for df in (j, c):
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("id").alias("s"),
+                F.count_distinct("v").alias("d"),
+            ).first()
+            assert (agg["n"], agg["s"], agg["d"]) == (n, n * (n - 1) // 2, n)
+    finally:
+        spark.conf.set(key, prev)
