@@ -846,3 +846,44 @@ def test_shingle_hash_keys_collision_free_on_fixture(spark, sf_dir):
     n_s = sh.select("s").distinct().count()
     n_h = sh.select("h1", "h2").distinct().count()
     assert n_s == n_h
+
+
+def test_resize_png_nn_semantics_and_contract():
+    """resize_png: floor-mapping nearest neighbor (every output pixel
+    equals the exact source pixel the formula names), identity at the
+    same size, works UP as well as down, emits a decodable spec-valid
+    PNG, and keeps the decoders' ValueError contract on corrupt or
+    degenerate input."""
+    import pytest
+
+    from projet5_spark.functions.multimodal import (
+        _png_raw,
+        decode_png,
+        resize_png,
+        synth_png,
+    )
+
+    src = synth_png(10, 7, seed=42)
+    w, h, ch, raw = _png_raw(src)
+
+    def pixel(raw_, width, x, y):
+        stride = 1 + width * 3
+        off = y * stride + 1 + x * 3
+        return raw_[off : off + 3]
+
+    for ow, oh in [(4, 4), (10, 7), (1, 1), (20, 3)]:  # down, same, min, up
+        out = resize_png(src, ow, oh)
+        w2, h2, _, raw2 = _png_raw(out)
+        assert (w2, h2) == (ow, oh)
+        for y in range(oh):
+            for x in range(ow):
+                sx, sy = (x * w) // ow, (y * h) // oh
+                assert pixel(raw2, ow, x, y) == pixel(raw, w, sx, sy), (
+                    ow, oh, x, y,
+                )
+        decode_png(out)  # spec-valid: full CRC walk + inflate succeeds
+
+    with pytest.raises(ValueError):
+        resize_png(src, 0, 4)
+    with pytest.raises(ValueError):
+        resize_png(b"\x89PNG\r\n\x1a\ngarbage-after-signature", 2, 2)
