@@ -96,9 +96,14 @@ def read_json(
     Defaults target JSON Lines (one object per line), the only JSON
     layout that SPLITS at scale: Spark assigns line ranges of a JSONL
     file to tasks the same way it does CSV, so a 1 TB JSONL input
-    parallelizes across the cluster. ``multiline=True`` parses whole
-    files as single JSON documents/arrays instead — each FILE becomes
-    one unsplittable task, so it is for small config-ish inputs only.
+    parallelizes across the cluster (split + no-torn-rows asserted in
+    tests/test_sources.py). ``multiline=True`` parses whole files as
+    single JSON documents/arrays instead — each FILE becomes one
+    unsplittable task, so it is for small config-ish inputs only.
+    Compression is the same trap: ``.json.gz`` is a non-splittable
+    codec, so one giant gzipped file also serializes to one task —
+    at scale ship JSONL as many moderate files (or bzip2, which
+    splits), or better, convert to parquet at the ingest edge.
 
     Explicit ``schema`` preferred for the same reasons as
     :func:`read_csv` (inference costs an extra full pass and drifts);
