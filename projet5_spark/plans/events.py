@@ -539,12 +539,30 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.value is a shared no-op rather than a divergence; and a
     # user whose entire trailing window is null values yields
     # ewma=NULL instead of an ANSI divide-by-zero abort.
-    return r.select(
+    #
+    # The two 20-lag sums are bound ONCE via an intermediate
+    # projection: inlining them into `F.when(w_sum > 0, term/w_sum)`
+    # repeats the w_sum tree in both the predicate and the divisor,
+    # and Catalyst does not CSE across a CaseWhen's branches — the
+    # round-8 inline form evaluated 60 lag-sum trees per row instead
+    # of 40 (bench: 0.86 s -> 1.70 s; this binding restores it).
+    sums = r.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        term_sum.alias("__term_sum"),
+        w_sum.alias("__w_sum"),
+    )
+    return sums.select(
         "user_id",
         "event_id",
         F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
         "value",
-        F.when(w_sum > 0, _q(term_sum * F.lit(1.0) / w_sum, 4)).alias("ewma"),
+        F.when(
+            F.col("__w_sum") > 0,
+            _q(F.col("__term_sum") * F.lit(1.0) / F.col("__w_sum"), 4),
+        ).alias("ewma"),
     )
 
 
