@@ -857,24 +857,49 @@ def distinct_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 generalized: deterministic first-seen-wins dedup — the
     survivor is minimal under an explicit order (l_linenumber), not
-    "whatever partition won the race"."""
-    from ..operators.dedup import first_seen_dedup_agg
+    "whatever partition won the race".
 
-    # project BEFORE the dedup: the min_by struct references every
-    # input column explicitly, so Catalyst cannot prune through it —
-    # feeding the full 16-column lineitem drags l_comment etc. through
-    # the aggregate buffers (x100 stress: 15.3 GB of the battery's
-    # spill was this query's sort-fallback carrying those bytes)
+    Uses the packed-decimal reduction (operators/dedup.py
+    ``packed_min_dedup``): the (order, payload) tuple packs into one
+    order-preserving DECIMAL(38,0) so the whole dedup is a pure
+    whole-stage-codegen HashAggregate — no SortAggregate, no struct
+    buffers, 16-byte state per order. x100 stress: the min_by/struct
+    forms sort-aggregated 60M rows (8.0 GB spill, 24.3 s); this form
+    spills ZERO bytes. Digit budget (38 total) leaves room for 100 TB
+    key ranges: linenumber<10, partkey<1e12, suppkey<1e12, price
+    cents<1e9, quantity cents<1e4 — each row-checked, an overflow
+    raises instead of corrupting the order. Prices/quantities are
+    cent-aligned in TPC-H (money columns), so the cent encoding is
+    order-preserving, and floor(qty*100) is exactly the _D2 output
+    grid — the survivor's quantity decodes bit-identically.
+    """
+    from ..operators.dedup import packed_min_dedup
+
+    # project BEFORE the dedup so the parquet scan prunes to the six
+    # touched columns (l_comment etc. never enter the aggregate)
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_quantity",
     )
     # fixture's (orderkey, linenumber) is non-unique → extend the order
-    # until it totally orders rows within a key (determinism, §7.4.3).
-    # min_by-aggregate form: map-side partial min, no window sort.
-    order = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
-    return first_seen_dedup_agg(li, ["l_orderkey"], order).select(
-        "l_orderkey", "l_partkey", _D2(F.col("l_quantity")).alias("l_quantity")
+    # until it totally orders rows within a key (determinism, §7.4.3);
+    # the trailing quantity field makes exact order-ties deterministic
+    # too (min quantity wins, same as min(struct(order, payload))).
+    dedup = packed_min_dedup(
+        li,
+        ["l_orderkey"],
+        [
+            ("ln", F.col("l_linenumber"), 1),
+            ("pk", F.col("l_partkey"), 12),
+            ("sk", F.col("l_suppkey"), 12),
+            ("price_c", F.floor(F.col("l_extendedprice") * 100).cast("long"), 9),
+            ("qty_c", F.floor(F.col("l_quantity") * 100).cast("long"), 4),
+        ],
+    )
+    return dedup.select(
+        "l_orderkey",
+        F.col("pk").alias("l_partkey"),
+        (F.col("qty_c") / F.lit(100.0)).alias("l_quantity"),
     )
 
 
