@@ -351,7 +351,17 @@ def rle_run_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ALL sort keys are identical in every profiled column, so the
     residual nondeterminism cannot move a run boundary; both engines
     use the same ordering."""
+    from ..operators.partitioning import sized_sort_parallelism
+
     li = _t(spark, sf_dir, "lineitem")
+    # size the pre-window shuffle to the data: WindowExec sorts each
+    # TASK partition in one go, so at the default 32 partitions the
+    # x100 battery sorted ~1.9M rows per task — just past the per-task
+    # execution-memory share, spilling 3.9 GB. Repartitioning on the
+    # window's own partition key into size-derived slices keeps each
+    # task's sort in memory (x100: zero spill) and satisfies the
+    # window's ClusteredDistribution, so no second exchange appears.
+    li = li.repartition(sized_sort_parallelism(li), "l_orderkey")
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", *_RLE_COLS)
 
     def start_flag(c: str) -> F.Column:

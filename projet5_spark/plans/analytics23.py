@@ -311,17 +311,24 @@ def delta_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
     cannot move a delta. Bucket width derives from max(l_orderkey) — one
     metadata-cheap aggregate at plan-build time (the repo's documented
     eager-build pattern, SCALING.md)."""
+    from ..operators.partitioning import sized_sort_parallelism
+
     li = _t(spark, sf_dir, "lineitem")
-    try:
-        n_wide = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_wide = spark.sparkContext.defaultParallelism
+    # bucket count sized to the DATA, not the config: each bucket is
+    # one window partition and each task sorts its whole slice, so at
+    # 32 buckets the x100 battery sorted ~1.9M rows per task and
+    # spilled; size-derived buckets keep every task's sort in memory.
+    # The explicit repartition on __b spreads buckets 1:1 over tasks
+    # and satisfies the window's ClusteredDistribution (no second
+    # exchange).
+    n_wide = sized_sort_parallelism(li)
     mx = li.agg(F.max("l_orderkey")).first()[0]
     bin_w = max(1, (int(mx) + 1) // max(1, n_wide))
     order_cols = ("l_orderkey", "l_linenumber") + _DELTA_COLS[1:]
     order_key = F.struct(*order_cols)
     vals = F.struct(*_DELTA_COLS)
     d = li.withColumn("__b", F.expr(f"l_orderkey div {bin_w}"))
+    d = d.repartition(n_wide, "__b")
     wb = Window.partitionBy("__b").orderBy(*order_cols)
     inner = d.select(
         *[
