@@ -194,11 +194,13 @@ def streaming_event_type_stats(events: DataFrame) -> DataFrame:
     (``spark.sql.streaming.stateStore.providerClass``) — the API
     requires it; the test sets and restores the conf.
 
-    Sandbox note: the API's driver-worker protocol imports
-    ``google.protobuf``, which this container lacks — the end-to-end
-    test importorskips on it (same gating as the MongoDB connector),
-    and the processor's fold logic is unit-tested with a fake handle
-    so the operator's algebra stays covered."""
+    Dependency note: the API's driver-worker protocol imports
+    ``google.protobuf``, absent from this container's site-packages —
+    the test env bridges to a vendored pure-python copy
+    (tests/_proto_shim, activated in conftest) so the end-to-end
+    batch-twin test RUNS here; the processor's fold logic is
+    additionally unit-tested with a fake handle, keeping the operator
+    covered even where no protobuf exists at all."""
     return (
         events.select("event_type", "value")
         .groupBy("event_type")

@@ -384,8 +384,9 @@ def test_transform_with_state_matches_batch(spark):
     must equal the batch aggregate twin after the replay completes. The
     API requires the RocksDB state store provider (conf set for this
     query and restored) AND protobuf for its driver-worker protocol —
-    skipped where protobuf is not installed (this sandbox), exactly like
-    the MongoDB connector gate."""
+    satisfied here either by a real install or by the vendored bridge
+    tests/_proto_shim activates in conftest; skipped only where
+    neither exists."""
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="transformWithState's state-server protocol needs protobuf",
