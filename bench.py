@@ -247,6 +247,13 @@ HEADLINE = [
     "gopher_quality_rules_docs",
     "set_except_all_multiplicity",
     "multimodal_resize_thumbnails",
+    # --- round 9 ---
+    # streaming_tumbling_availablenow / streaming_session_availablenow
+    # excluded: availableNow micro-batch replays (start a streaming
+    # query, drain, read the memory sink) — multi-action like
+    # snapshot_scd2_history, and their wall measures micro-batch
+    # scheduling latency, not data throughput; correctness-gated by
+    # the driver against the batch twins' oracles
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end

@@ -1,0 +1,109 @@
+"""Driver-certifiable streaming queries (SURVEY.md §2.8).
+
+Every other §2.8 claim is certified by pytest batch-equivalence plus
+oracle-paired BATCH twins — the streaming runtime itself never faced
+the external DuckDB differential gate, because the gate's contract is
+"callable(spark, sf_dir) -> DataFrame" and a micro-batch replay looked
+out of scope. It isn't: ``availableNow`` triggers make a bounded
+file-replay stream a TERMINATING computation, so the callable can
+start the query, drain the source, and hand the gate the collected
+sink table. These entries run the REAL Structured Streaming operators
+(StateStore-backed streaming aggregation, watermarks, micro-batch
+planner — the same physical operators a 100 TB deployment runs with a
+Kafka source) and the driver hashes their sink against the same SQL
+oracles the batch twins use. Reference scope: the reference engine is
+batch-only (migration.py runs once, end-to-end); streaming is part of
+the §2.5–2.8 planned engine surface.
+
+Scale notes: the memory sink is the test/certification harness form —
+deployments write parquet/Kafka sinks with exactly-once file commits.
+State size for the tumbling aggregate is bounded by (windows in
+watermark horizon × event types); the replay sets a 1-hour watermark,
+so late data beyond an hour is dropped identically in both engines
+(the fixture has none — batch equality is exact).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .events import _TS_FMT_DUCK
+from .registry import query
+
+_SEQ = itertools.count()
+
+
+def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    """availableNow replay to a uniquely-named memory sink, returned as
+    a batch DataFrame. Unique names keep the bench protocol's repeated
+    invocations (warm-up + 3 timed runs) from racing each other's
+    in-session memory tables."""
+    from ..streaming.windows import run_to_completion
+
+    return run_to_completion(
+        stream_df, f"{prefix}_{next(_SEQ)}", output_mode=output_mode
+    )
+
+
+@query(
+    "streaming_tumbling_availablenow",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling event stats computed BY THE STREAMING ENGINE
+    (file-replay source → watermarked streaming aggregation →
+    availableNow drain → memory sink) and certified against the same
+    DuckDB oracle as the batch twin ``tumbling_window_event_stats`` —
+    the cents-grid sum keeps stream/batch/oracle equality independent
+    of summation order."""
+    from ..streaming.windows import stream_events, streaming_tumbling_stats
+
+    stream = stream_events(spark, sf_dir)
+    return _drain(
+        streaming_tumbling_stats(stream), "st_tumbling", output_mode="complete"
+    )
+
+
+@query(
+    "streaming_session_availablenow",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows computed by the streaming engine's
+    session-window state store (merge-on-update session assignment —
+    state the batch planner never exercises), drained with availableNow
+    and certified against the batch twin's gaps-and-islands oracle."""
+    from ..streaming.windows import stream_events, streaming_session_windows
+
+    stream = stream_events(spark, sf_dir)
+    return _drain(
+        streaming_session_windows(stream), "st_session", output_mode="complete"
+    )
