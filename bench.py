@@ -271,6 +271,19 @@ SENTINEL = "q01_pricing_summary"
 #: headroom; read both pairs before attributing per-query deltas.
 SENTINEL_CPU = "bigram_lm_doc_score"
 
+#: Reference ambient level for cross-round normalization: the
+#: round-8-close committed BENCH.json sentinel medians. Each round's
+#: artifact also records ``queries_normalized`` =
+#: ``t * (REF_CPU_SENTINEL / run_cpu_sentinel_mean)`` next to the raw
+#: medians, so round-over-round deltas can be read directly instead of
+#: re-deriving the ambient correction in every verdict. The q01
+#: reference rides along for the scheduling-floor reading. Raw medians
+#: stay the contract value — normalization is a LENS (it assumes
+#: CPU-bound queries scale with the sentinel, which BASELINE.md §7
+#: shows is approximately, not exactly, true).
+REF_CPU_SENTINEL = 1.5613  # mean(1.7143, 1.4082), round-8 close
+REF_Q01_SENTINEL = 0.5606  # mean(0.6194, 0.5018), round-8 close
+
 
 def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     fn = QUERIES[name]
@@ -317,6 +330,9 @@ def main() -> None:
         json.dump(run_stats_summary(spark), f, indent=1, sort_keys=True)
 
     total = round(sum(queries.values()), 4)
+    run_cpu = (sentinel_cpu_start + sentinel_cpu_end) / 2 or REF_CPU_SENTINEL
+    norm = REF_CPU_SENTINEL / run_cpu
+    queries_normalized = {n: round(t * norm, 4) for n, t in queries.items()}
     print(
         json.dumps(
             {
@@ -324,6 +340,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_normalized": queries_normalized,
+                "value_normalized": round(sum(queries_normalized.values()), 4),
+                "normalization": {
+                    "ref_cpu_sentinel": REF_CPU_SENTINEL,
+                    "ref_q01_sentinel": REF_Q01_SENTINEL,
+                    "run_cpu_sentinel_mean": round(run_cpu, 4),
+                    "factor": round(norm, 4),
+                },
                 "sf": sf,
                 "sentinel_q01_start_sec": sentinel_start,
                 "sentinel_q01_end_sec": sentinel_end,
