@@ -17,9 +17,54 @@ scan (verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
 
 from __future__ import annotations
 
+import logging
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+_log = logging.getLogger(__name__)
+
+#: Text codecs Spark cannot split: the whole file becomes ONE task no
+#: matter the cluster size. (bzip2 is absent on purpose — it splits.)
+_UNSPLITTABLE_EXTS = (".gz", ".zip", ".snappy", ".lz4", ".deflate", ".zst")
+
+#: One HDFS-ish split: a single unsplittable file beyond this is a
+#: serialization bottleneck worth warning about.
+_UNSPLITTABLE_WARN_BYTES = 128 << 20
+
+
+def _warn_if_unsplittable_single_file(
+    path: str, threshold: int | None = None
+) -> bool:
+    """Log a warning when ``path`` is one LOCAL compressed-text file
+    big enough that its non-splittable codec serializes the scan to a
+    single task (the trap documented in :func:`read_json`'s docstring —
+    now enforced in code, not just prose). Returns whether it warned
+    (for tests). Globs, directories, and remote URIs pass through
+    silently: their parallelism comes from file COUNT, which is the
+    layout fix this warning recommends."""
+    if threshold is None:  # read the module global at CALL time so
+        threshold = _UNSPLITTABLE_WARN_BYTES  # tests can lower it
+    p = path[7:] if path.startswith("file://") else path
+    if not p.lower().endswith(_UNSPLITTABLE_EXTS) or not os.path.isfile(p):
+        return False
+    try:
+        size = os.path.getsize(p)
+    except OSError:
+        return False
+    if size <= threshold:
+        return False
+    _log.warning(
+        "single %s file %s is %.1f MB: this codec is not splittable, so "
+        "Spark will scan it in ONE task regardless of cluster size — "
+        "ship many moderate files (or bzip2, or parquet) instead",
+        os.path.splitext(p)[1],
+        path,
+        size / 1e6,
+    )
+    return True
 
 #: Fixture tables (TESTDATA.md); one parquet file per table under a sf dir.
 TABLES = (
@@ -69,6 +114,7 @@ def read_csv(
     is quarantined there for a dead-letter audit instead of silently
     poisoning the load. Spark requires such a query to reference at
     least one ordinary column besides the corrupt one."""
+    _warn_if_unsplittable_single_file(path)
     reader = spark.read.option("header", str(header).lower())
     if mode is not None:
         reader = reader.option("mode", mode)
@@ -113,6 +159,7 @@ def read_json(
     audit; ``mode="DROPMALFORMED"`` silently drops; ``mode="FAILFAST"``
     aborts the scan.
     """
+    _warn_if_unsplittable_single_file(path)
     reader = spark.read.option("multiLine", str(multiline).lower()).option(
         "mode", mode
     )

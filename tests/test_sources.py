@@ -222,3 +222,53 @@ def test_line_format_scans_split_across_tasks(spark, tmp_path):
             assert (agg["n"], agg["s"], agg["d"]) == (n, n * (n - 1) // 2, n)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_unsplittable_single_file_warning(spark, tmp_path, caplog):
+    """A single large gzipped text file must trigger the one-task
+    serialization warning; small files, directories, and splittable
+    layouts must not (the guard behind read_json's docstring trap)."""
+    import gzip
+    import logging
+
+    from projet5_spark.sources.readers import (
+        _warn_if_unsplittable_single_file,
+        read_json,
+    )
+
+    big = tmp_path / "big.json.gz"
+    with gzip.open(big, "wt") as f:
+        f.write('{"id": 1}\n')
+    small = tmp_path / "small.json.gz"
+    with gzip.open(small, "wt") as f:
+        f.write('{"id": 1}\n')
+
+    # threshold shrunk so the "big" file trips without writing 128 MB
+    assert _warn_if_unsplittable_single_file(str(big), threshold=0)
+    assert not _warn_if_unsplittable_single_file(str(small))  # under default
+    assert not _warn_if_unsplittable_single_file(str(tmp_path))  # a dir
+    assert not _warn_if_unsplittable_single_file(
+        str(tmp_path / "plain.jsonl"), threshold=0
+    )  # splittable suffix
+
+    # and the reader path emits it end-to-end (log capture, real read);
+    # the threshold global is read at call time, so lowering it here
+    # reaches read_json's internal call
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="projet5_spark.sources.readers"):
+        import projet5_spark.sources.readers as R
+
+        prev = R._UNSPLITTABLE_WARN_BYTES
+        R._UNSPLITTABLE_WARN_BYTES = 0
+        try:
+            df = read_json(spark, str(big), schema="id BIGINT")
+        finally:
+            R._UNSPLITTABLE_WARN_BYTES = prev
+    assert any("not splittable" in r.message for r in caplog.records)
+    assert df.count() == 1
+
+    # no warning on an ordinary read at the real 128 MB threshold
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="projet5_spark.sources.readers"):
+        read_json(spark, str(small), schema="id BIGINT").count()
+    assert not any("not splittable" in r.message for r in caplog.records)
