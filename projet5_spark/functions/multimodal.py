@@ -143,6 +143,13 @@ def resize_png(data: bytes, out_w: int, out_h: int) -> bytes:
     if out_w < 1 or out_h < 1:
         raise ValueError("resize target must be at least 1x1")
     width, height, channels, raw = _png_raw(data)
+    if channels != 3:
+        # the output IHDR below hardcodes color type 2 (8-bit RGB);
+        # keep that invariant LOCAL instead of inherited from
+        # _png_raw's current input gate, so widening decoder support
+        # (grayscale/RGBA) can never silently emit a PNG whose IHDR
+        # contradicts its scanline payload
+        raise ValueError(f"resize_png only supports 8-bit RGB (got {channels} channels)")
     stride = 1 + width * channels
     out = bytearray()
     for y in range(out_h):

@@ -179,10 +179,14 @@ def _split_shingles_by_df(
     stop-set intersections all shuffle and sort 16-byte longs instead
     of ~30–60-byte strings (the string-keyed sorts were the ngram
     family's last x50 spiller, 8–9 GB; SCALING.md).
-    Shingle identity ≡ hash-pair identity up to a 128-bit birthday
+    Shingle identity ≡ hash-pair identity up to a ~128-bit birthday
     bound (~n²/2¹²⁹: ~10⁻¹⁵ even at 10¹² distinct shingles — below
-    hardware error rates); tests/test_operators.py additionally
-    asserts zero collisions on the fixture corpus. Seeds −1/−2 are
+    hardware error rates). That bound assumes the two 64-bit hashes
+    are INDEPENDENT, which seed-prefixed xxhash64 (h1 = hash(-1, s),
+    h2 = hash(-2, s) — one hash function, chained arguments) only
+    approximates, so treat it as a heuristic rather than a theorem;
+    tests/test_operators.py additionally asserts zero collisions on
+    the fixture corpus, which is the operative guard. Seeds −1/−2 are
     disjoint from the minhash band seeds (0..7).
     """
     # hash FIRST, then dedup on the hashes: the (doc_id, shingle)
