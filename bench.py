@@ -247,7 +247,9 @@ HEADLINE = [
     "gopher_quality_rules_docs",
     "set_except_all_multiplicity",
     "multimodal_resize_thumbnails",
-    # --- round 9 ---
+    # --- round 9 additions ---
+    "curation_pipeline_end_to_end",
+    # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # excluded: availableNow micro-batch replays (start a streaming
     # query, drain, read the memory sink) — multi-action like

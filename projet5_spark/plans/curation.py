@@ -26,7 +26,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query, quantize as _q
@@ -549,4 +549,130 @@ def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
     return pairs.groupBy("src_a", "src_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end composed curation pipeline (round 9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_pipeline_end_to_end",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS wl,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS sym_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, text, n_chars, sym_chars,
+             len(wl) AS n_words,
+             CAST(coalesce(list_sum(list_transform(wl, x -> length(x))), 0)
+                  AS BIGINT) AS word_chars,
+             len(list_filter(wl, x -> regexp_matches(x, '[a-z]'))) AS alpha_words
+      FROM w),
+    gopher AS (
+      SELECT doc_id, source, text, n_words FROM m
+      WHERE n_words BETWEEN 10 AND 5000
+        AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND sym_chars * 10 <= n_chars
+        AND alpha_words * 10 >= 8 * n_words),
+    exact AS (SELECT min(doc_id) AS doc_id FROM gopher GROUP BY text),
+    ex AS (SELECT g.* FROM gopher g JOIN exact USING (doc_id)),
+    near AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY substr(text, 1, 64)),
+    sv AS (
+      SELECT ex.doc_id, ex.source, ex.n_words,
+             CASE WHEN substr(sha256('split:' || CAST(ex.doc_id AS VARCHAR)), 1, 2)
+                       < 'cc'
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM ex JOIN near USING (doc_id)),
+    off AS (
+      SELECT source, split, n_words,
+             sum(n_words) OVER (PARTITION BY source, split ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_words AS start_off
+      FROM sv)
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           CAST(max(start_off // 2048) + 1 AS BIGINT) AS n_bins
+    FROM off GROUP BY source, split ORDER BY source, split
+    """,
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data curation pipeline COMPOSED into one plan:
+    ingest → Gopher rule filter → exact dedup → near-dup prefix screen
+    → content-addressed train/holdout split → 2048-token sequence
+    packing → per-(source, split) shard report. Each stage exists as a
+    certified standalone query (gopher_quality_rules_docs,
+    doc_exact_dedup, doc_prefix_dup_groups, doc_stratified_hash_split,
+    sequence_packing_bins); this entry certifies their COMPOSITION —
+    filter-then-dedup-then-split ordering, survivor plumbing, and the
+    packing offsets over the post-dedup survivor set — against one
+    integer-exact DuckDB oracle.
+
+    Scale shape (the point of composing in one plan): the whole
+    pipeline is ONE pass over the corpus plus three digest-keyed
+    shuffles. Both dedup stages shuffle 32-byte sha-256 digests (never
+    document bodies) and keep min-doc_id survivors with a window over
+    digest groups (dup-cluster sized — bounded state); the quality
+    rules and the split assignment are map-side expressions; packing
+    windows partition per (source, split) shard, so no global sort
+    exists anywhere. Catalyst pipelines the map stages between the
+    shuffles, so at 100 TB the cost is the scan plus three
+    fixed-width-key exchanges — the same shape as running only the
+    dedup stage.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wl = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(wl).cast("long").alias("n_words"),
+        F.aggregate(
+            wl, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("word_chars"),
+        F.size(F.filter(wl, lambda x: x.rlike("[a-z]"))).cast("long").alias(
+            "alpha_words"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+        ).cast("long").alias("sym_chars"),
+    )
+    gopher = base.where(
+        F.col("n_words").between(10, 5000)
+        & (F.col("word_chars") >= 3 * F.col("n_words"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+        & (F.col("sym_chars") * 10 <= F.col("n_chars"))
+        & (F.col("alpha_words") * 10 >= 8 * F.col("n_words"))
+    )
+    w_exact = Window.partitionBy(F.sha2(F.col("text"), 256))
+    exact = gopher.withColumn("__m", F.min("doc_id").over(w_exact)).where(
+        F.col("doc_id") == F.col("__m")
+    )
+    w_near = Window.partitionBy(F.sha2(F.substring("text", 1, 64), 256))
+    near = exact.withColumn("__mp", F.min("doc_id").over(w_near)).where(
+        F.col("doc_id") == F.col("__mp")
+    )
+    h = F.sha2(F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 256)
+    split = F.when(F.substring(h, 1, 2) < "cc", "train").otherwise("holdout")
+    sv = near.select("doc_id", "source", "n_words", split.alias("split"))
+    w_pack = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off = F.sum("n_words").over(w_pack) - F.col("n_words")
+    packed = sv.select(
+        "source", "split", "n_words", F.floor(off / 2048).cast("long").alias("bin")
+    )
+    return packed.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
     )

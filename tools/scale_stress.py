@@ -148,6 +148,7 @@ DOC_BATTERY = [
     "ngram_novelty_decay",
     "doc_repetition_quality",
     "near_dup_clusters",
+    "curation_pipeline_end_to_end",
 ]
 
 
