@@ -404,6 +404,26 @@ def main() -> None:
                     help="also run the battery at the base sf for ratios")
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
+    run_main(args)
+
+
+#: Mean recall@5 floors the ANN variants must clear AT STRESS SCALE in
+#: embeddings mode — the contract that bucket pruning still finds the
+#: true neighbors when the corpus is 50-100x the fixture, not just at
+#: sf0.1 (where the gates are also driver-certified for exactness).
+#: Floors sit under the measured x50 values (ivf 1.0, signlsh 0.84 —
+#: see SCALING.md) with headroom for LSH-seed sensitivity, and far
+#: above chance (nprobe/ncells ~ 0.25). The KMeans gate carries its floor INSIDE
+#: the query (kmeans_hits_ge_floor, _KMEANS_MIN_HITS) — here it must
+#: simply hold true at scale.
+RECALL_GATES = {
+    "ann_recall_ivf_at5": 0.60,
+    "ann_recall_signlsh_at5": 0.40,
+}
+KMEANS_GATE = "ann_recall_ivf_kmeans_at5"
+
+
+def run_main(args) -> None:
 
     docs_mode = args.docs_mult > 0
     emb_mode = args.emb_mult > 0
@@ -468,7 +488,40 @@ def main() -> None:
         "shuffle_read_bytes": stats.get("shuffle_read_bytes"),
         "input_bytes": stats.get("input_bytes"),
     }
+    failed_gates = []
+    if mode == "embeddings":
+        from pyspark.sql import functions as F
+
+        gates = {}
+        for gname, floor in RECALL_GATES.items():
+            if gname not in names:
+                continue
+            mean_r = float(
+                QUERIES[gname](spark, out_dir)
+                .agg(F.avg("recall_at_5"))
+                .first()[0]
+            )
+            gates[gname] = {
+                "mean_recall_at_5": round(mean_r, 4),
+                "floor": floor,
+                "ok": mean_r >= floor,
+            }
+            if mean_r < floor:
+                failed_gates.append(gname)
+        if KMEANS_GATE in names:
+            row = QUERIES[KMEANS_GATE](spark, out_dir).first()
+            gates[KMEANS_GATE] = {
+                "kmeans_hits_ge_floor": bool(row["kmeans_hits_ge_floor"]),
+                "ok": bool(row["kmeans_hits_ge_floor"]),
+            }
+            if not row["kmeans_hits_ge_floor"]:
+                failed_gates.append(KMEANS_GATE)
+        report["recall_gates"] = gates
     print(json.dumps(report))
+    if failed_gates:
+        raise SystemExit(
+            f"recall gates below floor at x{mult}: {failed_gates}"
+        )
 
 
 if __name__ == "__main__":
