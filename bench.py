@@ -249,6 +249,8 @@ HEADLINE = [
     "multimodal_resize_thumbnails",
     # --- round 9 additions ---
     "curation_pipeline_end_to_end",
+    "epoch_shuffle_shards",
+    "quality_threshold_calibration",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # excluded: availableNow micro-batch replays (start a streaming

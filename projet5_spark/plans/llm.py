@@ -763,6 +763,83 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_threshold_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(floor((0.5 * least(n_chars, 500) / 500.0
+                   + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                                       t -> t IN {_STOPWORDS}))
+                                       AS DOUBLE)
+                                  / len(string_split(text, ' ')))) * 1e4)
+                  AS BIGINT) AS q
+      FROM documents),
+    c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(quantile_disc(q, 0.4) AS BIGINT) AS cutoff
+      FROM s GROUP BY source)
+    SELECT source, n_docs, cutoff,
+           CAST(count(CASE WHEN s.q >= cutoff THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(floor(count(CASE WHEN s.q >= cutoff THEN 1 END) * 1e6
+                      / n_docs) AS BIGINT) AS keep_micro
+    FROM s JOIN c USING (source)
+    GROUP BY source, n_docs, cutoff
+    ORDER BY source
+    """,
+)
+def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrate a per-source quality cutoff from the data instead of
+    hardcoding one: the keep threshold is each source's 40th-percentile
+    quality score (percentile_disc — an actually-occurring grid value),
+    targeting a ~60% keep rate per source, with the realized keep count
+    and rate reported. This is how a curation run picks thresholds that
+    won't accidentally wipe out a source whose score distribution sits
+    lower than the corpus average.
+
+    Scale shape: scores are the same map-only integer-grid expression
+    as doc_quality_score; the per-source quantile uses
+    ``operators/quantiles.grouped_exact_quantiles`` (distinct-value
+    relation — bounded by the 10⁴ score grid per source, never by
+    corpus rows); the cutoff table is sources-scale and broadcast back
+    for the keep count. Two corpus passes, zero unbounded state."""
+    from ..operators.quantiles import grouped_exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    quality = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (
+        1.0 - stop_ratio
+    )
+    s = docs.select(
+        "source", F.floor(quality * 1e4).cast("long").alias("q")
+    )
+    cuts = grouped_exact_quantiles(
+        s, ["source"], "q", {}, count_col="n_docs", disc_qs={"cutoff": 0.4}
+    ).select("source", "n_docs", F.col("cutoff").cast("long").alias("cutoff"))
+    joined = s.join(F.broadcast(cuts), "source")
+    return (
+        joined.groupBy("source", "n_docs", "cutoff")
+        .agg(
+            F.sum(F.when(F.col("q") >= F.col("cutoff"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "cutoff",
+            "n_kept",
+            F.floor(F.col("n_kept") * 1e6 / F.col("n_docs"))
+            .cast("long")
+            .alias("keep_micro"),
+        )
+    )
+
+
+@query(
     "lang_filter_en_stats",
     oracle="""
     SELECT source, count(*) AS n_docs,

@@ -9,7 +9,7 @@ on the (tiny) group columns — the shapes scale linearly to 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query, quantize as _q
@@ -150,3 +150,45 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_chunk_windows.__doc__ = doc_chunk_windows.__doc__.format(
     chunk=_CHUNK, stride=_STRIDE, overlap=_CHUNK - _STRIDE
 )
+
+
+@query(
+    "epoch_shuffle_shards",
+    oracle="""
+    SELECT doc_id, substr(h, 1, 1) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+                                   ORDER BY h, doc_id) AS BIGINT) AS position
+    FROM (SELECT doc_id,
+                 sha256('epoch1:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents) t
+    """,
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: each document gets a shard
+    (first hex nibble of ``sha256("epoch1:" || doc_id)`` — 16 shards)
+    and a position within its shard (rank by the full hash). A trainer
+    streaming shards in shard order sees a reproducible pseudo-random
+    permutation of the corpus.
+
+    Content-addressed like doc_stratified_hash_split, and for the same
+    reason ``rand(seed)`` is banned from splits: a seeded rand's values
+    depend on partition layout and evaluation order, so the "same"
+    shuffle differs across engines, retries, and repartitionings —
+    content-addressed order is reproducible everywhere, resumable
+    mid-epoch (the order is a property of the DATA, not the job), and
+    a new epoch is just a new salt. Scale shape: the rank windows are
+    PER SHARD (hash-partitioned — 16 here, thousands at 100 TB), so no
+    global sort exists; each shard's window sorts its own slice, the
+    same sized-sort arithmetic as the layout advisors."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")), 256)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.substring("h", 1, 1))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("position"),
+        )
+    )
