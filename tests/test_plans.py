@@ -2671,3 +2671,37 @@ def test_partitioned_write_scan_prunes_partitions(spark):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan
     assert "o_orderstatus" in pf[0], pf[0]
+
+
+def test_packed_dedup_is_pure_hash_aggregate(spark):
+    """The packed-decimal first-seen dedup must plan as HashAggregate
+    with NO SortAggregate anywhere — the whole point of the DECIMAL(38)
+    packing (min/min_by over structs are not hash-aggregable and
+    sort-aggregated 60M rows at x100: 8 GB of spill)."""
+    plan = plan_of(spark, "dedup_first_lineitem_per_order")
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+
+
+def test_sized_sort_parallelism_floors_at_config(spark):
+    """At fixture scale the size-derived pre-window repartition must
+    return exactly spark.sql.shuffle.partitions (plans unchanged where
+    they were already fine), and scale with bytes when the input grows
+    past bytes_per_task * floor."""
+    from projet5_spark.operators.partitioning import (
+        input_size_bytes,
+        sized_sort_parallelism,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert sized_sort_parallelism(li) == floor
+    size = input_size_bytes(li)
+    assert size and size > 0
+    # force the data-derived branch: 1-byte tasks -> capped count
+    # (the floor outranks a cap below it by design)
+    assert sized_sort_parallelism(li, bytes_per_task=1, cap=7) == floor
+    assert sized_sort_parallelism(li, bytes_per_task=1, cap=floor + 5) == floor + 5
+    got = sized_sort_parallelism(li, bytes_per_task=max(1, size // 100))
+    assert floor <= got <= 4096
