@@ -415,8 +415,15 @@ def cycle_time_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> Data
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
+    # pre-shuffle before the per-order fold (the q18/packed_min_dedup
+    # trade): ~4 lineitems per order means map-side combine barely
+    # reduces the shuffle while its hash map holds every touched group
+    # — that map was this query's 5.9 GB x100 spill; post-shuffle each
+    # task owns only its own groups (x100: zero spill)
     closes = (
         _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .repartition("l_orderkey")
         .groupBy(F.col("l_orderkey"))
         .agg(F.max("l_shipdate").alias("close_d"))
     )

@@ -494,7 +494,23 @@ def fk_orphan_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.array(F.col(ckey)))
             ).alias("k")
         )
-        pk = _t(spark, sf_dir, parent).select(F.col(pkey).alias("pk")).distinct()
+        # parent keys are PRIMARY keys (unique by construction — the
+        # audit checks the child side), so the defensive distinct's
+        # map-side combine reduces nothing; pre-shuffling avoids the
+        # contended partial maps (the q18 trade). The probe join takes
+        # a SHUFFLE_HASH hint for SF-proportional parents: the SMJ's
+        # external sort of the 60M-key child side was this audit's
+        # 3.4 GB x100 spill, while hashing the parent's keys is ~0.5M
+        # entries per task. Bounded dims (nation) stay hint-free so
+        # AQE broadcasts them.
+        pk = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("pk"))
+            .repartition("pk")
+            .distinct()
+        )
+        if parent not in ("nation", "region"):
+            pk = pk.hint("shuffle_hash")
         probed = planted.join(pk, planted.k == pk.pk, "left")
         arm = probed.agg(
             F.count(F.lit(1)).cast("long").alias("n_child"),

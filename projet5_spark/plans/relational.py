@@ -305,12 +305,22 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(qty)>300 is provably selective (~1e-4 of orders; single-bigint
     rows, tens of MB even at SF 100k). orders/customer are
     SF-proportional → no hint, AQE decides.
+
+    The having aggregate repartitions on its key BEFORE aggregating
+    (the packed_min_dedup trade): lineitems per order are few, so
+    map-side partial aggregation barely reduces the shuffle but makes
+    every map task's hash map hold ~every group it touches — under
+    per-task execution-memory contention that map is exactly what
+    spills (x100: 8.1 s / 5.7 GB spill inline → 4.9 s / ZERO spill
+    pre-shuffled).
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     big = (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_quantity")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("__sq"))
         .where(F.col("__sq") > 300)
         .select("l_orderkey")

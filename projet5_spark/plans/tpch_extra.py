@@ -48,12 +48,31 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the two nation role-views (≤25 rows each) are broadcast-hinted;
     supplier/orders/customer scale with SF so AQE picks their join
     strategy at runtime.
+
+    The nation restriction is applied BELOW the fact joins: only the
+    two named nations can satisfy the pair predicate, so supplier and
+    customer are pre-filtered to them (≈2/25 of each) before touching
+    the facts. The two nation KEYS are resolved at plan-build time (a
+    2-row scan of the bounded dim — the repo's eager-build pattern) so
+    the filters reach the supplier/customer parquet scans as pushed
+    ``isin`` predicates with no extra join stages; the lineitem ⋈
+    supplier join then keeps ~8% of lineitem ahead of the orders join.
+    With the filter applied last (round-8 form), the orders SMJ
+    externally sorted ALL of lineitem and was this query's 2.7 GB x100
+    spill; pushed down, the x100 spill is zero and sf0.1 keeps the
+    original stage count.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
+    pair_keys = [
+        int(r["n_nationkey"])
+        for r in nation.where(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        ).collect()
+    ]
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
@@ -63,15 +82,24 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
         F.col("supp_nation") == "NATION_2"
     ) & (F.col("cust_nation") == "NATION_1")
+    supp2 = supp.where(F.col("s_nationkey").isin(pair_keys)).select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust2 = cust.where(F.col("c_nationkey").isin(pair_keys)).select(
+        "c_custkey", "c_nationkey"
+    )
     return (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        li.select(
+            "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        .join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust2, F.col("o_custkey") == cust2.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year(F.col("l_shipdate").cast("date")).alias("yr"))
-        .agg(gridsum(li.l_extendedprice * (1 - li.l_discount), 4).alias("revenue"))
+        .agg(gridsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
 
 
@@ -417,15 +445,25 @@ def null_semantics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: one nation's share of total volume per year —
-    conditional-sum ratio on the exact grid, single aggregate pass."""
+    conditional-sum ratio on the exact grid, single aggregate pass.
+
+    No selective filter exists to push (the share's denominator needs
+    EVERY nation's volume), so both fact joins take SHUFFLE_HASH hints
+    on their key-and-one-column build sides (orders → (orderkey,
+    orderdate); supplier → (suppkey, nationkey)): a sort-merge join
+    would externally sort the 60M-row lineitem stream twice — the
+    query's 2.3 GB x100 spill — while hashing the build sides costs
+    ~0.5M entries per task and streams lineitem unsorted (x100: zero
+    spill). The q21 SHUFFLE_HASH rationale, applied to both joins.
+    Supplier/orders stay un-broadcast (SF-proportional; policy)."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
     v = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     vol = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        .join(supp.hint("shuffle_hash"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(
             F.year(F.col("o_orderdate").cast("date")).alias("yr"),
