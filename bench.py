@@ -251,13 +251,23 @@ HEADLINE = [
     "curation_pipeline_end_to_end",
     "epoch_shuffle_shards",
     "quality_threshold_calibration",
+    # --- round 9 batch-29 additions (split/mixture/hard-negative) ---
+    "temporal_split_embargo",
+    "stratified_kfold_assignment",
+    "source_temperature_mixture",
+    "hard_negative_mining_centroids",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
-    # excluded: availableNow micro-batch replays (start a streaming
-    # query, drain, read the memory sink) — multi-action like
-    # snapshot_scd2_history, and their wall measures micro-batch
-    # scheduling latency, not data throughput; correctness-gated by
-    # the driver against the batch twins' oracles
+    # (and the batch-29 sliding/dedup entries) excluded: availableNow
+    # micro-batch replays (start a streaming query, drain, read the
+    # memory sink) — multi-action like snapshot_scd2_history, and their
+    # wall measures micro-batch scheduling latency, not data
+    # throughput; correctness-gated by the driver against the batch
+    # twins' oracles.
+    # incremental_near_dup_ingest / near_dup_cluster_quality_keep
+    # excluded: they compose the exact-Jaccard ground-truth pair
+    # pipeline (ngram_jaccard_near_dup), which the headline set already
+    # excludes as a correctness baseline, not a throughput path.
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end

@@ -28,6 +28,7 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .events import _TS_FMT_DUCK
 from .registry import query
@@ -70,6 +71,73 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     stream = stream_events(spark, sf_dir)
     return _drain(
         streaming_tumbling_stats(stream), "st_tumbling", output_mode="complete"
+    )
+
+
+@query(
+    "streaming_sliding_availablenow",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events
+    FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                         time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+          FROM events) t
+    GROUP BY ws
+    """,
+)
+def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (10 min window, 5 min slide) computed by
+    the STREAMING engine — overlapping-bucket state the tumbling entry
+    never exercises (each event updates two open windows) — drained
+    with availableNow and certified against the batch twin
+    ``sliding_window_event_counts``'s unnest-both-buckets oracle."""
+    from ..streaming.windows import stream_events, streaming_sliding_counts
+
+    stream = stream_events(spark, sf_dir)
+    return _drain(
+        streaming_sliding_counts(stream), "st_sliding", output_mode="complete"
+    )
+
+
+@query(
+    "streaming_dedup_availablenow",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup under simulated at-least-once
+    redelivery: the events file replayed through TWO independent
+    streaming sources unioned (every event arrives exactly twice),
+    watermarked ``dropDuplicates(["event_id", "ts"])`` collapsing the
+    re-deliveries in the state store, availableNow drain, then a batch
+    rollup of the drained sink per event_type. The oracle aggregates
+    the SINGLE-copy batch table — equality holds only if the state
+    store dropped every duplicate (without the dedup the counts and
+    sums would read exactly 2×), so this certifies the §2.8
+    exactly-once-ification operator end-to-end, not just its plan.
+
+    Scale: dedup state is (event_id, ts) keys within the 1-hour
+    watermark horizon — bounded by rate × horizon, evicted by
+    watermark advance (streaming/windows.py:streaming_dedup on why the
+    event-time column must be in the key)."""
+    from ..streaming.windows import stream_events, streaming_dedup
+
+    s1 = stream_events(spark, sf_dir)
+    s2 = stream_events(spark, sf_dir)
+    deduped = streaming_dedup(s1.unionByName(s2))
+    sink = _drain(deduped, "st_dedup", output_mode="append")
+    from .registry import gridsum
+
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        gridsum("value", 2).alias("sum_value"),
     )
 
 

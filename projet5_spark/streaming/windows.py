@@ -143,6 +143,23 @@ def streaming_session_windows(events: DataFrame, watermark: str = "1 hour") -> D
     )
 
 
+def streaming_sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding-window event counts (10 min window, 5 min slide) — batch
+    twin: plans.events.sliding_window_event_counts. The window
+    expression replicates each event into window/slide = 2 buckets
+    inside the projection; streaming state is one count per open
+    bucket within the watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exactly-once dedup on (event_id, ts) within the
     watermark horizon — the streaming form of R7/R13.
