@@ -130,6 +130,9 @@ DEFAULT_BATTERY = [
     "decile_lift_customers",
     "rfm_segmentation",
     "skyline_pareto_parts",
+    # round-9 batch-29 split/fold passes (map + bounded agg over facts)
+    "temporal_split_embargo",
+    "stratified_kfold_assignment",
 ]
 
 #: Documents-mode battery: the similarity-join / near-dup family plus
@@ -149,6 +152,10 @@ DOC_BATTERY = [
     "doc_repetition_quality",
     "near_dup_clusters",
     "curation_pipeline_end_to_end",
+    # round-9 batch-29 corpus-lifecycle passes
+    "incremental_near_dup_ingest",
+    "near_dup_cluster_quality_keep",
+    "source_temperature_mixture",
 ]
 
 
@@ -173,6 +180,8 @@ EMB_BATTERY = [
     "ann_recall_ivf_kmeans_at5",
     "embedding_ann_signlsh",
     "ann_recall_signlsh_at5",
+    # round-9 batch-29 contrastive-sampler pass (O(n·k·d) broadcast path)
+    "hard_negative_mining_centroids",
 ]
 
 
