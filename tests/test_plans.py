@@ -2705,3 +2705,38 @@ def test_sized_sort_parallelism_floors_at_config(spark):
     assert sized_sort_parallelism(li, bytes_per_task=1, cap=floor + 5) == floor + 5
     got = sized_sort_parallelism(li, bytes_per_task=max(1, size // 100))
     assert floor <= got <= 4096
+
+
+def test_incremental_ingest_prunes_to_the_batch(spark):
+    """The batch-29 incremental near-dup ingest must push the batch
+    boundary into the scans: the new-docs parquet scan carries the
+    doc_id >= lo pushed filter, and the pair join's batch side is
+    filtered BEFORE the pair aggregate (the relation sizes must be
+    batch-scale, not corpus-scale — the whole point of incremental)."""
+    plan = plan_of(spark, "incremental_near_dup_ingest")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(doc_id" in ln for ln in pushed), plan
+    # the >= boundary must appear as a Filter feeding the pair join's
+    # build/probe side too (the materialized shingle relation)
+    assert re.search(r"Condition : .*doc_id#\d+L >= \d+", plan), plan
+
+
+def test_hard_negative_centroids_broadcast_not_crossjoin(spark):
+    """Hard-negative mining joins n·d exploded vector rows against the
+    k·d centroid table: the centroid side must BROADCAST (hash join on
+    the dim key with the label-inequality residual) — never a
+    cartesian/broadcast-nested-loop product, which would be n·k·d²."""
+    plan = plan_of(spark, "hard_negative_mining_centroids")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cluster_quality_keep_top1_windows_share_one_shuffle(spark):
+    """The per-cluster top-1 (row_number + count over cluster_rep) must
+    plan its two window functions over ONE cluster_rep exchange — a
+    second shuffle of the doc-scale relation would double the
+    join-output traffic at corpus scale."""
+    plan = plan_of(spark, "near_dup_cluster_quality_keep")
+    exchanges = re.findall(r"Exchange hashpartitioning\(cluster_rep", plan)
+    assert len(exchanges) <= 1, plan
