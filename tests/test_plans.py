@@ -2740,3 +2740,39 @@ def test_cluster_quality_keep_top1_windows_share_one_shuffle(spark):
     plan = plan_of(spark, "near_dup_cluster_quality_keep")
     exchanges = re.findall(r"Exchange hashpartitioning\(cluster_rep", plan)
     assert len(exchanges) <= 1, plan
+
+
+def test_parameterized_sql_pushes_bound_filters(spark):
+    """Named-marker parameters must fold to literals BEFORE optimization
+    so the scan still sees constant predicates — the pushdown half of
+    the parameterized-SQL contract."""
+    plan = plan_of(spark, "parameterized_sql_orders")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "o_totalprice" in ln for ln in pushed), plan
+
+
+def test_sql_udf_inlines_no_python_eval(spark):
+    """SQL scalar UDFs must inline into the Catalyst plan: no Python
+    evaluation node anywhere, and the banding CASE visible as a plain
+    expression (the whole point vs @F.udf)."""
+    plan = plan_of(spark, "sql_udf_margin_bands")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CASE WHEN" in plan, plan
+
+
+def test_psi_monitor_broadcasts_reference(spark):
+    """The drift monitor's reference table (≤8 bins) must broadcast
+    back to the months×bins relation — shuffling the monthly counts
+    against an 8-row table would be a wasted exchange at any scale."""
+    plan = plan_of(spark, "psi_monthly_drift_monitor")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_jl_projection_broadcasts_sign_matrix(spark):
+    """JL projection joins n·d exploded vector rows against the d·k
+    sign matrix: the matrix side must broadcast-hash-join on the dim
+    key — never a cartesian product."""
+    plan = plan_of(spark, "jl_projection_distortion")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
