@@ -256,6 +256,12 @@ HEADLINE = [
     "stratified_kfold_assignment",
     "source_temperature_mixture",
     "hard_negative_mining_centroids",
+    # --- round 9 batch-30 additions (observability / SQL surface) ---
+    "psi_monthly_drift_monitor",
+    "decontamination_span_offsets",
+    "jl_projection_distortion",
+    "sql_udf_margin_bands",
+    "parameterized_sql_orders",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow

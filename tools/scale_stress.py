@@ -133,6 +133,8 @@ DEFAULT_BATTERY = [
     # round-9 batch-29 split/fold passes (map + bounded agg over facts)
     "temporal_split_embargo",
     "stratified_kfold_assignment",
+    # round-9 batch-30 drift monitor (fixed-bin map + bounded aggs)
+    "psi_monthly_drift_monitor",
 ]
 
 #: Documents-mode battery: the similarity-join / near-dup family plus
@@ -156,6 +158,8 @@ DOC_BATTERY = [
     "incremental_near_dup_ingest",
     "near_dup_cluster_quality_keep",
     "source_temperature_mixture",
+    # round-9 batch-30 span-level decontamination
+    "decontamination_span_offsets",
 ]
 
 
@@ -182,6 +186,8 @@ EMB_BATTERY = [
     "ann_recall_signlsh_at5",
     # round-9 batch-29 contrastive-sampler pass (O(n·k·d) broadcast path)
     "hard_negative_mining_centroids",
+    # round-9 batch-30 JL projection audit (O(n·d·k) broadcast matrix)
+    "jl_projection_distortion",
 ]
 
 
