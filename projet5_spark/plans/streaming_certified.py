@@ -142,6 +142,36 @@ def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_join_availablenow",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL '30 minutes'
+     AND v.ts <= p.ts
+    """,
+)
+def streaming_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join computed by the STREAMING engine: purchases ⋈
+    views within the 30 minutes before each purchase, both sides
+    watermarked filtered views of the replayed events stream
+    (streaming/joins.py — the time bound + watermarks are what make
+    the two-sided join state finite), drained with availableNow. The
+    oracle is the equivalent batch interval join; row-set equality
+    certifies the micro-batch join buffered and matched across both
+    sides correctly, closing the last §2.8 operator without a driver
+    CORRECTNESS row."""
+    from ..streaming.joins import purchase_view_join
+    from ..streaming.windows import stream_events
+
+    stream = stream_events(spark, sf_dir)
+    return _drain(purchase_view_join(stream), "st_join", output_mode="append")
+
+
+@query(
     "streaming_session_availablenow",
     oracle=f"""
     WITH marked AS (
