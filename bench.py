@@ -262,6 +262,8 @@ HEADLINE = [
     "jl_projection_distortion",
     "sql_udf_margin_bands",
     "parameterized_sql_orders",
+    # --- round 9 batch-31 addition ---
+    "source_quality_cap_topk",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow
@@ -270,10 +272,11 @@ HEADLINE = [
     # wall measures micro-batch scheduling latency, not data
     # throughput; correctness-gated by the driver against the batch
     # twins' oracles.
-    # incremental_near_dup_ingest / near_dup_cluster_quality_keep
-    # excluded: they compose the exact-Jaccard ground-truth pair
-    # pipeline (ngram_jaccard_near_dup), which the headline set already
-    # excludes as a correctness baseline, not a throughput path.
+    # incremental_near_dup_ingest / near_dup_cluster_quality_keep /
+    # near_dup_threshold_curve excluded: they compose the exact-Jaccard
+    # ground-truth pair pipeline (ngram_jaccard_near_dup), which the
+    # headline set already excludes as a correctness baseline, not a
+    # throughput path.
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end

@@ -127,12 +127,13 @@ def source_quality_cap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap that stops one boilerplate-heavy crawl host from dominating
     the mixture, applied BEFORE mixture weighting.
 
-    Shape: the integer-grid quality score is map-only; the per-source
-    rank is one window whose top-K predicate Spark prunes with
-    WindowGroupLimit (per-partition top-K heaps before the shuffle —
-    the window_top3_customers_per_nation doctrine), so the full sort
-    of each source's docs never materializes; the rollup is
-    sources-scale."""
+    Shape: the integer-grid quality score is map-only; ONE window pass
+    ranks each source's docs, and the rank feeds both the kept and the
+    dropped aggregates — so no WindowGroupLimit prune applies (that
+    optimization needs a ``rn <= K`` FILTER, which would discard the
+    dropped-token ledger this query exists to report; a keep-only
+    variant would compile to it, as window_top3_customers_per_nation
+    does). Cost is one per-source sort + a sources-scale rollup."""
     from .llm import _STOPWORDS, _toks
 
     docs = _t(spark, sf_dir, "documents")

@@ -160,6 +160,8 @@ DOC_BATTERY = [
     "source_temperature_mixture",
     # round-9 batch-30 span-level decontamination
     "decontamination_span_offsets",
+    # round-9 batch-31 per-source quality cap
+    "source_quality_cap_topk",
 ]
 
 
