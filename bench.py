@@ -264,6 +264,9 @@ HEADLINE = [
     "parameterized_sql_orders",
     # --- round 9 batch-31 addition ---
     "source_quality_cap_topk",
+    # --- round 9 batch-32 additions (certified iterative ML, survival) ---
+    "kmeans_lloyd_certified",
+    "kaplan_meier_customer_survival",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow

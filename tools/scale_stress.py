@@ -135,6 +135,8 @@ DEFAULT_BATTERY = [
     "stratified_kfold_assignment",
     # round-9 batch-30 drift monitor (fixed-bin map + bounded aggs)
     "psi_monthly_drift_monitor",
+    # round-9 batch-32 survival curve (customer-scale agg + tiny window)
+    "kaplan_meier_customer_survival",
 ]
 
 #: Documents-mode battery: the similarity-join / near-dup family plus
@@ -190,6 +192,8 @@ EMB_BATTERY = [
     "hard_negative_mining_centroids",
     # round-9 batch-30 JL projection audit (O(n·d·k) broadcast matrix)
     "jl_projection_distortion",
+    # round-9 batch-32 certified Lloyd's iterations (O(n·k·d) per pass)
+    "kmeans_lloyd_certified",
 ]
 
 
