@@ -267,6 +267,7 @@ HEADLINE = [
     # --- round 9 batch-32 additions (certified iterative ML, survival) ---
     "kmeans_lloyd_certified",
     "kaplan_meier_customer_survival",
+    "covariance_power_iteration_topdir",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow

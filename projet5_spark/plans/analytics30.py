@@ -289,3 +289,158 @@ def kaplan_meier_customer_survival(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("d").alias("n_events"),
         F.sum("term_nano").over(w_cum).cast("long").alias("log_surv_nano"),
     )
+
+
+# --------------------------------------------------------------------------
+# Power iteration: dominant principal direction of the embedding covariance
+# --------------------------------------------------------------------------
+
+
+def _itdiv(w: str, d: str) -> str:
+    """Sign-explicit integer division shared textually with the oracle:
+    truncation toward zero regardless of either engine's native choice."""
+    return (
+        f"(CASE WHEN {w} < 0 THEN -((-({w})) // ({d})) "
+        f"ELSE ({w}) // ({d}) END)"
+    )
+
+
+_PI_ORACLE = f"""
+    WITH x AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (
+      SELECT i, CAST(sum(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS s_g
+      FROM x GROUP BY i),
+    prods AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(CAST(floor(a.v * b.v * 1e9) AS BIGINT)) AS BIGINT) AS sp_g
+      FROM x a JOIN x b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i),
+    cov AS (
+      SELECT prods.i, prods.j,
+             CAST(floor(((CAST(sp_g AS DOUBLE) / 1e9) / n.n
+                         - ((CAST(sa.s_g AS DOUBLE) / 1e6) / n.n)
+                           * ((CAST(sb.s_g AS DOUBLE) / 1e6) / n.n)) * 1e9)
+                  AS BIGINT) AS c
+      FROM prods JOIN n ON true
+      JOIN sums sa ON prods.i = sa.i
+      JOIN sums sb ON prods.j = sb.i),
+    w1 AS (SELECT i, CAST(sum(c * 1000000) AS BIGINT) AS w FROM cov GROUP BY i),
+    m1 AS (SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w1),
+    v1 AS (SELECT i, CAST({_itdiv('w', '(SELECT d FROM m1)')} AS BIGINT) AS v
+           FROM w1),
+    w2 AS (SELECT cov.i, CAST(sum(cov.c * v1.v) AS BIGINT) AS w
+           FROM cov JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+    m2 AS (SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w2),
+    v2 AS (SELECT i, CAST({_itdiv('w', '(SELECT d FROM m2)')} AS BIGINT) AS v
+           FROM w2),
+    w3 AS (SELECT cov.i, CAST(sum(cov.c * v2.v) AS BIGINT) AS w
+           FROM cov JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+    m3 AS (SELECT greatest(max(abs(w)) // 1000000, 1) AS d FROM w3),
+    v3 AS (SELECT i, CAST({_itdiv('w', '(SELECT d FROM m3)')} AS BIGINT) AS v
+           FROM w3)
+    SELECT CAST(i AS BIGINT) AS dim, v AS dir_q FROM v3
+"""
+
+
+@query("covariance_power_iteration_topdir", oracle=_PI_ORACLE)
+def covariance_power_iteration_topdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding covariance by
+    three unrolled power iterations — the 'remove the top common
+    direction' post-processing step (Arora et al.'s all-but-the-top)
+    an embedding pipeline runs before similarity search, certified
+    end-to-end: the covariance comes from exact integer cross-moments
+    (E[xy] − E[x]E[y], the embedding_covariance_topvar doctrine,
+    full-matrix form), and each iteration renormalizes by
+    sign-explicit integer division so every intermediate vector is an
+    exact BIGINT both engines reproduce.
+
+    Scale shape: the cross-moment aggregate is the one corpus-scale
+    pass (n·d² product rows folding into d² = 4 096 cells map-side);
+    the iterations are joins between the d²-row matrix and a d-row
+    vector — metadata-scale, loop-unrollable to any depth. First
+    iterate v₀ = all-ones (deterministic sign convention). Overflow
+    headroom: |cov| ≲ 1e9 nano-units, |v| ≤ 1e6 ⇒ |w| ≤ d·1e15 ≪ 2⁶³."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "vf")
+    ).select(
+        "vec_id",
+        (F.col("p") + F.lit(1)).cast("long").alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sums = x.groupBy("i").agg(
+        F.sum(F.floor(F.col("v") * F.lit(1e6)).cast("long"))
+        .cast("long")
+        .alias("s_g")
+    )
+    a, b = x.alias("a"), x.alias("b")
+    prods = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(
+                F.floor(F.col("a.v") * F.col("b.v") * F.lit(1e9)).cast("long")
+            )
+            .cast("long")
+            .alias("sp_g")
+        )
+    )
+    sa = sums.select(F.col("i").alias("i_a"), F.col("s_g").alias("sa"))
+    sb = sums.select(F.col("i").alias("i_b"), F.col("s_g").alias("sb"))
+    cov = (
+        prods.crossJoin(F.broadcast(n))
+        .join(F.broadcast(sa), F.col("i") == F.col("i_a"))
+        .join(F.broadcast(sb), F.col("j") == F.col("i_b"))
+        .select(
+            "i",
+            "j",
+            F.floor(
+                (
+                    (F.col("sp_g").cast("double") / 1e9) / F.col("n")
+                    - ((F.col("sa").cast("double") / 1e6) / F.col("n"))
+                    * ((F.col("sb").cast("double") / 1e6) / F.col("n"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        # d² = 4096 rows feeding three iterations: materialize once so
+        # each matrix-vector product does not re-run the n·d² moment
+        # aggregate behind it (shared-subtree doctrine, SCALING.md)
+        .localCheckpoint(eager=True)
+    )
+
+    def step(vcur: DataFrame) -> DataFrame:
+        w = (
+            cov.join(
+                F.broadcast(vcur.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("long").alias("w"))
+        )
+        mx = w.agg(
+            F.greatest(
+                F.expr("max(abs(w)) div 1000000"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        return w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.when(
+                F.col("w") < 0, -F.expr("(-w) div d")
+            )
+            .otherwise(F.expr("w div d"))
+            .cast("long")
+            .alias("v"),
+        )
+
+    v0 = cov.select("i").distinct().select(
+        "i", F.lit(1_000_000).cast("long").alias("v")
+    )
+    v = step(step(step(v0)))
+    return v.select(F.col("i").cast("long").alias("dim"), F.col("v").alias("dir_q"))

@@ -194,6 +194,8 @@ EMB_BATTERY = [
     "jl_projection_distortion",
     # round-9 batch-32 certified Lloyd's iterations (O(n·k·d) per pass)
     "kmeans_lloyd_certified",
+    # round-9 batch-32 power iteration (one n·d² moment pass + d²-scale loop)
+    "covariance_power_iteration_topdir",
 ]
 
 
