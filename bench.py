@@ -268,6 +268,9 @@ HEADLINE = [
     "kmeans_lloyd_certified",
     "kaplan_meier_customer_survival",
     "covariance_power_iteration_topdir",
+    # --- round 9 batch-33 additions (source formats) ---
+    "orc_scan_roundtrip_nation",
+    "text_scan_corpus_lines",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow

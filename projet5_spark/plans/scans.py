@@ -368,3 +368,95 @@ def csv_scan_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_good_name"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ORC scan round trip (columnar source beyond parquet)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orc_scan_roundtrip_nation",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_name,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation WHERE n_nationkey >= 5
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def orc_scan_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan certified end-to-end: write the nation fixture as ORC
+    (Spark's second built-in columnar format — common in Hive-lineage
+    lakes a 100 TB ingest must read), read it back, filter + aggregate
+    — the oracle aggregates the ORIGINAL parquet, so any typing drift
+    across the ORC boundary fails the value hash. The ``n_nationkey >=
+    5`` predicate rides ORC's pushdown path (min/max stripe statistics
+    + optional bloom filters — the ORC analog of parquet row-group
+    skipping), so the round trip certifies the filtered-scan plan, not
+    just serialization."""
+    path = _scratch(sf_dir, "nation_orc")
+    _t(spark, sf_dir, "nation").write.orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.where(F.col("n_nationkey") >= 5)
+        .groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Raw text-line corpus ingest (spark.read.text)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_scan_corpus_lines",
+    oracle="""
+    SELECT CAST(doc_id % 10 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_scan_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line corpus ingest — the most common LLM pretraining
+    landing format (one document per line, id-prefixed): dump the
+    documents fixture as ``doc_id\\ttext`` lines via the ``text``
+    source, read it back with ``spark.read.text``, re-parse id and
+    body with a bounded split, and aggregate token/char mass per id
+    shard — the oracle aggregates the original parquet, so any
+    line-framing or escaping drift fails the value hash. ``text``
+    files split on line boundaries like JSONL/CSV, so the identical
+    plan parallelizes across tasks at any corpus size (the fixture
+    corpus is newline-free by construction — binary-safe corpora use
+    the JSONL form instead, certified separately)."""
+    path = _scratch(sf_dir, "docs_text")
+    docs = _t(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias(
+            "value"
+        )
+    ).write.text(path)
+    back = spark.read.text(path).select(
+        F.split(F.col("value"), "\t", 2).alias("parts")
+    ).select(
+        F.element_at(F.col("parts"), 1).cast("long").alias("doc_id"),
+        F.element_at(F.col("parts"), 2).alias("text"),
+    )
+    return (
+        back.groupBy((F.col("doc_id") % 10).cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .orderBy("shard")
+    )
