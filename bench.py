@@ -268,9 +268,11 @@ HEADLINE = [
     "kmeans_lloyd_certified",
     "kaplan_meier_customer_survival",
     "covariance_power_iteration_topdir",
-    # --- round 9 batch-33 additions (source formats) ---
+    # --- round 9 batch-33 additions (source formats, Spark-4 SQL) ---
     "orc_scan_roundtrip_nation",
     "text_scan_corpus_lines",
+    "xml_scan_roundtrip_region",
+    "collation_lcase_grouping",
     # --- round 9 exclusions ---
     # streaming_tumbling_availablenow / streaming_session_availablenow
     # (and the batch-29 sliding/dedup entries) excluded: availableNow

@@ -460,3 +460,96 @@ def text_scan_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# XML scan round trip (Spark 4 built-in XML source)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "xml_scan_roundtrip_region",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_regions,
+           CAST(sum(r_regionkey) AS BIGINT) AS key_sum,
+           min(r_name) AS first_name,
+           max(r_name) AS last_name,
+           CAST(sum(length(r_name)) AS BIGINT) AS name_chars
+    FROM region
+    """,
+)
+def xml_scan_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan certified end-to-end through Spark 4's BUILT-IN XML
+    source (spark-xml graduated into core in 4.0): write the region
+    fixture as row-tagged XML, read it back with an explicit rowTag +
+    schema, aggregate — the oracle aggregates the original parquet, so
+    any element-framing/typing/entity-escaping drift across the XML
+    boundary fails the value hash. XML is the one legacy-feed format a
+    migration engine still meets (the reference's healthcare domain
+    runs on HL7-style XML exports); rowTag framing keeps the read
+    splittable by element boundaries."""
+    path = _scratch(sf_dir, "region_xml")
+    _t(spark, sf_dir, "region").write.format("xml").option(
+        "rootTag", "regions"
+    ).option("rowTag", "region").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema("r_regionkey BIGINT, r_name STRING")
+        .load(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regions"),
+        F.sum("r_regionkey").cast("long").alias("key_sum"),
+        F.min("r_name").alias("first_name"),
+        F.max("r_name").alias("last_name"),
+        F.sum(F.length("r_name")).cast("long").alias("name_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Collation semantics (Spark 4 COLLATE)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "collation_lcase_grouping",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0
+                  THEN lower(p_type)
+                  ELSE upper(p_type) END AS t
+      FROM part)
+    SELECT lower(t) AS type_folded,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(t) AS binary_min
+    FROM mixed GROUP BY lower(t)
+    """,
+)
+def collation_lcase_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation semantics certified: part types are case-mixed
+    by key parity, then grouped under ``COLLATE UTF8_LCASE`` — the
+    engine's case-insensitive comparison collapses 'economy' and
+    'ECONOMY' into one group WITHOUT any lower() rewrite in the
+    grouping key. The output projects an explicit fold + the binary
+    min of each group's original spellings so the compared values are
+    collation-independent; the oracle groups by lower() — equality
+    proves the collated grouping partitions rows exactly like textual
+    case-folding (for this ASCII domain), i.e. the collation is doing
+    the work the rewrite would.
+
+    Scale note: collated grouping keys hash/compare under the collation
+    inside Tungsten — same shuffle shape as binary strings; unlike a
+    lower() rewrite the original spellings stay available downstream."""
+    part = _t(spark, sf_dir, "part")
+    mixed = part.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type"))
+        .otherwise(F.upper("p_type"))
+        .alias("t")
+    )
+    collated = mixed.select(F.expr("t COLLATE UTF8_LCASE").alias("tc"), "t")
+    return collated.groupBy("tc").agg(
+        F.lower(F.min("t")).alias("type_folded"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("t").alias("binary_min"),
+    ).select("type_folded", "n_parts", "binary_min")
