@@ -115,8 +115,13 @@ def kmeans_lloyd_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(
         F.sha2(F.concat(F.lit("km:"), F.col("vec_id").cast("string")), 256), 1, 8
     )
+    # seed from the EXPLODED relation (matches the oracle's
+    # `SELECT DISTINCT vec_id FROM x`): a row whose embedding array is
+    # empty/NULL has no x rows, so it must not be seedable either —
+    # seeding from emb would let such a row claim a cid that then gets
+    # zero centroid components, shifting every later seed's cid
     seeds = (
-        emb.select("vec_id")
+        x.select("vec_id")
         .distinct()
         .withColumn(
             "cid",
@@ -252,8 +257,14 @@ def kaplan_meier_customer_survival(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("long")
             .alias("t"),
             (
+                # timestamp arithmetic, NOT date_sub: o_orderdate is a
+                # timestamp column and the oracle subtracts the interval
+                # from the full timestamp — date_sub would truncate the
+                # corpus end to midnight and classify customers whose
+                # last order falls inside the truncated sub-day window
+                # differently for non-midnight event times
                 F.max("o_orderdate")
-                < F.date_sub(F.max(F.col("mx")), _KM_CHURN_DAYS)
+                < F.max(F.col("mx")) - F.expr(f"INTERVAL {_KM_CHURN_DAYS} DAYS")
             )
             .cast("int")
             .alias("event"),

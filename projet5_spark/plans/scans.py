@@ -536,14 +536,34 @@ def collation_lcase_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     collation-independent; the oracle groups by lower() — equality
     proves the collated grouping partitions rows exactly like textual
     case-folding (for this ASCII domain), i.e. the collation is doing
-    the work the rewrite would.
+    the work the rewrite would. The ASCII precondition is ENFORCED: a
+    non-ASCII p_type raises in-plan rather than silently certifying an
+    equivalence that no longer holds.
 
     Scale note: collated grouping keys hash/compare under the collation
     inside Tungsten — same shuffle shape as binary strings; unlike a
     lower() rewrite the original spellings stay available downstream."""
     part = _t(spark, sf_dir, "part")
+    # the lower()-rewrite oracle is only equivalent to UTF8_LCASE for
+    # ASCII data (full case folding diverges on e.g. Turkish dotless I
+    # and U+00DF) — enforce that precondition in the plan instead of
+    # assuming it, so a fixture change fails loudly rather than
+    # silently certifying the wrong thing
+    ascii_only = F.col("p_type").rlike(r"^[\x20-\x7e]*$")
     mixed = part.select(
-        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type"))
+        F.when(
+            ~ascii_only,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "collation_lcase_grouping: non-ASCII p_type breaks "
+                        "the lower()-rewrite oracle equivalence: "
+                    ),
+                    F.col("p_type"),
+                )
+            ),
+        )
+        .when(F.col("p_partkey") % 2 == 0, F.lower("p_type"))
         .otherwise(F.upper("p_type"))
         .alias("t")
     )
