@@ -31,6 +31,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CURVE_FLOOR = 0.02  # ignore the sub-noise tail (pairs sharing 1 shingle)
+_CURVE_MAX_DOCS = 20_000  # exact-curve corpus bound; above it, sample
+_CURVE_SLICE_MOD = 16  # digest slice keeps ~1/16 of docs above the bound
+
+
+def curve_corpus(docs: DataFrame, max_docs: int = _CURVE_MAX_DOCS):
+    """Enforce the calibration-sampling posture: the exact pairwise
+    curve is quadratic in duplicate mass, so above ``max_docs`` the
+    corpus is cut to a DETERMINISTIC digest slice (keep doc when
+    ``xxhash64('curve:', doc_id) % {_CURVE_SLICE_MOD} == 0``) before
+    any pair is generated — content-addressed, so reruns and engines
+    agree on the slice, and duplicate clusters survive proportionally
+    (slicing is per-doc uniform, Jaccard mass shape converges fast).
+
+    Returns ``(docs', sampled)``. The size check is ONE bounded count
+    at plan-build time (the verify_pairs_dense max_cells pattern at
+    llm.py — guard BEFORE the quadratic object exists, not after);
+    seed prefix 'curve:' is disjoint from the minhash/simhash seeds.
+    """
+    n = docs.agg(F.count(F.lit(1)).alias("n")).head()["n"]
+    if n <= max_docs:
+        return docs, False
+    sliced = docs.where(
+        F.pmod(
+            F.xxhash64(F.lit("curve:"), F.col("doc_id").cast("string")),
+            F.lit(_CURVE_SLICE_MOD),
+        )
+        == 0
+    )
+    return sliced, True
 
 
 @query(
@@ -65,14 +94,17 @@ def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the DF-capped exact pair generator at the low floor, so
     every background pair's true Jaccard is reconstructed (candidate
     completeness proof at llm.ngram_near_dup_pairs). Scale note: a
-    0.02-floor exact curve is a CALIBRATION pass, run on a sampled
-    slice of a 100 TB corpus (the curve's shape converges fast); the
-    production dedup then runs banded at the chosen threshold. The
-    bucket floor is computed from the identical rational Jaccard in
-    both engines, so bucketing is bit-stable."""
+    0.02-floor exact curve is a CALIBRATION pass — and that posture is
+    ENFORCED, not documented: :func:`curve_corpus` cuts any corpus
+    above {_CURVE_MAX_DOCS} docs to a deterministic digest slice
+    BEFORE pair generation, so the quadratic object can never form at
+    corpus scale (the curve's shape converges fast under uniform
+    per-doc sampling); the production dedup then runs banded at the
+    chosen threshold. The bucket floor is computed from the identical
+    rational Jaccard in both engines, so bucketing is bit-stable."""
     from .llm import ngram_near_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs, _sampled = curve_corpus(_t(spark, sf_dir, "documents"))
     pairs = ngram_near_dup_pairs(spark, docs, threshold=_CURVE_FLOOR)
     bucket = F.floor(F.col("jaccard") * 20) / 20
     return (

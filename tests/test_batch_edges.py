@@ -149,3 +149,27 @@ def test_threshold_curve_exact_dup_hits_top_bucket(spark, tmp_path):
     # own top bucket, above the [0.95, 1.0) band
     assert rows[0].bucket == pytest.approx(1.0)
     assert rows[0].n_pairs == 1 and rows[0].max_jaccard == 1.0
+
+
+def test_curve_corpus_sampling_guard_switches_above_bound(spark, tmp_path):
+    # The calibration-sampling posture is enforced in code: at or below
+    # the bound the corpus passes through untouched; above it the curve
+    # runs on a deterministic digest slice (content-addressed, so two
+    # invocations agree row-for-row).
+    from projet5_spark.plans.analytics29 import curve_corpus
+
+    docs = [(i, f"tok{i} a b c d", "en", "s0", 12) for i in range(40)]
+    p = _mini_dir(spark, tmp_path, docs=docs)
+    df = spark.read.parquet(f"{p}/documents.parquet")
+
+    same, sampled = curve_corpus(df, max_docs=40)
+    assert not sampled and same is df
+
+    sliced, sampled = curve_corpus(df, max_docs=10)
+    assert sampled
+    ids1 = sorted(r.doc_id for r in sliced.select("doc_id").collect())
+    sliced2, _ = curve_corpus(df, max_docs=10)
+    ids2 = sorted(r.doc_id for r in sliced2.select("doc_id").collect())
+    assert ids1 == ids2  # deterministic digest slice, not an RNG sample
+    assert 0 < len(ids1) < 40  # a real cut, not all-or-nothing
+    assert set(ids1) <= set(range(40))
