@@ -71,16 +71,26 @@ def connected_components(
     # subtree independently — with an expensive upstream (the Jaccard
     # candidate pipeline) that doubled its work and spill (x20 docs
     # stress: 16.1 GB here vs 7.8 GB for the pipeline run once). The
-    # edge list itself is pair-scale, so this checkpoint is small.
-    e0 = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    # edge list itself is pair-scale, so the materialized data is
+    # small — but HOW it is materialized matters: routing the
+    # producing plan through localCheckpoint's block-cache build made
+    # the upstream pair aggregates spill 2.2 GB at x20 docs where the
+    # identical plan under a plain action runs spill-free (measured
+    # round 10), so the expensive upstream goes through a parquet
+    # round-trip (operators/materialize.py) — plain write action,
+    # lineage truncated by the scan, scratch deleted on convergence.
+    from .materialize import parquet_checkpoint
+
+    e0, release_e0 = parquet_checkpoint(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")),
+        label="cc-edges",
+    )
     sym = (
         e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    _release_checkpoint(e0)
+    release_e0()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )

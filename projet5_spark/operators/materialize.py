@@ -1,0 +1,97 @@
+"""Parquet-backed materialization — the cluster-sane checkpoint.
+
+``DataFrame.localCheckpoint`` / ``persist`` route the producing plan
+through the block-cache build path, which executes measurably worse
+than the same plan under a plain action: at x20 docs the near-dup
+pair pipeline runs spill-free to a noop sink or ``count()`` but
+spills 2.2 GB into its aggregates the moment its result is block-
+cached (measured round 10; the regression tracks the cache-build
+execution path, not the data size — the cached edge list itself is
+5 120 rows). A parquet round-trip materializes through the ordinary
+write path instead: full AQE, no storage-memory coupling, lineage
+truncated by the scan — and it is exactly what checkpointing looks
+like on a real cluster (durable storage, survives executor loss,
+readable by later stages at scan speed). localCheckpoint remains the
+right tool for SMALL frames with cheap upstreams (entity-scale side
+tables, per-round loop labels), where the block write is trivial and
+the round-trip latency would dominate.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+_ROOTS: dict[str, str] = {}
+
+
+def _scratch_root(app_id: str) -> str:
+    root = _ROOTS.get(app_id)
+    if root is None or not os.path.isdir(root):
+        root = os.path.join(
+            tempfile.gettempdir(), f"projet5-ckpt-{app_id}"
+        )
+        os.makedirs(root, exist_ok=True)
+        _ROOTS[app_id] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def parquet_checkpoint(
+    df: DataFrame, label: str = "ckpt"
+) -> tuple[DataFrame, Callable[[], None]]:
+    """Materialize ``df`` to scratch parquet and return
+    ``(reread_df, release)`` — ``release()`` deletes the files once
+    every consumer is done (safe to call more than once; best-effort).
+
+    The write is a plain DataFrame action (AQE on, no block cache);
+    the re-read is a fresh parquet scan, so downstream plans start
+    from a constant-size leaf — the lineage-truncation property loops
+    like connected-components rely on. On a cluster the scratch root
+    would be a durable checkpoint dir; locally it lives under the
+    system temp dir and is removed at exit.
+
+    Parquet round-trips every type the engine materializes (longs,
+    doubles, strings, arrays, structs, timestamps) bit-exactly; a
+    frame with an untyped all-NULL column (VOID type) is the one
+    shape parquet cannot hold — cast such columns first.
+    """
+    spark = df.sparkSession
+    root = _scratch_root(spark.sparkContext.applicationId)
+    path = os.path.join(root, f"{label}-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+
+    def release() -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    return spark.read.parquet(path), release
+
+
+def release_persistent_rdds(spark) -> int:
+    """Unpersist every block-cached RDD of the session NOW; returns the
+    count released. Inter-query hygiene for battery/bench loops:
+    ``localCheckpoint`` blocks outlive their query until the
+    ContextCleaner's GC-driven sweep gets to them, so in back-to-back
+    runs query N executes under query N-1's leftover storage pressure
+    — x20-docs batteries attributed multi-GB spill to queries that run
+    spill-free isolated (SCALING.md "lingering blocks"). Queries are
+    contractually independent (each invocation rebuilds its frames),
+    so between queries every retained block is dead weight; on a real
+    cluster each query would be its own application and this sweep is
+    implicit. Never call it mid-query: a checkpointed frame's blocks
+    ARE its data until the consuming action finishes."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in jmap.values():
+        try:
+            rdd.unpersist(False)
+            n += 1
+        except Exception:  # racing with the cleaner is fine
+            pass
+    return n

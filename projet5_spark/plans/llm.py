@@ -350,8 +350,16 @@ def ngram_near_dup_pairs(
     Jaccard filter then makes the output identical to the naive
     all-pairs join.
     """
+    # materialize=False: the hash-keyed distinct behind `sh` compiles
+    # to ONE exchange that Spark reuses across every consumer branch
+    # (sizes, both pair-join sides, DF counts, stop sets) —
+    # ReusedExchange IS the materialization, with no block-cache
+    # footprint. The former localCheckpoint forced the whole pipeline
+    # through the cache-build execution path, which spilled 2.2 GB at
+    # x20 docs where the same plan under a plain action is spill-free
+    # (measured round 10; rationale at operators/materialize.py).
     sh, rare, stop = _split_shingles_by_df(
-        spark, docs, max_df_frac, min_df_cap, materialize=True
+        spark, docs, max_df_frac, min_df_cap, materialize=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     heavies = _heavy_stop_pairs(sh, stop, sizes, threshold).withColumn(

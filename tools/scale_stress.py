@@ -376,6 +376,7 @@ def run_battery(
     """Per-query wall plus per-query run-stat DELTAS (spill, shuffle) —
     the app-wide totals alone cannot attribute a spill to a query."""
     from projet5_spark.instrumentation import run_stats_summary
+    from projet5_spark.operators.materialize import release_persistent_rdds
 
     walls: dict[str, float] = {}
     deltas: dict[str, dict[str, int]] = {}
@@ -383,6 +384,11 @@ def run_battery(
                "shuffle_read_bytes")
     before = run_stats_summary(spark)
     for name in names:
+        # deterministic inter-query block hygiene: without it, query N
+        # runs under query N-1's leftover checkpoint blocks and the
+        # battery attributes pressure-induced spill to innocent queries
+        # (isolated-vs-battery readings diverged by GBs; SCALING.md)
+        release_persistent_rdds(spark)
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
