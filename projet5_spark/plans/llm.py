@@ -140,6 +140,11 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_DF_FRAC = 0.10
 #: absolute DF floor so tiny corpora never drop their whole vocabulary
 _NGRAM_MIN_DF_CAP = 5
+#: corpus size past which the pair-verify attach join pins a shuffled
+#: hash build instead of riding the AQE broadcast upgrade (the
+#: doc-scale side-table crosses the broadcast threshold around here,
+#: and the SMJ fallback would sort the pair mass; ngram_near_dup_pairs)
+_ATTACH_SHJ_MIN_DOCS = 150_000
 #: absolute DF CEILING: a shingle shared by more docs than this is
 #: stop regardless of corpus size. The relative cap alone lets the
 #: quadratic pair term grow with the corpus — at n docs the threshold
@@ -230,14 +235,25 @@ def _pairs_from_rare(rare: DataFrame) -> DataFrame:
     # shuffles/sorts only (doc_id, h1, h2) longs
     hr = rare.select("doc_id", "h1", "h2")
     a, b = hr.alias("a"), hr.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # widen the count aggregate's partitioning explicitly: pair keys
+    # are near-unique (background pairs share ~1 shingle), so the agg
+    # hash map holds ~one entry per input row and its memory is the
+    # pair MASS, not the reduced output — at one-partition-per-core
+    # that state crossed the per-task budget at x50 docs (56M keys /
+    # 32 tasks) and cascaded into sort-fallback spill. A user
+    # repartition survives AQE coalescing (only ENSURE_REQUIREMENTS
+    # shuffles are coalesced), and the groupBy reuses the partitioning
+    # — same single exchange, 4x more waves of 4x smaller hash maps.
+    n_parts = rare.sparkSession.sparkContext.defaultParallelism * 4
     return (
-        a.join(
-            b,
-            (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        joined.repartition(n_parts, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common_rare"))
     )
 
@@ -283,6 +299,22 @@ def ngram_candidate_pairs(
     )
 
 
+def _heavy_docs(
+    sh: DataFrame, stop: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Doc ids whose stop-shingle count reaches ``threshold`` of their
+    total shingle count — the "boilerplate-heavy" set of the
+    :func:`_heavy_stop_pairs` lemma (one ``doc_id`` column)."""
+    srows = sh.select("doc_id", "h1", "h2").join(stop, ["h1", "h2"])
+    return (
+        srows.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+        .join(sizes, "doc_id")
+        .where(F.col("n_stop") >= F.lit(threshold) * F.col("n"))
+        .select("doc_id")
+    )
+
+
 def _heavy_stop_pairs(
     sh: DataFrame, stop: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:
@@ -303,13 +335,7 @@ def _heavy_stop_pairs(
     cost its exact answer requires — the bounded scale path remains
     minhash_lsh_near_dup."""
     srows = sh.select("doc_id", "h1", "h2").join(stop, ["h1", "h2"])
-    heavy = (
-        srows.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_stop"))
-        .join(sizes, "doc_id")
-        .where(F.col("n_stop") >= F.lit(threshold) * F.col("n"))
-        .select("doc_id")
-    )
+    heavy = _heavy_docs(sh, stop, sizes, threshold)
     hrows = srows.join(heavy, "doc_id", "left_semi")
     a, b = hrows.alias("a"), hrows.alias("b")
     return (
@@ -362,15 +388,26 @@ def ngram_near_dup_pairs(
         spark, docs, max_df_frac, min_df_cap, materialize=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    heavies = _heavy_stop_pairs(sh, stop, sizes, threshold).withColumn(
+    heavies = _heavy_stop_pairs(sh, stop, sizes, threshold)
+    rare_pairs = _pairs_from_rare(rare)
+    # dedup heavies against rare_pairs WITHOUT re-aggregating the pair
+    # mass: the old union + groupBy(max) pushed every rare pair through
+    # a second full-width aggregate just to absorb the (tiny) heavy
+    # set. Any overlap pair necessarily has BOTH ends heavy, so
+    # restrict rare_pairs to heavy endpoints first (two semi joins
+    # against the heavy-doc set — map-side once AQE broadcasts it) and
+    # anti-join the heavies against that heavy-scale slice instead:
+    # heavies \ rare_pairs == heavies \ rare_pairs[both ends heavy].
+    hdocs = _heavy_docs(sh, stop, sizes, threshold)
+    rp_heavy = (
+        rare_pairs.select("doc_a", "doc_b")
+        .join(hdocs.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .join(hdocs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    extra = heavies.join(rp_heavy, ["doc_a", "doc_b"], "left_anti").withColumn(
         "common_rare", F.lit(0).cast("long")
     )
-    pairs = (
-        _pairs_from_rare(rare)
-        .unionByName(heavies)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("common_rare").alias("common_rare"))
-    )
+    pairs = rare_pairs.unionByName(extra.select("doc_a", "doc_b", "common_rare"))
     # stop-set elements are the hash pair PACKED into one string
     # ("h1:h2", injective for decimal longs): array_intersect only has
     # its fast hash-lookup path for atomic element types — over struct
@@ -390,11 +427,19 @@ def ngram_near_dup_pairs(
     # separate attach joins: the pair relation is pair-SCALE
     # (candidate mass ≫ doc count — 63M rows in the x50 stress), so
     # halving the number of joins it flows through halves its
-    # exchanges. No join-strategy hint: AQE broadcasts the doc-scale
-    # side when it is small and picks the shuffle strategy from real
-    # sizes otherwise (a pinned shuffle_hash measured +0.5 s at
-    # fixture scale by blocking exactly that broadcast upgrade).
+    # exchanges. Join-strategy pivot: while doc_info fits the AQE
+    # broadcast threshold (fixture..x20 ≈ ≤150k docs) the upgrade is
+    # free and the pair mass is never re-shuffled — but past it the
+    # sort-merge fallback SORTS the pair relation twice (measured
+    # 1.0 + 2.7 GB sort spill at x50), while a pinned shuffled-hash
+    # build streams it sort-free (x50: zero spill, −4 s wall; the pin
+    # at x20 instead costs ~6 s by blocking the broadcast upgrade —
+    # measured both ways, round 10). ONE bounded count at plan build
+    # picks the side of that pivot explicitly.
+    n_docs_exact = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     doc_info = sizes.join(stop_sets, "doc_id", "left")
+    if n_docs_exact >= _ATTACH_SHJ_MIN_DOCS:
+        doc_info = doc_info.hint("shuffle_hash")
     ia = doc_info.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n1"),
