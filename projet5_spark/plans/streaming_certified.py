@@ -205,3 +205,122 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     return _drain(
         streaming_session_windows(stream), "st_session", output_mode="complete"
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4 stateful API) — driver-certified
+# --------------------------------------------------------------------------
+
+
+def _bridge_protobuf(spark: SparkSession) -> None:
+    """Make ``google.protobuf`` importable for the transformWithState
+    state-server protocol in THIS process and in the Python workers,
+    at query-call time (the external driver never runs conftest).
+
+    No-op when a real protobuf install exists. Otherwise the vendored
+    bridge at ``tests/_proto_shim`` is put on this process's
+    ``sys.path`` (plus its gencode/runtime version-gate relaxation),
+    and on the WORKER side via ``sc.environment['PYTHONPATH']`` — the
+    per-UDF env pyspark ships with each serialized function, which
+    keys a fresh worker daemon whose interpreter auto-imports the
+    shim's ``sitecustomize`` at startup. Raises with a clear message
+    where neither a real protobuf nor the vendor tree exists, so the
+    gate records an explicit environment gap instead of a protocol
+    stack trace."""
+    import importlib.util
+    import os
+    import sys
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return  # real install: driver and (same-box) workers are fine
+    except Exception:
+        pass
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    shim = os.path.join(repo, "tests", "_proto_shim")
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except Exception:
+        if shim in sys.path:
+            sys.path.remove(shim)
+        raise RuntimeError(
+            "transformWithState needs google.protobuf: no site-packages "
+            "install and the tests/_proto_shim vendor bridge found no "
+            "protobuf tree on this box"
+        )
+    spec = importlib.util.spec_from_file_location(
+        "_proto_shim_sitecustomize", os.path.join(shim, "sitecustomize.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    env = spark.sparkContext.environment
+    prev = env.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+    if shim not in prev.split(os.pathsep):
+        env["PYTHONPATH"] = shim + (os.pathsep + prev if prev else "")
+
+
+@query(
+    "streaming_transform_with_state_availablenow",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value,
+           max(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_transform_with_state_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type running stats through the REAL
+    ``transformWithStateInPandas`` operator (Spark 4's named-typed-state
+    API: ValueState in a RocksDB state store, processor lifecycle,
+    state-server protocol to the Python worker), replayed with
+    availableNow and certified against the DuckDB batch oracle — the
+    last §2.8 state shape without a driver CORRECTNESS row (it was
+    pytest-only via the proto shim through round 9).
+
+    The update-mode memory sink keeps one row per key per micro-batch;
+    the final profile per key is the row with the highest running
+    ``n_events`` (strictly increasing per key, so the pick is total).
+    The processor accumulates integer cents, so stream/batch equality
+    is independent of micro-batch boundaries and summation order.
+
+    Scale: state is one (n, sum, max) triple per event type — tiny and
+    bounded; the operator's cost is the per-batch shuffle to key
+    groups, identical to the hash aggregate a batch rollup runs.
+    RocksDB provider conf is set for the drain and restored (the API
+    requires it; conf is runtime-settable)."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_event_type_stats
+    from ..streaming.windows import stream_events
+
+    _bridge_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, sf_dir)
+        updates = _drain(
+            streaming_event_type_stats(stream), "st_tws", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
