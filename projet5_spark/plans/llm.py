@@ -159,12 +159,31 @@ _ATTACH_SHJ_MIN_DOCS = 150_000
 _NGRAM_ABS_DF_CEILING = 2000
 
 
+def hashed_shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Distinct ``(doc_id, h1, h2)`` hashed shingle rows — the unit the
+    ngram family shuffles (rekey rationale at _split_shingles_by_df)
+    and the ROW FORMAT of the maintained shingle-index table
+    (sources.writers.append_index_partition): an ingest pipeline lands
+    each batch's rows once and later runs pair generation straight off
+    the stored index via ``ngram_near_dup_pairs(sh_rows=...)``."""
+    return (
+        shingle_rows(spark, docs)
+        .select(
+            "doc_id",
+            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+        )
+        .distinct()
+    )
+
+
 def _split_shingles_by_df(
     spark: SparkSession,
     docs: DataFrame,
     max_df_frac: float = _NGRAM_MAX_DF_FRAC,
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
     materialize: bool = False,
+    sh_rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Partition the distinct (doc_id, s) shingle rows into rare vs stop
     shingles by document frequency.
@@ -199,18 +218,21 @@ def _split_shingles_by_df(
     # the strings); after the rekey nothing downstream reads `s`, so
     # the string dies at the scan boundary and every sort/shuffle/
     # checkpoint in the family carries only longs
-    sh = (
-        shingle_rows(spark, docs)
-        .select(
-            "doc_id",
-            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
-            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
-        )
-        .distinct()
-    )
+    if sh_rows is not None:
+        # maintained-index path: (doc_id, h1, h2) rows come from a
+        # stored shingle-index table instead of re-shingling text.
+        # n_docs counts docs WITH shingles (a sub-3-token doc has no
+        # index rows) — that only nudges the DF threshold, and the
+        # exact per-pair verification makes output independent of
+        # where the rare/stop split lands (candidate completeness
+        # holds for any split).
+        sh = sh_rows.select("doc_id", "h1", "h2").distinct()
+        ntot = sh.agg(F.count_distinct("doc_id").alias("n_docs"))
+    else:
+        sh = hashed_shingle_rows(spark, docs)
+        ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     stop = (
         dfc.join(F.broadcast(ntot))
@@ -356,6 +378,7 @@ def ngram_near_dup_pairs(
     threshold: float = 0.5,
     max_df_frac: float = _NGRAM_MAX_DF_FRAC,
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
+    sh_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs with DF-capped candidate generation.
 
@@ -385,7 +408,7 @@ def ngram_near_dup_pairs(
     # x20 docs where the same plan under a plain action is spill-free
     # (measured round 10; rationale at operators/materialize.py).
     sh, rare, stop = _split_shingles_by_df(
-        spark, docs, max_df_frac, min_df_cap, materialize=False
+        spark, docs, max_df_frac, min_df_cap, materialize=False, sh_rows=sh_rows
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     heavies = _heavy_stop_pairs(sh, stop, sizes, threshold)
@@ -436,7 +459,10 @@ def ngram_near_dup_pairs(
     # at x20 instead costs ~6 s by blocking the broadcast upgrade —
     # measured both ways, round 10). ONE bounded count at plan build
     # picks the side of that pivot explicitly.
-    n_docs_exact = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    size_src = (
+        docs if sh_rows is None else sh_rows.select("doc_id").distinct()
+    )
+    n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     doc_info = sizes.join(stop_sets, "doc_id", "left")
     if n_docs_exact >= _ATTACH_SHJ_MIN_DOCS:
         doc_info = doc_info.hint("shuffle_hash")

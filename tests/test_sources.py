@@ -272,3 +272,41 @@ def test_unsplittable_single_file_warning(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="projet5_spark.sources.readers"):
         read_json(spark, str(small), schema="id BIGINT").count()
     assert not any("not splittable" in r.message for r in caplog.records)
+
+
+def test_append_index_partition_idempotent(spark, tmp_path):
+    """Re-landing the same ingest partition (retried orchestration)
+    must leave the table exactly as after the first landing, and must
+    never touch sibling partitions."""
+    from projet5_spark.sources.writers import append_index_partition
+
+    path = str(tmp_path / "idx")
+    hist = spark.createDataFrame(
+        [(1, 11, 111), (2, 22, 222)], "doc_id long, h1 long, h2 long"
+    )
+    batch = spark.createDataFrame(
+        [(3, 33, 333), (4, 44, 444)], "doc_id long, h1 long, h2 long"
+    )
+    append_index_partition(hist, path, "ingest_date", "2025-01-01")
+    append_index_partition(batch, path, "ingest_date", "2025-01-02")
+
+    def snapshot():
+        return sorted(
+            (r.doc_id, r.h1, r.h2, str(r.ingest_date))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    once = snapshot()
+    assert len(once) == 4
+    # retry the batch landing: dynamic overwrite replaces ONLY the
+    # batch partition, with identical content
+    append_index_partition(batch, path, "ingest_date", "2025-01-02")
+    assert snapshot() == once
+    # and a new partition appends without disturbing the others
+    append_index_partition(
+        spark.createDataFrame([(5, 55, 555)], "doc_id long, h1 long, h2 long"),
+        path,
+        "ingest_date",
+        "2025-01-03",
+    )
+    assert len(snapshot()) == 5 and set(once) <= set(snapshot())
