@@ -9,6 +9,19 @@ median of 3 runs after 1 warm-up; `value` is the sum of per-query
 medians. The heavy quadratic ground-truth query (ngram_jaccard_near_dup)
 and the ML-fit LSH queries are excluded from the headline set — they are
 correctness/recall baselines, not throughput paths.
+
+TIER 2 (round 10): everything in the catalog that is not a headline
+query runs ONCE (no warm-up) after the headline pass and is reported
+under ``tier2_queries`` — full-catalog coverage with zero silently
+unbenched entries (the set is COMPUTED as catalog − headline, so new
+queries are benched by default). Tier-2 membership, not exclusion, is
+where the former named exclusions live: iterative loops
+(near_dup_clusters, kcore3), multi-action replays (streaming
+availableNow, snapshot_scd2_history, the maintained-index ingest), and
+the ground-truth pair family time their whole multi-job lifecycle
+there, which is honest for coverage but would pollute the headline
+throughput metric — `value` therefore still sums ONLY the headline
+medians, keeping it comparable with every earlier round's artifact.
 """
 
 from __future__ import annotations
@@ -273,19 +286,17 @@ HEADLINE = [
     "text_scan_corpus_lines",
     "xml_scan_roundtrip_region",
     "collation_lcase_grouping",
-    # --- round 9 exclusions ---
-    # streaming_tumbling_availablenow / streaming_session_availablenow
-    # (and the batch-29 sliding/dedup entries) excluded: availableNow
-    # micro-batch replays (start a streaming query, drain, read the
-    # memory sink) — multi-action like snapshot_scd2_history, and their
-    # wall measures micro-batch scheduling latency, not data
-    # throughput; correctness-gated by the driver against the batch
-    # twins' oracles.
+    # --- headline-only exclusions (all still benched in TIER 2) ---
+    # streaming *_availablenow entries: availableNow micro-batch
+    # replays (start a streaming query, drain, read the memory sink) —
+    # multi-action like snapshot_scd2_history; their wall measures
+    # micro-batch scheduling latency, not data throughput.
     # incremental_near_dup_ingest / near_dup_cluster_quality_keep /
-    # near_dup_threshold_curve excluded: they compose the exact-Jaccard
-    # ground-truth pair pipeline (ngram_jaccard_near_dup), which the
-    # headline set already excludes as a correctness baseline, not a
-    # throughput path.
+    # near_dup_threshold_curve / ngram_jaccard_near_dup /
+    # shingle_index_incremental_ingest: the exact-Jaccard ground-truth
+    # family — a correctness baseline, not a throughput path.
+    # Since round 10 nothing is UNbenched: every catalog entry outside
+    # this list runs once in tier 2 (computed as catalog − headline).
 ]
 
 #: Ambient-load sentinel: q01 timed in isolation at the start and end
@@ -317,9 +328,12 @@ REF_CPU_SENTINEL = 1.5613  # mean(1.7143, 1.4082), round-8 close
 REF_Q01_SENTINEL = 0.5606  # mean(0.6194, 0.5018), round-8 close
 
 
-def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+def time_query(
+    spark, name: str, sf_dir: str, runs: int = 3, warmup: bool = True
+) -> float:
     fn = QUERIES[name]
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+    if warmup:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -328,9 +342,13 @@ def time_query(spark, name: str, sf_dir: str, runs: int = 3) -> float:
         samples.append(time.perf_counter() - t0)
     # release the query's localCheckpoint blocks: dropping the Python
     # refs + a gc pass lets the ContextCleaner free executor storage,
-    # so late-listed queries aren't penalized by ~90 queries' worth of
-    # accumulated checkpoint blocks
+    # and the explicit unpersist sweep makes the release deterministic
+    # (operators/materialize.py) — so late-listed queries aren't
+    # penalized by ~100 queries' worth of accumulated checkpoint blocks
     gc.collect()
+    from projet5_spark.operators.materialize import release_persistent_rdds
+
+    release_persistent_rdds(spark)
     return statistics.median(samples)
 
 
@@ -356,6 +374,13 @@ def main() -> None:
             queries[name] = round(time_query(spark, name, sf_dir), 4)
         sentinel_end = round(time_query(spark, SENTINEL, sf_dir), 4)
         sentinel_cpu_end = round(time_query(spark, SENTINEL_CPU, sf_dir), 4)
+        # tier 2: full-catalog coverage, single cold shot per query
+        # (module docstring on why these are not headline material)
+        tier2: dict[str, float] = {}
+        for name in sorted(set(QUERIES) - set(HEADLINE)):
+            tier2[name] = round(
+                time_query(spark, name, sf_dir, runs=1, warmup=False), 4
+            )
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "RUNSTATS.json"), "w") as f:
@@ -380,6 +405,9 @@ def main() -> None:
                     "run_cpu_sentinel_mean": round(run_cpu, 4),
                     "factor": round(norm, 4),
                 },
+                "tier2_queries": tier2,
+                "tier2_value": round(sum(tier2.values()), 4),
+                "tier2_runs": 1,
                 "sf": sf,
                 "sentinel_q01_start_sec": sentinel_start,
                 "sentinel_q01_end_sec": sentinel_end,
