@@ -359,3 +359,80 @@ def recursive_cte_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_BFS_BODY}
         """
     )
+
+
+# --------------------------------------------------------------------------
+# SQL scripting (Spark 4 BEGIN/DECLARE/WHILE control flow)
+# --------------------------------------------------------------------------
+
+_SCRIPT_T0 = 100_000  # starting price threshold
+_SCRIPT_TARGET = 1_000  # stop when at most this many orders exceed t
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle=f"""
+    WITH RECURSIVE it AS (
+      SELECT 0 AS k, CAST({_SCRIPT_T0} AS BIGINT) AS t,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_totalprice > {_SCRIPT_T0}) AS n
+      UNION ALL
+      SELECT k + 1, it.t * 11 // 10,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_totalprice > it.t * 11 // 10)
+      FROM it WHERE it.n > {_SCRIPT_TARGET})
+    SELECT t AS threshold, n AS n_above, CAST(k AS BIGINT) AS n_iterations
+    FROM it WHERE n <= {_SCRIPT_TARGET} ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN / DECLARE / WHILE / SET) certified
+    on a real control-flow computation: iteratively raise a price
+    threshold by exact integer steps (``t := t * 11 DIV 10``) until at
+    most {target} orders exceed it — the data-dependent loop shape
+    (threshold searches, convergence sweeps) that previously needed a
+    driver-side Python loop. The script's loop state lives in session
+    variables; every probe is a full SQL aggregate against the orders
+    scan. DuckDB replays the identical iteration as a recursive CTE,
+    so the certified row proves loop count, final threshold, and final
+    count all match on the exact integer grid.
+
+    Scale note: each iteration is one count aggregate over a pruned
+    scan — the loop multiplies scans, not shuffles; a production
+    variant would compute the full threshold ladder in ONE pass
+    (generate the t-sequence, conditional-sum per rung — see
+    quality_threshold_calibration) when the iteration count is known
+    to be bounded."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            f"""
+            BEGIN
+              DECLARE t BIGINT DEFAULT {_SCRIPT_T0};
+              DECLARE n BIGINT DEFAULT 0;
+              DECLARE k BIGINT DEFAULT 0;
+              SET n = (SELECT count(*) FROM orders_script
+                       WHERE o_totalprice > t);
+              WHILE n > {_SCRIPT_TARGET} DO
+                SET t = t * 11 DIV 10;
+                SET k = k + 1;
+                SET n = (SELECT count(*) FROM orders_script
+                         WHERE o_totalprice > t);
+              END WHILE;
+              SELECT t AS threshold, n AS n_above, k AS n_iterations;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+    return out
+
+
+sql_scripting_threshold_search.__doc__ = (
+    sql_scripting_threshold_search.__doc__.format(target=_SCRIPT_TARGET)
+)

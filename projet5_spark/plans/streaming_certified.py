@@ -324,3 +324,145 @@ def streaming_transform_with_state_availablenow(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@query(
+    "streaming_list_state_availablenow",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value,
+           max(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_list_state_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ListState`` through the real transformWithState operator: a
+    per-user ledger of raw event values appended batch-by-batch
+    (``appendList``), aggregates recomputed from the stored list on
+    every update — the keep-the-items state shape (replay buffers,
+    evidence lists) that ValueState cannot express. Final row per user
+    (highest running count) certified against the batch oracle; the
+    recomputed-from-list aggregates are arrival-order-invariant, so
+    stream/batch equality is exact.
+
+    Scale: list length is per-user event count — bounded by the
+    watermark horizon in a production deployment (unbounded here to
+    keep the oracle exact over the full replay)."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_user_values_list
+    from ..streaming.windows import stream_events
+
+    _bridge_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, sf_dir)
+        updates = _drain(
+            streaming_user_values_list(stream), "st_list", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "streaming_map_state_availablenow",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_map_state_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MapState`` through the real transformWithState operator:
+    per-user per-event-type (count, sum) folded with point
+    ``getValue``/``updateValue`` lookups — the keyed-sub-aggregate
+    state shape whose sub-key space is unbounded and only touched
+    entries cost anything. Every update emits the key's full map, so
+    the final (user, type) rows are the totals; certified per pair
+    against the batch group-by oracle."""
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import streaming_user_type_map
+    from ..streaming.windows import stream_events
+
+    _bridge_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, sf_dir)
+        updates = _drain(
+            streaming_user_type_map(stream), "st_map", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "statestore_reader_dedup_audit",
+    oracle="SELECT DISTINCT event_id FROM events",
+)
+def statestore_reader_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION certified end-to-end: run an
+    (unwatermarked) streaming ``dropDuplicates`` over the replayed
+    events into a throwaway checkpoint, then read the checkpoint back
+    through Spark's ``statestore`` batch source — the §2.8
+    observability surface an operator uses to audit what a stateful
+    query is actually holding. The read-back dedup keys must equal
+    ``SELECT DISTINCT event_id``; hash equality certifies both the
+    dedup state contents and the reader's decoding of the store's key
+    format. Unwatermarked on purpose: eviction would make state a
+    horizon-dependent subset (the watermarked form is certified by
+    ``streaming_dedup_availablenow``); production audits read specific
+    partitions/batches the same way."""
+    import tempfile
+
+    from ..streaming.windows import stream_events
+
+    stream = stream_events(spark, sf_dir).select("event_id", "ts")
+    ck = tempfile.mkdtemp(prefix="projet5-ssread-")
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(F.col("key.event_id").alias("event_id"))
+    )

@@ -223,3 +223,135 @@ def batch_event_type_stats(events: DataFrame) -> DataFrame:
         (F.sum(cents) / 100.0).alias("sum_value"),
         (F.max(cents) / 100.0).alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState richer state shapes: ListState and MapState
+# --------------------------------------------------------------------------
+
+USER_LIST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+class UserValuesListProcessor(StatefulProcessor):
+    """Per-user event-value ledger in a ``ListState`` — the state shape
+    for "keep the raw per-key items" operators (replay buffers, top-K
+    reservoirs, evidence lists). Each batch APPENDS the arriving cents
+    values (``appendList`` — no read-modify-write of the whole list)
+    and emits order-independent aggregates recomputed from the full
+    list, so the final row per key is batch-boundary- and
+    arrival-order-invariant."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._vals = handle.getListState("vals", "c BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import math
+
+        new = []
+        for pdf in rows:
+            for value in pdf["value"]:
+                new.append((int(math.floor(float(value) * 100 + 0.5)),))
+        if new:
+            self._vals.appendList(new)
+        cents = [c for (c,) in self._vals.get()]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(cents)],
+                "sum_value": [sum(cents) / 100.0],
+                "max_value": [max(cents) / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_values_list(events: DataFrame) -> DataFrame:
+    """Running per-user stats recomputed from a ``ListState`` ledger."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserValuesListProcessor(),
+            outputStructType=USER_LIST_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+USER_TYPE_MAP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+class UserTypeMapProcessor(StatefulProcessor):
+    """Per-user per-event-type counters in a ``MapState`` — the state
+    shape for keyed sub-aggregates (per-user per-item counts, per-key
+    per-feature sketches) where the sub-key space is unbounded and
+    only touched entries should cost anything. Each batch folds the
+    arriving rows into ``(count, sum_cents)`` per event type via
+    ``getValue``/``updateValue`` point lookups, then emits EVERY map
+    entry for the key (``iterator``), so the last emitted rows per
+    (user, type) are the final totals regardless of batch count."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._m = handle.getMapState(
+            "per_type", "event_type STRING", "n BIGINT, s BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        import math
+
+        for pdf in rows:
+            for etype, value in zip(pdf["event_type"], pdf["value"]):
+                cents = int(math.floor(float(value) * 100 + 0.5))
+                prev = (
+                    self._m.getValue((etype,))
+                    if self._m.containsKey((etype,))
+                    else (0, 0)
+                )
+                self._m.updateValue((etype,), (prev[0] + 1, prev[1] + cents))
+        types, ns, sums = [], [], []
+        for (etype,), (n, s) in self._m.iterator():
+            types.append(etype)
+            ns.append(n)
+            sums.append(s / 100.0)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(types),
+                "event_type": types,
+                "n_events": ns,
+                "sum_value": sums,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_type_map(events: DataFrame) -> DataFrame:
+    """Per-(user, event-type) running totals from a ``MapState``."""
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTypeMapProcessor(),
+            outputStructType=USER_TYPE_MAP_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
