@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -270,3 +270,207 @@ def shingle_index_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFr
             F.when((F.col("hist") == 0) & (F.col("batch") == 0), 1).otherwise(0)
         ).alias("n_ingested"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing round-trip: pack -> unpack must be lossless
+# --------------------------------------------------------------------------
+
+_PACK_CTX = 2048  # context window length (tokens)
+
+_UNPACK_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+    FROM tok GROUP BY source
+    """
+
+
+@query("sequence_unpack_roundtrip", oracle=_UNPACK_ORACLE)
+def sequence_unpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-then-unpack losslessness, certified: documents are packed
+    per source into {ctx}-token context windows (tokens keyed ONLY by
+    (source, window, position) — no doc ids in the packed form, like a
+    real input_ids shard), a separate manifest records each doc's
+    (start, len) span, and the UNPACK reconstructs every document from
+    windows + manifest alone, comparing ``sha2`` of the reconstruction
+    against the original text. The certified row reports n_exact per
+    source — any token lost, duplicated, or misordered by the
+    pack/unpack pipeline drops n_exact below n_docs and fails the
+    value hash (the oracle asserts n_exact == n_docs from the
+    originals).
+
+    Shape: per-source cumulative offsets (partitioned window — no
+    global sort), one posexplode to token rows, the unpack join is an
+    equi-join on (source, global position) against the manifest's
+    exploded spans, and reconstruction is one per-doc sort+concat.
+    Everything is token-scale and shard-parallel — the same plan
+    unpacks a 100 TB packed corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "text", F.split("text", " ").alias("toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    manifest = toks.select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("orig_sha"),
+        F.size("toks").cast("long").alias("len"),
+        (F.sum(F.size("toks").cast("long")).over(w) - F.size("toks")).alias(
+            "start"
+        ),
+    )
+    # packed shard: (source, win, pos, tok) — doc identity erased
+    token_rows = (
+        toks.join(manifest.select("doc_id", "start"), "doc_id")
+        .select(
+            "source",
+            "start",
+            F.posexplode("toks").alias("i", "tok"),
+        )
+        .select(
+            "source",
+            (F.col("start") + F.col("i")).alias("pos"),
+            "tok",
+        )
+        .withColumn("win", F.floor(F.col("pos") / _PACK_CTX).cast("long"))
+    )
+    windows = token_rows.groupBy("source", "win").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("body")
+    )
+    # unpack: windows -> token rows -> join manifest spans on (source, pos)
+    unpacked = windows.select(
+        "source", F.explode("body").alias("pt")
+    ).select("source", F.col("pt.pos").alias("pos"), F.col("pt.tok").alias("tok"))
+    spans = manifest.select(
+        "doc_id",
+        "source",
+        "orig_sha",
+        F.explode(F.sequence(F.col("start"), F.col("start") + F.col("len") - 1))
+        .alias("pos"),
+    )
+    rebuilt = (
+        spans.join(unpacked, ["source", "pos"])
+        .groupBy("doc_id", "source", "orig_sha")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+                " ",
+            ).alias("text2")
+        )
+    )
+    return rebuilt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.sha2(F.col("text2"), 256) == F.col("orig_sha")).cast("long")
+        ).alias("n_exact"),
+        F.sum(F.size(F.split("text2", " ")).cast("long")).alias("total_tokens"),
+    )
+
+
+sequence_unpack_roundtrip.__doc__ = sequence_unpack_roundtrip.__doc__.format(
+    ctx=_PACK_CTX
+)
+
+
+# --------------------------------------------------------------------------
+# Linear text-classifier inference as a pure SQL plan (no UDF)
+# --------------------------------------------------------------------------
+
+_CLF_DIM = 4096  # hashed feature space
+_CLF_WMOD = 199  # pseudo-weight grid: w(j) = (j*31 % 199) - 99
+_CLF_BIAS = -50
+
+
+def _clf_oracle() -> str:
+    return f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       FOR i IN range(1, greatest(len(toks), 1))]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t1) t2),
+    feats AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(sha256(g), 1, 15)) AS UBIGINT)
+                  AS BIGINT) % {_CLF_DIM} AS j
+      FROM grams),
+    scored AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_features,
+             CAST(sum((j * 31) % {_CLF_WMOD} - 99) + {_CLF_BIAS} AS BIGINT)
+               AS score
+      FROM feats GROUP BY doc_id)
+    SELECT doc_id, n_features, score,
+           CAST(score > 0 AS BOOLEAN) AS predicted_keep
+    FROM scored
+    """
+
+
+@query("hashed_ngram_classifier_score", oracle=_clf_oracle())
+def hashed_ngram_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a hashed-bigram linear text classifier
+    (fastText-style bag of hashed n-grams -> dot product with a weight
+    vector -> threshold) as a PURE Catalyst plan: distinct token
+    bigrams per doc, feature index ``sha256(bigram) mod {dim}``,
+    score = Σ w[j] + bias with a content-addressed integer weight grid
+    (``w(j) = (j·31 mod {wmod}) − 99`` stands in for trained weights —
+    same dot-product plan, engine-replayable), keep-decision at
+    score > 0. This is the quality-classifier inference step of a
+    curation pipeline run as a scan + explode + hash aggregate — no
+    Python in the loop, so it rides whole-stage codegen at corpus
+    scale; swapping real weights in means broadcasting a {dim}-row
+    weight table and joining on j instead of inlining the formula
+    (identical shape, one broadcast join more).
+
+    The DuckDB oracle replays hashing, weights, and threshold exactly
+    — certifying distributed model inference end-to-end, not just row
+    counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("i")
+    nxt = F.lead("tok", 1).over(w2)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt)).alias(
+                "g"
+            ),
+        )
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    j = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("g"), 256), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(_CLF_DIM),
+    )
+    feats = grams.select("doc_id", j.alias("j"))
+    score = (
+        F.sum(F.pmod(F.col("j") * 31, F.lit(_CLF_WMOD)) - 99) + _CLF_BIAS
+    ).cast("long")
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        score.alias("score"),
+    ).select(
+        "doc_id",
+        "n_features",
+        "score",
+        (F.col("score") > 0).alias("predicted_keep"),
+    )
+
+
+hashed_ngram_classifier_score.__doc__ = (
+    hashed_ngram_classifier_score.__doc__.format(dim=_CLF_DIM, wmod=_CLF_WMOD)
+)

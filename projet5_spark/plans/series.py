@@ -656,3 +656,106 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_no long, byte_offset long, "
         "width long, height long, features array<double>",
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality metrics beyond recall: MRR + integer-grid nDCG
+# --------------------------------------------------------------------------
+
+#: reciprocal-discount weights x60 (lcm of 1..5): rank i contributes
+#: 60/i — 60,30,20,15,12 — so DCG sums are exact INTEGERS in both
+#: engines (log2 discounts would ride each engine's libm; summing
+#: doubles would ride aggregation order; x60 integers ride nothing)
+_NDCG_IDCG_X60 = 60 + 30 + 20 + 15 + 12  # ideal DCG: all 5 relevant
+
+
+def _mrr_ndcg_oracle() -> str:
+    from .llm import _DUCK_DOT, _DUCK_NORM
+
+    dot_qe = _DUCK_DOT.format(a="q_emb", b="e.embedding")
+    n_q = _DUCK_NORM.format(a="q_emb")
+    n_e = _DUCK_NORM.format(a="e.embedding")
+    return f"""
+    WITH {_ivf_oracle()},
+    ann5 AS (SELECT q_id, vec_id, rk FROM ivf_out WHERE rk <= 5),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb
+          FROM emb0 WHERE vec_id < 5),
+    bf_sims AS (
+      SELECT q_id, e.vec_id,
+             {dot_qe} / ({n_q} * {n_e}) AS sim
+      FROM q CROSS JOIN emb0 e WHERE e.vec_id <> q_id),
+    bf5 AS (
+      SELECT q_id, vec_id, brk FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS brk
+        FROM bf_sims) WHERE brk <= 5),
+    matched AS (
+      SELECT b.q_id, b.brk, a.rk
+      FROM bf5 b LEFT JOIN ann5 a USING (q_id, vec_id))
+    SELECT q_id,
+           CAST(coalesce(max(CASE WHEN brk = 1 THEN rk END), 0) AS BIGINT)
+             AS true_nn_rank,
+           CAST(coalesce(max(CASE WHEN brk = 1 THEN 1000 // rk END), 0)
+                AS BIGINT) AS mrr_milli,
+           CAST(count(rk) AS BIGINT) AS n_hits,
+           CAST(sum(coalesce(60 // rk, 0)) * 1000 // {_NDCG_IDCG_X60}
+                AS BIGINT) AS ndcg_milli
+    FROM matched GROUP BY q_id
+    """
+
+
+@query("ann_mrr_ndcg_eval", oracle=_mrr_ndcg_oracle())
+def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics of the (deterministic) IVF index vs
+    brute-force ground truth, per query: rank of the TRUE nearest
+    neighbor in the ANN list (0 = missed), MRR in exact millis
+    (``1000 div rank``), hit count, and nDCG@5 with a reciprocal
+    discount on the x60 integer grid — rank i contributes ``60 div i``
+    so the DCG sum is an exact integer (a log2 discount would ride
+    each engine's libm, a double sum would ride aggregation order;
+    this grid rides neither), normalized by the all-relevant ideal
+    (137/60) into millis. The eval harness a retrieval pipeline runs
+    per index build; every quantity is engine-exact so the driver
+    hash-certifies the metrics themselves.
+
+    Scale: ANN side is the bounded IVF search; ground truth is
+    queries x corpus brute force — an EVAL-SLICE pass (5 queries here;
+    a production eval samples queries the same way, never all-pairs)."""
+    from ..functions.vectors import cosine_similarity, l2_norm
+
+    from .llm import _spread
+
+    emb = _spread(
+        spark, _t(spark, sf_dir, "embeddings").where(l2_norm("embedding") > 0)
+    )
+    ann5 = embedding_ann_ivf(spark, sf_dir).select("q_id", "vec_id", "rk")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.join(F.broadcast(q), emb.vec_id != q.q_id).select(
+        "q_id", "vec_id", cosine_similarity("q_emb", "embedding").alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    bf5 = (
+        sims.withColumn("brk", F.row_number().over(w))
+        .where(F.col("brk") <= 5)
+        .select("q_id", "vec_id", "brk")
+    )
+    matched = bf5.join(ann5, ["q_id", "vec_id"], "left")
+    return matched.groupBy("q_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("brk") == 1, F.col("rk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("true_nn_rank"),
+        F.coalesce(
+            F.max(F.when(F.col("brk") == 1, F.expr("1000 div rk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_milli"),
+        F.count("rk").cast("long").alias("n_hits"),
+        F.expr(f"sum(coalesce(60 div rk, 0)) * 1000 div {_NDCG_IDCG_X60}")
+        .cast("long")
+        .alias("ndcg_milli"),
+    )
