@@ -164,6 +164,10 @@ DOC_BATTERY = [
     "decontamination_span_offsets",
     # round-9 batch-31 per-source quality cap
     "source_quality_cap_topk",
+    # round-10 additions: certified sha-grid SimHash twin; the
+    # maintained-shingle-index ingest (index write + probe-from-index)
+    "simhash_sha_near_dup",
+    "shingle_index_incremental_ingest",
 ]
 
 
