@@ -115,13 +115,17 @@ def kmeans_lloyd_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(
         F.sha2(F.concat(F.lit("km:"), F.col("vec_id").cast("string")), 256), 1, 8
     )
-    # seed from the EXPLODED relation (matches the oracle's
+    # seed from the domain of the EXPLODED relation (the oracle's
     # `SELECT DISTINCT vec_id FROM x`): a row whose embedding array is
     # empty/NULL has no x rows, so it must not be seedable either —
     # seeding from emb would let such a row claim a cid that then gets
-    # zero centroid components, shifting every later seed's cid
+    # zero centroid components, shifting every later seed's cid.
+    # `size(embedding) > 0` is that domain WITHOUT re-distincting the
+    # n·d exploded rows (size() is -1 for NULL, so both degenerate
+    # shapes filter; measured +1.4 s at sf0.1 for the exploded form)
     seeds = (
-        x.select("vec_id")
+        emb.where(F.size("embedding") > 0)
+        .select("vec_id")
         .distinct()
         .withColumn(
             "cid",

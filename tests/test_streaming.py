@@ -540,3 +540,75 @@ def test_transform_with_state_batch_twin_fixture_replay(spark):
         for r in batch_event_type_stats(read_events(spark, SF)).collect()
     }
     assert got == want
+
+
+def test_list_and_map_state_processor_logic_unit(spark):
+    """Fold logic of the round-10 ListState/MapState processors, driven
+    with fake state handles across simulated micro-batches — pins the
+    algebra where the protobuf wire protocol is unavailable (the
+    availableNow queries certify the transport end-to-end)."""
+    import pandas as pd
+
+    from projet5_spark.streaming.stateful import (
+        UserTypeMapProcessor,
+        UserValuesListProcessor,
+    )
+
+    class FakeListState:
+        def __init__(self):
+            self._rows = []
+
+        def appendList(self, rows):
+            self._rows.extend(rows)
+
+        def get(self):
+            return iter(list(self._rows))
+
+    class FakeMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def getValue(self, k):
+            return self._m[k]
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def iterator(self):
+            return iter(sorted(self._m.items()))
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getListState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeListState())
+
+        def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeMapState())
+
+    lp = UserValuesListProcessor()
+    lp.init(FakeHandle())
+    list(lp.handleInputRows((7,), iter([pd.DataFrame({"value": [1.25, 2.50]})]), None))
+    (out,) = list(
+        lp.handleInputRows((7,), iter([pd.DataFrame({"value": [0.10]})]), None)
+    )
+    assert out["n_events"][0] == 3
+    assert out["sum_value"][0] == (125 + 250 + 10) / 100.0
+    assert out["max_value"][0] == 2.50
+
+    mp = UserTypeMapProcessor()
+    mp.init(FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["view", "click", "view"], "value": [1.0, 2.0, 3.0]})
+    b2 = pd.DataFrame({"event_type": ["click"], "value": [0.5]})
+    list(mp.handleInputRows((7,), iter([b1]), None))
+    (out2,) = list(mp.handleInputRows((7,), iter([b2]), None))
+    rows = {
+        (r.event_type): (r.n_events, r.sum_value)
+        for r in out2.itertuples(index=False)
+    }
+    assert rows["view"] == (2, 4.0)
+    assert rows["click"] == (2, 2.5)
