@@ -219,8 +219,11 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch-side predicates are static literals Catalyst pushes into
     the scans; in production the boundary is the ingest date literal
     and history's shingle index is a maintained table, not recomputed
-    (the recompute here is fixture-scale convenience — the join shape
-    is identical either way). Chain semantics are greedy keep-first:
+    — that form is REAL and certified as
+    ``shingle_index_incremental_ingest`` (analytics31: idempotent
+    partition landing + probe straight off the stored index; this
+    recompute twin keeps the two hash-equal). Chain semantics are
+    greedy keep-first:
     a batch doc pairing only with an already-dropped earlier batch doc
     still drops (standard MinHash-dedup greedy policy)."""
     from .llm import ngram_near_dup_pairs
