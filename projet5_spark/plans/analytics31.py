@@ -474,3 +474,98 @@ def hashed_ngram_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame
 hashed_ngram_classifier_score.__doc__ = (
     hashed_ngram_classifier_score.__doc__.format(dim=_CLF_DIM, wmod=_CLF_WMOD)
 )
+
+
+# --------------------------------------------------------------------------
+# Exact ROC-AUC on the integer rank grid (classifier/quality-score eval)
+# --------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INTEGER) AS pos,
+             CAST(floor((0.5 * least(n_chars, 500) / 500.0
+                         + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                                             t -> t IN ('the', 'a')))
+                                             AS DOUBLE)
+                                        / len(string_split(text, ' ')))) * 1e4)
+                  AS BIGINT) AS q
+      FROM documents),
+    grp AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(pos) AS BIGINT) AS n_pos_g
+      FROM scored GROUP BY q),
+    ranked AS (
+      SELECT q, cnt, n_pos_g,
+             sum(cnt) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grp),
+    tot AS (SELECT CAST(sum(n_pos_g) AS BIGINT) AS n1,
+                   CAST(sum(cnt - n_pos_g) AS BIGINT) AS n0
+            FROM ranked),
+    u AS (SELECT CAST(sum(n_pos_g * (2 * cum - cnt + 1)) AS BIGINT)
+                   AS sum_r2_pos
+          FROM ranked)
+    SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+           CAST(u.sum_r2_pos - t.n1 * (t.n1 + 1) AS BIGINT) AS u2,
+           CAST((u.sum_r2_pos - t.n1 * (t.n1 + 1)) * 1000000
+                // (2 * t.n1 * t.n0) AS BIGINT) AS auc_micro
+    FROM u, tot t
+    """
+
+
+@query("roc_auc_quality_score", oracle=_AUC_ORACLE)
+def roc_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the integer-grid quality score against a binary
+    label (``lang = 'en'`` stands in for a labeled eval set), via the
+    Mann-Whitney U statistic on the x2 rank grid: group rows by score,
+    take average ranks for ties as the exact integer ``2·cum − cnt + 1``
+    (= twice the tied group's mean rank), fold U2 = Σ_pos avgrank·2 −
+    n1(n1+1), and report ``auc_micro = U2·10⁶ div (2·n1·n0)`` — every
+    quantity an integer, so the classifier-eval metric itself is
+    hash-certified (the AUC a curation pipeline watches when it tunes
+    its quality threshold). No per-row window: ranks come from a
+    score-GROUPED cumulative sum (score-cardinality rows, ≤ 10⁴ grid
+    cells at any corpus size), so the only corpus-scale pass is one
+    hash aggregate — AUC at 100 TB costs one groupBy.
+
+    Ties are handled by the average-rank convention (the standard
+    Mann-Whitney correction), NOT a tie-break order — so the metric is
+    total-order-free and engine-exact."""
+    from .llm import _STOPWORDS, _toks
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    q = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (
+        1.0 - stop_ratio
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.floor(q * 1e4).cast("long").alias("q"),
+    )
+    grp = scored.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("n_pos_g"),
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grp.withColumn("cum", F.sum("cnt").over(w))
+    return ranked.agg(
+        F.sum("n_pos_g").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("n_pos_g")).cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos_g") * (2 * F.col("cum") - F.col("cnt") + 1))
+        .cast("long")
+        .alias("sum_r2_pos"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("long")
+        .alias("u2"),
+        F.expr(
+            "CAST((sum_r2_pos - n_pos * (n_pos + 1)) * 1000000 "
+            "div (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
