@@ -466,3 +466,66 @@ def statestore_reader_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .load(ck)
         .select(F.col("key.event_id").alias("event_id"))
     )
+
+
+@query(
+    "streaming_timer_session_close_availablenow",
+    oracle="""
+    WITH peru AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) // 1000 AS last_ms
+      FROM events GROUP BY user_id),
+    wm AS (SELECT max(last_ms) AS wm_ms FROM peru)
+    SELECT user_id, n_events
+    FROM peru, wm
+    WHERE last_ms + 1800000 <= wm_ms
+    """,
+)
+def streaming_timer_session_close_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time TIMERS through the real transformWithState operator,
+    driver-certified: each user's processor keeps one live timer at
+    ``last_event + 30 min`` (delete-then-register on every batch), and
+    when the final watermark passes an expiry the engine calls
+    ``handleExpiredTimer``, emitting that user's closed-session row.
+    The certified set is exactly the users whose session-close expiry
+    is ≤ the end-of-replay watermark — the user holding the global max
+    event time (and anyone within 30 min of it) stays OPEN, which is
+    the semantics a production sessionizer relies on.
+
+    Determinism notes: the fixture replays as ONE data micro-batch
+    (single events file through stream_events), so every user's full
+    count is in state before any timer can fire; the fire condition
+    was pinned empirically at the boundary — ``expiry == watermark``
+    FIRES (≤, not <; tests/test_streaming.py) — and the oracle uses
+    the same ms-floored arithmetic (`epoch_us // 1000`) Spark's
+    event-time stats use. Timer state is one (timer, scalar) pair per
+    user on the RocksDB store — bounded by live keys at any scale."""
+    from ..streaming.stateful import streaming_session_close_timers
+    from ..streaming.windows import stream_events
+
+    _bridge_protobuf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+        updates = _drain(
+            streaming_session_close_timers(stream),
+            "st_timer",
+            output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return updates.where(F.col("kind") == "closed").select(
+        "user_id", "n_events"
+    )

@@ -355,3 +355,72 @@ def streaming_user_type_map(events: DataFrame) -> DataFrame:
             timeMode="none",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState event-time TIMERS: session-close emission
+# --------------------------------------------------------------------------
+
+SESSION_CLOSE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+class SessionCloseTimerProcessor(StatefulProcessor):
+    """Event-time TIMER lifecycle through transformWithState: each batch
+    folds the per-user event count and (re)registers one session-close
+    timer at ``last_event + 30 min`` (delete-then-register keeps exactly
+    one live timer per key); when the WATERMARK passes a key's expiry,
+    ``handleExpiredTimer`` emits the closed-session row. The timer API
+    surface a production sessionizer uses — timeouts, TTL sweeps,
+    scheduled flushes — exercised with named timers on the RocksDB
+    store, not a processing-time heuristic."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._st = handle.getValueState("st", "n BIGINT, last_ms BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        n, last = self._st.get() if self._st.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            mx = int(pdf["ts"].max().value // 1_000_000)
+            last = max(last, mx)
+        self._st.update((n, last))
+        for t in self._h.listTimers():
+            self._h.deleteTimer(t)
+        self._h.registerTimer(last + _SESSION_GAP_MS)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["update"], "n_events": [n]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001
+        n, _last = self._st.get()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["closed"], "n_events": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_session_close_timers(events: DataFrame) -> DataFrame:
+    """Per-user session-close rows emitted by event-time timers. The
+    input stream must be watermarked (``timeMode='eventTime'`` fires
+    timers on watermark advance)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionCloseTimerProcessor(),
+            outputStructType=SESSION_CLOSE_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )

@@ -612,3 +612,55 @@ def test_list_and_map_state_processor_logic_unit(spark):
     }
     assert rows["view"] == (2, 4.0)
     assert rows["click"] == (2, 2.5)
+
+
+def test_event_time_timer_fires_at_watermark_boundary(spark, tmp_path):
+    """Pins the timer-fire boundary the certified timer query's oracle
+    encodes: an expiry EQUAL to the end-of-replay watermark FIRES
+    (<=, not <), an expiry 1 ms past it does not, and the global-max
+    holder never fires. Requires protobuf (vendored bridge)."""
+    import datetime as dt
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from projet5_spark.streaming.stateful import (
+        streaming_session_close_timers,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        base = dt.datetime(2025, 1, 1, 12, 0, 0)
+        rows = [
+            (1, base),  # expiry == watermark: must fire
+            (2, base + dt.timedelta(minutes=30)),  # max holder: open
+            (3, base + dt.timedelta(milliseconds=1)),  # 1 ms past: open
+        ]
+        src = str(tmp_path / "timer-edge")
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = run_to_completion(
+            streaming_session_close_timers(stream), "t_edge", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    closed = sorted(r.user_id for r in out.where(F.col("kind") == "closed").collect())
+    assert closed == [1], closed
