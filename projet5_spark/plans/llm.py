@@ -252,7 +252,7 @@ def _split_shingles_by_df(
     return sh, rare, stop
 
 
-def _pairs_from_rare(rare: DataFrame) -> DataFrame:
+def _pairs_from_rare(rare: DataFrame, n_parts: int | None = None) -> DataFrame:
     # project the string away BEFORE the self-join: the quadratic join
     # shuffles/sorts only (doc_id, h1, h2) longs
     hr = rare.select("doc_id", "h1", "h2")
@@ -271,8 +271,12 @@ def _pairs_from_rare(rare: DataFrame) -> DataFrame:
     # 32 tasks) and cascaded into sort-fallback spill. A user
     # repartition survives AQE coalescing (only ENSURE_REQUIREMENTS
     # shuffles are coalesced), and the groupBy reuses the partitioning
-    # — same single exchange, 4x more waves of 4x smaller hash maps.
-    n_parts = rare.sparkSession.sparkContext.defaultParallelism * 4
+    # — same single exchange, more waves of smaller hash maps. 4x the
+    # core count is the measured sweet spot: an x100-docs A/B of 500
+    # partitions spilled ~2x MORE (the wider shuffle write of the pair
+    # mass costs more than the narrower aggregate saves).
+    if n_parts is None:
+        n_parts = rare.sparkSession.sparkContext.defaultParallelism * 4
     return (
         joined.repartition(n_parts, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
@@ -412,6 +416,14 @@ def ngram_near_dup_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     heavies = _heavy_stop_pairs(sh, stop, sizes, threshold)
+    # ONE bounded count at plan build steers the verify attach-join
+    # strategy below. (A corpus-scaled pair-aggregate width was A/B'd
+    # at x100 docs and REJECTED: 500 partitions spilled 17 GB where
+    # 4x-cores spills 9 GB — the wider shuffle WRITE of the pair mass
+    # costs more than the narrower aggregate saves; the agg's per-task
+    # state at 4x-cores stays under budget up to ~1M pairs/task.)
+    size_src = docs if sh_rows is None else sh_rows.select("doc_id").distinct()
+    n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     rare_pairs = _pairs_from_rare(rare)
     # dedup heavies against rare_pairs WITHOUT re-aggregating the pair
     # mass: the old union + groupBy(max) pushed every rare pair through
@@ -457,12 +469,8 @@ def ngram_near_dup_pairs(
     # 1.0 + 2.7 GB sort spill at x50), while a pinned shuffled-hash
     # build streams it sort-free (x50: zero spill, −4 s wall; the pin
     # at x20 instead costs ~6 s by blocking the broadcast upgrade —
-    # measured both ways, round 10). ONE bounded count at plan build
-    # picks the side of that pivot explicitly.
-    size_src = (
-        docs if sh_rows is None else sh_rows.select("doc_id").distinct()
-    )
-    n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    # measured both ways, round 10). The plan-build count above picks
+    # the side of that pivot explicitly.
     doc_info = sizes.join(stop_sets, "doc_id", "left")
     if n_docs_exact >= _ATTACH_SHJ_MIN_DOCS:
         doc_info = doc_info.hint("shuffle_hash")
@@ -547,22 +555,38 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^18-dim sparse feature vector through the exploded hash-table
     self-join — at the x20 corpus stress that was 55.9 s and the docs
     battery's entire 30 GB spill. Here the only payloads shuffled are
-    (doc_id, band, minhash) longs and the candidate-bounded shingle
-    verify (the ngram-family exact-score reconstruction pattern); the
-    x20 run drops to ~8 s with zero spill. The shingle relation feeds
-    four consumers (signatures, sizes, both verify sides), so it is
-    materialized once (SCALING.md shared-subtree policy)."""
+    (doc_id, band, minhash) longs and the candidate-bounded verify.
+
+    Round 10: the shingle STRING dies immediately after the 128-bit
+    rekey — signatures minhash the seed-chained (h1, h2) pair instead
+    of the raw string (a hash of a hash is as much a random minhash
+    family as a hash of the string; rows-only entry, and the exact
+    verify makes the OUTPUT invariant to the band family wherever
+    banding recall holds — the tested planted-pair recall stays 1.0) —
+    and the four-consumer shingle relation materializes through a
+    PARQUET round-trip instead of the old string-laden
+    ``localCheckpoint`` (block-cache materialization was the round-10
+    spill root cause, operators/materialize.py; the string checkpoint
+    carried 39.8 GB of spill at x100 docs, and plain exchange-reuse
+    re-ran the explode 4x for +70 s wall — the long-only parquet leaf
+    avoids both)."""
+    from ..operators.materialize import parquet_checkpoint
+
     docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
-    sh = (
+    sh, _release = parquet_checkpoint(
         docs.select(
             "doc_id",
             F.explode(F.array_distinct(_shingles(_toks()))).alias("s"),
-        )
-        .localCheckpoint(eager=True)
+        ).select(
+            "doc_id",
+            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+        ),
+        label="minhash-sh",
     )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h1"), F.col("h2"))).alias(f"mh{i}")
             for i in range(_MH_BANDS)
         ]
     )
@@ -596,20 +620,31 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # exact-verify joins keyed on a 128-bit shingle hash instead of the
-    # shingle string — same rekey as _split_shingles_by_df (the
-    # string-keyed verify sort was the family's x50 spiller); seeds
-    # -1/-2 are disjoint from the band seeds 0..7
-    shh = sh.select(
-        "doc_id",
-        F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
-        F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
-    )
+    # exact verify on the 128-bit rekeyed rows (seeds -1/-2, disjoint
+    # from the band seeds 0..7 — same grid as _split_shingles_by_df).
+    # Both verify joins pin a shuffled-hash BUILD on the shingle side:
+    # candidate mass outgrows the shingle relation with corpus size
+    # (banding emits ~bucket²/2 rows per bucket), and the SMJ fallback
+    # sorted the candidate relation twice — ALL 37 GB of this query's
+    # x100-docs spill lived in that one verify stage; the hash build
+    # of the doc-scale side streams candidates sort-free.
     inter = (
-        cand.join(shh.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2").hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
         .join(
-            shh.select(F.col("doc_id").alias("doc_b"), "h1", "h2"),
+            sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2").hint(
+                "shuffle_hash"
+            ),
             ["doc_b", "h1", "h2"],
+        )
+        .repartition(
+            sh.sparkSession.sparkContext.defaultParallelism * 4,
+            "doc_a",
+            "doc_b",
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
