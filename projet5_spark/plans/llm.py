@@ -257,26 +257,34 @@ def _pairs_from_rare(rare: DataFrame, n_parts: int | None = None) -> DataFrame:
     # shuffles/sorts only (doc_id, h1, h2) longs
     hr = rare.select("doc_id", "h1", "h2")
     a, b = hr.alias("a"), hr.alias("b")
+    # no join hint here: an x100-docs A/B of a shuffled-hash build on
+    # the self-join changed neither wall nor spill at scale (the
+    # family's remaining x100 spill is shuffle-WRITE sorter spill of
+    # the pair exchange, not SMJ sort state) and cost +1.6 s at
+    # fixture scale by blocking AQE's strategy choice.
     joined = a.join(
         b,
         (F.col("a.h1") == F.col("b.h1"))
         & (F.col("a.h2") == F.col("b.h2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    # widen the count aggregate's partitioning explicitly: pair keys
-    # are near-unique (background pairs share ~1 shingle), so the agg
-    # hash map holds ~one entry per input row and its memory is the
-    # pair MASS, not the reduced output — at one-partition-per-core
-    # that state crossed the per-task budget at x50 docs (56M keys /
-    # 32 tasks) and cascaded into sort-fallback spill. A user
-    # repartition survives AQE coalescing (only ENSURE_REQUIREMENTS
-    # shuffles are coalesced), and the groupBy reuses the partitioning
-    # — same single exchange, more waves of smaller hash maps. 4x the
-    # core count is the measured sweet spot: an x100-docs A/B of 500
-    # partitions spilled ~2x MORE (the wider shuffle write of the pair
-    # mass costs more than the narrower aggregate saves).
+    # widen the count aggregate's partitioning explicitly when the
+    # caller says the corpus is big: pair keys are near-unique
+    # (background pairs share ~1 shingle), so the agg hash map holds
+    # ~one entry per input row and its memory is the pair MASS, not
+    # the reduced output — at one-partition-per-core (and worse, AQE's
+    # 64 MB-target coalescing) that state crossed the per-task budget
+    # at x50 docs and cascaded into sort-fallback spill. A user
+    # repartition survives AQE coalescing and the groupBy reuses the
+    # partitioning — same single exchange, more waves of smaller hash
+    # maps. 4x the core count is the measured sweet spot (an x100 A/B
+    # of 500 partitions spilled ~2x more via the wider shuffle write);
+    # below the pivot the plain groupBy + AQE coalescing wins (~2 s at
+    # fixture scale), so small corpora pass n_parts=None.
     if n_parts is None:
-        n_parts = rare.sparkSession.sparkContext.defaultParallelism * 4
+        return joined.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("common_rare")
+        )
     return (
         joined.repartition(n_parts, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
@@ -424,7 +432,13 @@ def ngram_near_dup_pairs(
     # state at 4x-cores stays under budget up to ~1M pairs/task.)
     size_src = docs if sh_rows is None else sh_rows.select("doc_id").distinct()
     n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    rare_pairs = _pairs_from_rare(rare)
+    big = n_docs_exact >= _ATTACH_SHJ_MIN_DOCS
+    rare_pairs = _pairs_from_rare(
+        rare,
+        n_parts=(
+            spark.sparkContext.defaultParallelism * 4 if big else None
+        ),
+    )
     # dedup heavies against rare_pairs WITHOUT re-aggregating the pair
     # mass: the old union + groupBy(max) pushed every rare pair through
     # a second full-width aggregate just to absorb the (tiny) heavy
