@@ -346,9 +346,15 @@ def time_query(
     # (operators/materialize.py) — so late-listed queries aren't
     # penalized by ~100 queries' worth of accumulated checkpoint blocks
     gc.collect()
-    from projet5_spark.operators.materialize import release_persistent_rdds
+    from projet5_spark.operators.materialize import (
+        release_persistent_rdds,
+        sweep_checkpoint_scratch,
+    )
 
     release_persistent_rdds(spark)
+    # drop parquet-checkpoint scratch too: checkpoint-returning queries
+    # (minhash_lsh_near_dup) leave one scratch copy per run otherwise
+    sweep_checkpoint_scratch(spark)
     return statistics.median(samples)
 
 

@@ -73,6 +73,41 @@ def parquet_checkpoint(
     return spark.read.parquet(path), release
 
 
+def scratch_dir(spark, prefix: str) -> str:
+    """A fresh directory under the app's atexit-cleaned scratch root —
+    for throwaway on-disk state a query returns a lazy reader over
+    (e.g. the statestore-audit streaming checkpoint). Living under the
+    root means the inter-query :func:`sweep_checkpoint_scratch` and the
+    atexit hook both reclaim it; the caller never deletes it inline
+    because the consuming action runs later, in the caller's caller."""
+    root = _scratch_root(spark.sparkContext.applicationId)
+    path = os.path.join(root, f"{prefix}-{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def sweep_checkpoint_scratch(spark) -> int:
+    """Delete every parquet checkpoint under the app's scratch root
+    NOW; returns the count of directories removed. Inter-query hygiene
+    companion to :func:`release_persistent_rdds`: a query that returns
+    a lazy DataFrame over a checkpoint (minhash_lsh_near_dup's hashed
+    shingle relation) cannot release it in-function — the consuming
+    action runs later, in the caller — so bench/battery loops that
+    re-invoke such queries accumulate one full scratch copy per run
+    until process exit (multi-GB at x100 docs). Between queries every
+    checkpoint is dead weight (queries rebuild their frames per
+    invocation), so the sweep is safe exactly where the RDD sweep is;
+    never call it while a returned-but-unconsumed DataFrame is live."""
+    root = _ROOTS.get(spark.sparkContext.applicationId)
+    if root is None or not os.path.isdir(root):
+        return 0
+    n = 0
+    for entry in os.listdir(root):
+        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        n += 1
+    return n
+
+
 def release_persistent_rdds(spark) -> int:
     """Unpersist every block-cached RDD of the session NOW; returns the
     count released. Inter-query hygiene for battery/bench loops:

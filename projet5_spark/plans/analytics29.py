@@ -32,44 +32,70 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _CURVE_FLOOR = 0.02  # ignore the sub-noise tail (pairs sharing 1 shingle)
 _CURVE_MAX_DOCS = 20_000  # exact-curve corpus bound; above it, sample
-_CURVE_SLICE_MOD = 16  # digest slice keeps ~1/16 of docs above the bound
+
+def _curve_slice_spark():
+    """Digest-slice predicate, ~1/16 of docs: keep when the leading hex
+    char of ``sha256('curve:' || doc_id)`` is '0'. sha-256 (NOT
+    xxhash64) so the ORACLE replays the identical slice — DuckDB has no
+    xxhash64, and an engine-private slice hash means a larger fixture
+    would hash-mismatch by construction the moment sampling kicks in.
+    (A function, not a module constant: Column construction needs a
+    live SparkContext.)"""
+    return (
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("curve:"), F.col("doc_id").cast("string")), 256
+            ),
+            1,
+            1,
+        )
+        == "0"
+    )
+
+
+_CURVE_SLICE_DUCK = (
+    "substr(sha256('curve:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+)
 
 
 def curve_corpus(docs: DataFrame, max_docs: int = _CURVE_MAX_DOCS):
     """Enforce the calibration-sampling posture: the exact pairwise
     curve is quadratic in duplicate mass, so above ``max_docs`` the
     corpus is cut to a DETERMINISTIC digest slice (keep doc when
-    ``xxhash64('curve:', doc_id) % {_CURVE_SLICE_MOD} == 0``) before
+    ``sha256('curve:' || doc_id)`` starts with hex '0' — ~1/16) before
     any pair is generated — content-addressed, so reruns and engines
     agree on the slice, and duplicate clusters survive proportionally
     (slicing is per-doc uniform, Jaccard mass shape converges fast).
+    The sha-256 grid keeps the slice ENGINE-REPLAYABLE: the DuckDB
+    oracle applies the byte-identical predicate under the same corpus-
+    count condition, so the entry certifies above the bound too.
 
     Returns ``(docs', sampled)``. The size check is ONE bounded count
     at plan-build time (the verify_pairs_dense max_cells pattern at
     llm.py — guard BEFORE the quadratic object exists, not after);
-    seed prefix 'curve:' is disjoint from the minhash/simhash seeds.
+    digest prefix 'curve:' is disjoint from the minhash/simhash seeds.
     """
     n = docs.agg(F.count(F.lit(1)).alias("n")).head()["n"]
     if n <= max_docs:
         return docs, False
-    sliced = docs.where(
-        F.pmod(
-            F.xxhash64(F.lit("curve:"), F.col("doc_id").cast("string")),
-            F.lit(_CURVE_SLICE_MOD),
-        )
-        == 0
-    )
-    return sliced, True
+    return docs.where(_curve_slice_spark()), True
 
 
 @query(
     "near_dup_threshold_curve",
     oracle=f"""
-    WITH sh AS (
+    WITH corpus AS (
+      -- replay of curve_corpus: the same count condition and the same
+      -- sha-256 digest slice, so plan and oracle agree at ANY fixture
+      -- size (below the bound the predicate never applies)
+      SELECT doc_id, text FROM documents
+      WHERE (SELECT count(*) FROM documents) <= {_CURVE_MAX_DOCS}
+         OR {_CURVE_SLICE_DUCK}),
+    sh AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                FOR i IN range(1, greatest(len(toks)-1, 1))]) AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1) t2),
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t1) t2),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -100,8 +126,11 @@ def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE pair generation, so the quadratic object can never form at
     corpus scale (the curve's shape converges fast under uniform
     per-doc sampling); the production dedup then runs banded at the
-    chosen threshold. The bucket floor is computed from the identical
-    rational Jaccard in both engines, so bucketing is bit-stable."""
+    chosen threshold. The slice is sha-256-addressed and the oracle
+    replays it under the same corpus-count condition, so certification
+    holds on EITHER side of the sampling bound. The bucket floor is
+    computed from the identical rational Jaccard in both engines, so
+    bucketing is bit-stable."""
     from .llm import ngram_near_dup_pairs
 
     docs, _sampled = curve_corpus(_t(spark, sf_dir, "documents"))

@@ -101,7 +101,8 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select("doc_id", h.alias("h"))
 
     # 60 one-bit vote counters packed into 15 longs of 4x16-bit lanes
-    # (shingle counts < 2^16); SQL-string construction as in
+    # (requires shingle counts < 2^16 — raise_error-guarded at the
+    # signature fold below); SQL-string construction as in
     # llm.simhash_signatures — the Column API costs thousands of py4j
     # round-trips for trees this wide
     def packed(k: int) -> str:
@@ -122,7 +123,27 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_expr = " + ".join(
         f"IF({ones(i)} * 2 > n, {1 << i}L, 0L)" for i in range(_SH_BITS)
     )
-    sigs = votes.select("doc_id", F.expr(f"({sig_expr}) AS simhash"))
+    # the 16-bit lanes are only carry-free while every doc's distinct
+    # shingle count stays < 2^16 — ENFORCE that precondition in-plan
+    # (the collation_lcase_grouping pattern): n is the exact count(1),
+    # immune to the carry itself, so a violating doc raises here
+    # instead of silently corrupting adjacent bit counters and
+    # diverging from the oracle. Two loud layers, no silent path: a
+    # top-lane (bits 48..63) pile-up already trips the session's ANSI
+    # long-overflow check DURING the aggregate (sum exceeds int64 at
+    # ~2^15 top-lane ones); this guard catches every remaining shape —
+    # low-lane cross-carries never touch the sign bit, so only the
+    # post-agg n check sees those
+    guard = (
+        "CASE WHEN n < 65536 THEN 0L ELSE CAST(raise_error(concat("
+        "'simhash_sha_near_dup: doc ', CAST(doc_id AS STRING), ' has ', "
+        "CAST(n AS STRING), ' distinct shingles (>= 2^16); the packed "
+        "16-bit vote lanes overflow — widen the lanes for this corpus'"
+        ")) AS BIGINT) END"
+    )
+    sigs = votes.select(
+        "doc_id", F.expr(f"({sig_expr}) + ({guard}) AS simhash")
+    )
 
     def block(i: int) -> str:
         mask = (1 << _SH_BLOCK_W) - 1

@@ -350,7 +350,11 @@ def _heavy_docs(
 
 
 def _heavy_stop_pairs(
-    sh: DataFrame, stop: DataFrame, sizes: DataFrame, threshold: float
+    sh: DataFrame,
+    stop: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    heavy: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs candidates among *boilerplate-heavy* docs — the exact
     completion of DF-capped candidate generation.
@@ -367,9 +371,15 @@ def _heavy_stop_pairs(
     pages) leaves docs far below t-fraction stop and contributes
     nothing here; a corpus that is wall-to-wall boilerplate pays the
     cost its exact answer requires — the bounded scale path remains
-    minhash_lsh_near_dup."""
+    minhash_lsh_near_dup.
+
+    ``heavy`` lets the caller pass the precomputed :func:`_heavy_docs`
+    set when it also needs it downstream (ngram_near_dup_pairs uses it
+    for the anti-join dedup) — otherwise the stop-join + groupBy scan
+    of the shingle relation would run twice per call."""
     srows = sh.select("doc_id", "h1", "h2").join(stop, ["h1", "h2"])
-    heavy = _heavy_docs(sh, stop, sizes, threshold)
+    if heavy is None:
+        heavy = _heavy_docs(sh, stop, sizes, threshold)
     hrows = srows.join(heavy, "doc_id", "left_semi")
     a, b = hrows.alias("a"), hrows.alias("b")
     return (
@@ -423,7 +433,11 @@ def ngram_near_dup_pairs(
         spark, docs, max_df_frac, min_df_cap, materialize=False, sh_rows=sh_rows
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    heavies = _heavy_stop_pairs(sh, stop, sizes, threshold)
+    # one heavy-doc aggregate feeds BOTH the all-pairs completion and
+    # the anti-join dedup below (it used to run twice — once inside
+    # _heavy_stop_pairs, once for rp_heavy)
+    hdocs = _heavy_docs(sh, stop, sizes, threshold)
+    heavies = _heavy_stop_pairs(sh, stop, sizes, threshold, heavy=hdocs)
     # ONE bounded count at plan build steers the verify attach-join
     # strategy below. (A corpus-scaled pair-aggregate width was A/B'd
     # at x100 docs and REJECTED: 500 partitions spilled 17 GB where
@@ -447,7 +461,6 @@ def ngram_near_dup_pairs(
     # against the heavy-doc set — map-side once AQE broadcasts it) and
     # anti-join the heavies against that heavy-scale slice instead:
     # heavies \ rare_pairs == heavies \ rare_pairs[both ends heavy].
-    hdocs = _heavy_docs(sh, stop, sizes, threshold)
     rp_heavy = (
         rare_pairs.select("doc_a", "doc_b")
         .join(hdocs.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
@@ -587,6 +600,11 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.materialize import parquet_checkpoint
 
     docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # the release handle cannot fire here — the returned DataFrame is
+    # lazy and the consuming action runs in the caller; loop harnesses
+    # reclaim the scratch between queries via sweep_checkpoint_scratch
+    # (bench.time_query / scale_stress.run_battery), and atexit covers
+    # one-shot sessions
     sh, _release = parquet_checkpoint(
         docs.select(
             "doc_id",

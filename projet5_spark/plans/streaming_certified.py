@@ -447,12 +447,13 @@ def statestore_reader_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     horizon-dependent subset (the watermarked form is certified by
     ``streaming_dedup_availablenow``); production audits read specific
     partitions/batches the same way."""
-    import tempfile
-
+    from ..operators.materialize import scratch_dir
     from ..streaming.windows import stream_events
 
     stream = stream_events(spark, sf_dir).select("event_id", "ts")
-    ck = tempfile.mkdtemp(prefix="projet5-ssread-")
+    # scratch_dir: reclaimed by the inter-query sweep / atexit — it
+    # must outlive this function because the returned reader is lazy
+    ck = scratch_dir(spark, "ssread")
     q = (
         stream.dropDuplicates(["event_id"])
         .writeStream.format("noop")
@@ -460,7 +461,14 @@ def statestore_reader_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out drain leaves an IN-PROGRESS checkpoint: reading
+        # it would certify a partial dedup state — fail loudly instead
+        q.stop()
+        raise RuntimeError(
+            "statestore_reader_dedup_audit: availableNow drain did not "
+            "terminate within 300s; refusing to audit a partial checkpoint"
+        )
     return (
         spark.read.format("statestore")
         .load(ck)

@@ -10,6 +10,8 @@ matches DuckDB.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -151,6 +153,26 @@ def test_threshold_curve_exact_dup_hits_top_bucket(spark, tmp_path):
     assert rows[0].n_pairs == 1 and rows[0].max_jaccard == 1.0
 
 
+def test_simhash_sha_lane_overflow_raises_in_plan(spark, tmp_path):
+    # The packed 16-bit vote lanes are only carry-free below 2^16
+    # distinct shingles per doc; a violating doc must raise LOUDLY
+    # (ADVICE r10), never silently corrupt adjacent bit counters. Two
+    # acceptable loud paths: ANSI long-overflow inside the vote
+    # aggregate (a top-lane pile-up, which this uniform input hits), or
+    # the in-plan raise_error n-guard (low-lane-only carries). 65538
+    # distinct tokens => exactly 65536 distinct 3-gram shingles == the
+    # first violating count.
+    text = " ".join(f"t{i}" for i in range(65538))
+    docs = [(0, text, "en", "s0", len(text))]
+    p = _mini_dir(spark, tmp_path, docs=docs)
+    with pytest.raises(
+        Exception, match="vote lanes overflow|ARITHMETIC_OVERFLOW"
+    ):
+        QUERIES["simhash_sha_near_dup"](spark, p).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
 def test_curve_corpus_sampling_guard_switches_above_bound(spark, tmp_path):
     # The calibration-sampling posture is enforced in code: at or below
     # the bound the corpus passes through untouched; above it the curve
@@ -172,4 +194,13 @@ def test_curve_corpus_sampling_guard_switches_above_bound(spark, tmp_path):
     ids2 = sorted(r.doc_id for r in sliced2.select("doc_id").collect())
     assert ids1 == ids2  # deterministic digest slice, not an RNG sample
     assert 0 < len(ids1) < 40  # a real cut, not all-or-nothing
-    assert set(ids1) <= set(range(40))
+    # ENGINE-REPLAYABLE: the slice is plain sha-256 over 'curve:<id>',
+    # so any engine (here: hashlib standing in for the DuckDB oracle's
+    # sha256()) derives the identical keep-set — the property that lets
+    # near_dup_threshold_curve certify above the sampling bound
+    expected = [
+        i
+        for i in range(40)
+        if hashlib.sha256(f"curve:{i}".encode()).hexdigest()[0] == "0"
+    ]
+    assert ids1 == expected

@@ -380,7 +380,10 @@ def run_battery(
     """Per-query wall plus per-query run-stat DELTAS (spill, shuffle) —
     the app-wide totals alone cannot attribute a spill to a query."""
     from projet5_spark.instrumentation import run_stats_summary
-    from projet5_spark.operators.materialize import release_persistent_rdds
+    from projet5_spark.operators.materialize import (
+        release_persistent_rdds,
+        sweep_checkpoint_scratch,
+    )
 
     walls: dict[str, float] = {}
     deltas: dict[str, dict[str, int]] = {}
@@ -393,6 +396,7 @@ def run_battery(
         # battery attributes pressure-induced spill to innocent queries
         # (isolated-vs-battery readings diverged by GBs; SCALING.md)
         release_persistent_rdds(spark)
+        sweep_checkpoint_scratch(spark)
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
