@@ -218,7 +218,8 @@ def decode_wav(data: bytes) -> dict:
         raise ValueError("WAV missing fmt/data chunk")
     samples = struct.unpack(f"<{len(frames) // 2}h", frames)
     n_frames = len(samples) // channels
-    mean_abs = sum(abs(s) for s in samples) / max(len(samples), 1)
+    sum_abs = sum(abs(s) for s in samples)
+    mean_abs = sum_abs / max(len(samples), 1)
     return {
         "kind": "wav",
         "width": None,
@@ -226,6 +227,10 @@ def decode_wav(data: bytes) -> dict:
         "channels": channels,
         "sample_rate": sample_rate,
         "n_frames": n_frames,
+        # exact integer companion of the mean feature: an external
+        # oracle replaying the PCM stream closed-form compares sum_abs
+        # without touching float rounding conventions
+        "sum_abs": sum_abs,
         "features": [round(mean_abs, 4)],
     }
 

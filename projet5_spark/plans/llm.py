@@ -1277,7 +1277,9 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-@query("multimodal_decode_features")  # no oracle: binary decode is Spark-side only
+@query("multimodal_decode_features")  # rows-only: the PNG half (zlib) has no
+# closed SQL form; the WAV half is hash-certified by the
+# multimodal_decode_wav_certified twin below
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature-extract over ``mapInPandas`` with a
     REAL decoder (functions.multimodal): spec-valid PNG and WAV payloads
@@ -1335,6 +1337,104 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
 
     return payloads.mapInPandas(decode_batch, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "multimodal_decode_wav_certified",
+    oracle="""
+    WITH RECURSIVE odd AS (
+      SELECT doc_id,
+             CAST(8000 + 100 * (doc_id % 5) AS BIGINT) AS sample_rate,
+             CAST(256 + doc_id % 128 AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 2 = 1),
+    lcg AS (
+      SELECT doc_id, n_frames, CAST(0 AS BIGINT) AS i,
+             CAST(doc_id AS BIGINT) AS state, CAST(0 AS BIGINT) AS sum_abs
+      FROM odd
+      UNION ALL
+      SELECT doc_id, n_frames, i + 1,
+             (state * 1103515245 + 12345) % 2147483648,
+             sum_abs + abs(((state * 1103515245 + 12345) % 2147483648)
+                           % 65536 - 32768)
+      FROM lcg WHERE i < n_frames)
+    SELECT o.doc_id AS doc_id, o.sample_rate AS sample_rate,
+           CAST(1 AS BIGINT) AS channels, o.n_frames AS n_frames, l.sum_abs
+    FROM odd o JOIN lcg l ON o.doc_id = l.doc_id AND l.i = o.n_frames
+    """,
+)
+def multimodal_decode_wav_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal DECODE with a hash-certified oracle — the audio half
+    of ``multimodal_decode_features`` made engine-neutral: the WAV
+    fixture payloads are PCM streams from a 31-bit LCG
+    (``state' = (state·1103515245 + 12345) mod 2^31``, sample =
+    ``state' mod 2^16 − 2^15``, seed = doc_id), so DuckDB replays the
+    ENTIRE decode closed-form in a recursive CTE and equality certifies
+    the real decoder end-to-end — RIFF framing, fmt parse, 16-bit PCM
+    unpack, and the integer amplitude aggregate (``sum_abs`` instead of
+    the float mean: exact on both engines by construction). The PNG
+    half stays rows-only in the sibling entry — zlib inflation has no
+    closed SQL form (the resize twin covers the pixel path instead,
+    multimodal_resize_thumbnails).
+
+    Spark-side shape is the production one and identical to the
+    rows-only sibling: synthesize a BinaryType payload column, Arrow
+    batches through ``mapInPandas``, typed struct out, partition-
+    parallel; the decoder is projet5_spark.functions.multimodal's
+    chunk-walking parser, not a shortcut that trusts the synth
+    parameters."""
+    docs = _spread(
+        spark,
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 2 == 1),
+    )
+
+    def synth_batch(it):
+        from projet5_spark.functions.multimodal import synth_payload
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        synth_batch,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+    def decode_batch(it):
+        from projet5_spark.functions.multimodal import decode_wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["sample_rate"],
+                        meta["channels"],
+                        meta["n_frames"],
+                        meta["sum_abs"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_frames", "sum_abs"],
+            )
+
+    return payloads.mapInPandas(
+        decode_batch,
+        schema=(
+            "doc_id bigint, sample_rate bigint, channels bigint, "
+            "n_frames bigint, sum_abs bigint"
+        ),
+    )
 
 
 @query(
