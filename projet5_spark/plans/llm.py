@@ -182,7 +182,7 @@ def _split_shingles_by_df(
     docs: DataFrame,
     max_df_frac: float = _NGRAM_MAX_DF_FRAC,
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
-    materialize: bool = False,
+    materialize: bool | str = False,
     sh_rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Partition the distinct (doc_id, s) shingle rows into rare vs stop
@@ -191,10 +191,19 @@ def _split_shingles_by_df(
     Returns ``(all_rows, rare_rows, stop_shingles)``. The DF threshold
     is ``max(min_df_cap, max_df_frac · n_docs)``, computed fully
     declaratively (single-row count aggregate broadcast into the DF
-    table — no driver action). ``materialize`` localCheckpoints the
-    shingle rows: every downstream branch (sizes, both pair-join
+    table — no driver action). ``materialize=True`` localCheckpoints
+    the shingle rows: every downstream branch (sizes, both pair-join
     sides, DF counts, stop-set arrays) re-reads the materialized rows
     instead of re-running the explode+window pipeline ~5×.
+    ``materialize="parquet"`` routes the same truncation through a
+    scratch-parquet round-trip instead (operators/materialize.py) —
+    the big-corpus form: exchange reuse only dedupes the shuffle MAP
+    side, so each consumer stage re-runs the reduce-side dedup
+    distinct, and at x100 docs those four re-runs were the family's
+    whole remaining spill (4 × 2.15 GB memory / 0.09 GB disk) and
+    ~40% of its wall; a long-only parquet leaf replaces them with
+    column-pruned scans (the exact round-10 minhash_lsh fix, measured
+    44.5 → 27.4 s and 8.6 → 2.15 GB memory spill at 500k docs).
 
     Rows carry ``(doc_id, h1, h2)`` — two independently-seeded
     ``xxhash64`` of the shingle — and NOT the shingle string, which is
@@ -231,7 +240,14 @@ def _split_shingles_by_df(
     else:
         sh = hashed_shingle_rows(spark, docs)
         ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    if materialize:
+    if materialize == "parquet":
+        from ..operators.materialize import parquet_checkpoint
+
+        # lazy consumer contract: the scratch outlives this function
+        # (released by the inter-query sweep / atexit, same as
+        # minhash_lsh_near_dup's shingle checkpoint)
+        sh, _release = parquet_checkpoint(sh, label="ngram-sh")
+    elif materialize:
         sh = sh.localCheckpoint(eager=True)
     dfc = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     stop = (
@@ -252,7 +268,9 @@ def _split_shingles_by_df(
     return sh, rare, stop
 
 
-def _pairs_from_rare(rare: DataFrame, n_parts: int | None = None) -> DataFrame:
+def _pairs_from_rare(
+    rare: DataFrame, n_parts: int | None = None, pack_ids: bool = False
+) -> DataFrame:
     # project the string away BEFORE the self-join: the quadratic join
     # shuffles/sorts only (doc_id, h1, h2) longs
     hr = rare.select("doc_id", "h1", "h2")
@@ -267,7 +285,7 @@ def _pairs_from_rare(rare: DataFrame, n_parts: int | None = None) -> DataFrame:
         (F.col("a.h1") == F.col("b.h1"))
         & (F.col("a.h2") == F.col("b.h2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
     # widen the count aggregate's partitioning explicitly when the
     # caller says the corpus is big: pair keys are near-unique
     # (background pairs share ~1 shingle), so the agg hash map holds
@@ -281,6 +299,40 @@ def _pairs_from_rare(rare: DataFrame, n_parts: int | None = None) -> DataFrame:
     # of 500 partitions spilled ~2x more via the wider shuffle write);
     # below the pivot the plain groupBy + AQE coalescing wins (~2 s at
     # fixture scale), so small corpora pass n_parts=None.
+    if pack_ids:
+        # MEASURED AND REJECTED for the production path (x100 docs,
+        # round 11) — kept only as the documented A/B: packing the two
+        # ids into ONE long (doc_a·2³¹ + doc_b, ids ∈ [0, 2³¹)) cut
+        # the pair-exchange write just 6.84 → 6.47 GB (compression
+        # already collapses two-long rows) with no spill or wall
+        # change, and it BREAKS predicate pushdown through the pair
+        # aggregate — downstream `doc_b >= lo` filters become
+        # `(pk & mask) >= lo`, which Catalyst cannot trace to the
+        # b-side scan (incremental_near_dup_ingest doubled its x100
+        # wall that way). Unit-tested for equivalence; no caller
+        # enables it.
+        packed = joined.select(
+            (
+                F.shiftleft(F.col("a.doc_id"), 31) + F.col("b.doc_id")
+            ).alias("pk")
+        )
+        agg = (
+            packed
+            if n_parts is None
+            else packed.repartition(n_parts, "pk")
+        )
+        return (
+            agg.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("common_rare"))
+            .select(
+                F.shiftright("pk", 31).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 31) - 1)).alias("doc_b"),
+                "common_rare",
+            )
+        )
+    joined = joined.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
     if n_parts is None:
         return joined.groupBy("doc_a", "doc_b").agg(
             F.count(F.lit(1)).alias("common_rare")
@@ -421,16 +473,35 @@ def ngram_near_dup_pairs(
     Jaccard filter then makes the output identical to the naive
     all-pairs join.
     """
-    # materialize=False: the hash-keyed distinct behind `sh` compiles
-    # to ONE exchange that Spark reuses across every consumer branch
-    # (sizes, both pair-join sides, DF counts, stop sets) —
-    # ReusedExchange IS the materialization, with no block-cache
-    # footprint. The former localCheckpoint forced the whole pipeline
-    # through the cache-build execution path, which spilled 2.2 GB at
-    # x20 docs where the same plan under a plain action is spill-free
-    # (measured round 10; rationale at operators/materialize.py).
+    # ONE bounded plan-build action steers every scale pivot below:
+    # the materialization strategy, the verify attach-join strategy,
+    # and the packed-key precondition. (A corpus-scaled pair-aggregate
+    # width was A/B'd at x100 docs and REJECTED: 500 partitions
+    # spilled 17 GB where 4x-cores spills 9 GB — the wider shuffle
+    # WRITE of the pair mass costs more than the narrower aggregate
+    # saves; the agg's per-task state at 4x-cores stays under budget
+    # up to ~1M pairs/task.)
+    size_src = docs if sh_rows is None else sh_rows.select("doc_id").distinct()
+    n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    big = n_docs_exact >= _ATTACH_SHJ_MIN_DOCS
+    # Materialization pivot (measured both ways, rounds 10-11): below
+    # the pivot, materialize=False — the hash-keyed distinct behind
+    # `sh` compiles to ONE exchange that Spark reuses across every
+    # consumer branch, and ReusedExchange IS the materialization with
+    # no block-cache footprint (a localCheckpoint here spilled 2.2 GB
+    # at x20 docs via the cache-build path). Past it, the parquet
+    # round-trip wins decisively: exchange reuse dedupes only the map
+    # side, so all four consumer stages re-ran the reduce-side dedup
+    # distinct — 4 × 2.15 GB memory spill and ~40% of the x100 wall
+    # (44.5 → 27.4 s after; the long-only leaf is the same shape the
+    # minhash family scans).
     sh, rare, stop = _split_shingles_by_df(
-        spark, docs, max_df_frac, min_df_cap, materialize=False, sh_rows=sh_rows
+        spark,
+        docs,
+        max_df_frac,
+        min_df_cap,
+        materialize="parquet" if big else False,
+        sh_rows=sh_rows,
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # one heavy-doc aggregate feeds BOTH the all-pairs completion and
@@ -438,15 +509,14 @@ def ngram_near_dup_pairs(
     # _heavy_stop_pairs, once for rp_heavy)
     hdocs = _heavy_docs(sh, stop, sizes, threshold)
     heavies = _heavy_stop_pairs(sh, stop, sizes, threshold, heavy=hdocs)
-    # ONE bounded count at plan build steers the verify attach-join
-    # strategy below. (A corpus-scaled pair-aggregate width was A/B'd
-    # at x100 docs and REJECTED: 500 partitions spilled 17 GB where
-    # 4x-cores spills 9 GB — the wider shuffle WRITE of the pair mass
-    # costs more than the narrower aggregate saves; the agg's per-task
-    # state at 4x-cores stays under budget up to ~1M pairs/task.)
-    size_src = docs if sh_rows is None else sh_rows.select("doc_id").distinct()
-    n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    big = n_docs_exact >= _ATTACH_SHJ_MIN_DOCS
+    # pack_ids stays OFF here (x100 A/B, round 11): the packed key
+    # saved only 5% of the pair-exchange write (6.84 → 6.47 GB —
+    # compression already flattens two-long rows) and changed neither
+    # spill nor wall, while BREAKING Catalyst's pushdown of caller
+    # predicates through the aggregate — doc_b becomes `pk & mask`, so
+    # incremental_near_dup_ingest's `doc_b >= lo` stopped reaching the
+    # b-side scan and the batch-sized pair relation inflated to the
+    # full-corpus one (28.9 → 61.6 s at x100).
     rare_pairs = _pairs_from_rare(
         rare,
         n_parts=(

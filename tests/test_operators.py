@@ -213,6 +213,36 @@ def test_ngram_df_cap_bounds_candidates_keeps_recall(spark):
         assert math.isclose(got[(a, b)], expect, abs_tol=1e-12), (a, b)
 
 
+def test_pairs_from_rare_packed_key_is_equivalent(spark):
+    """The big-corpus pair exchange packs (doc_a, doc_b) into one long
+    (doc_a * 2^31 + doc_b) to shrink the shuffle-write sorter's rows;
+    the packed and two-column forms must produce the identical pair
+    relation — including ids right at the 2^31 - 1 precondition edge."""
+    from projet5_spark.plans.llm import _pairs_from_rare
+
+    edge = (1 << 31) - 1  # largest id the pack precondition admits
+    rows = [
+        (0, 11, 21), (1, 11, 21), (2, 11, 21),  # 3 docs share shingle A
+        (0, 12, 22), (1, 12, 22),               # 2 of them also share B
+        (edge, 13, 23), (2, 13, 23),            # edge id pairs with doc 2
+        (5, 14, 24),                            # loner contributes nothing
+    ]
+    rare = spark.createDataFrame(rows, ["doc_id", "h1", "h2"])
+    plain = {
+        (r["doc_a"], r["doc_b"]): r["common_rare"]
+        for r in _pairs_from_rare(rare).collect()
+    }
+    for n_parts in (None, 8):
+        packed = {
+            (r["doc_a"], r["doc_b"]): r["common_rare"]
+            for r in _pairs_from_rare(
+                rare, n_parts=n_parts, pack_ids=True
+            ).collect()
+        }
+        assert packed == plain
+    assert plain[(0, 1)] == 2 and plain[(2, edge)] == 1
+
+
 _SH_OFFS = (0, 13, 26, 39, 52)
 _SH_WIDTHS = (13, 13, 13, 13, 12)
 _SH_COMBOS = [(i, j) for i in range(5) for j in range(i + 1, 5)]
