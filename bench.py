@@ -11,17 +11,25 @@ and the ML-fit LSH queries are excluded from the headline set — they are
 correctness/recall baselines, not throughput paths.
 
 TIER 2 (round 10): everything in the catalog that is not a headline
-query runs ONCE (no warm-up) after the headline pass and is reported
-under ``tier2_queries`` — full-catalog coverage with zero silently
-unbenched entries (the set is COMPUTED as catalog − headline, so new
-queries are benched by default). Tier-2 membership, not exclusion, is
-where the former named exclusions live: iterative loops
-(near_dup_clusters, kcore3), multi-action replays (streaming
-availableNow, snapshot_scd2_history, the maintained-index ingest), and
-the ground-truth pair family time their whole multi-job lifecycle
-there, which is honest for coverage but would pollute the headline
-throughput metric — `value` therefore still sums ONLY the headline
-medians, keeping it comparable with every earlier round's artifact.
+query runs after the headline pass and is reported under
+``tier2_queries`` — full-catalog coverage with zero silently unbenched
+entries (the set is COMPUTED as catalog − headline, so new queries are
+benched by default). Tier-2 membership, not exclusion, is where the
+former named exclusions live: iterative loops (near_dup_clusters,
+kcore3), multi-action replays (streaming availableNow,
+snapshot_scd2_history, the maintained-index ingest), and the
+ground-truth pair family time their whole multi-job lifecycle there,
+which is honest for coverage but would pollute the headline throughput
+metric — `value` therefore still sums ONLY the headline medians,
+keeping it comparable with every earlier round's artifact.
+
+Tier-2 protocol (round 11): one cold shot for cheap entries, but any
+entry whose cold shot exceeds ``TIER2_MEDIAN_FLOOR_SEC`` is re-run
+twice more and reported as a cold-inclusive median-of-3 — a single
+reading of a 10-second streaming replay carries this box's full
+ambient swing (±25%+), whereas sub-second entries' absolute noise is
+too small to justify tripling the tier's cost. ``tier2_runs`` in the
+artifact records the per-entry run count.
 """
 
 from __future__ import annotations
@@ -327,6 +335,11 @@ SENTINEL_CPU = "bigram_lm_doc_score"
 REF_CPU_SENTINEL = 1.5613  # mean(1.7143, 1.4082), round-8 close
 REF_Q01_SENTINEL = 0.5606  # mean(0.6194, 0.5018), round-8 close
 
+#: Tier-2 entries whose single cold shot exceeds this are re-run to a
+#: median-of-3 (round-10 verdict: a 13.5 s streaming replay timed once
+#: is an ambient lottery ticket; a 0.3 s entry is not worth tripling).
+TIER2_MEDIAN_FLOOR_SEC = 3.0
+
 
 def time_query(
     spark, name: str, sf_dir: str, runs: int = 3, warmup: bool = True
@@ -380,13 +393,22 @@ def main() -> None:
             queries[name] = round(time_query(spark, name, sf_dir), 4)
         sentinel_end = round(time_query(spark, SENTINEL, sf_dir), 4)
         sentinel_cpu_end = round(time_query(spark, SENTINEL_CPU, sf_dir), 4)
-        # tier 2: full-catalog coverage, single cold shot per query
-        # (module docstring on why these are not headline material)
+        # tier 2: full-catalog coverage (module docstring on why these
+        # are not headline material); heavy entries get a median-of-3
         tier2: dict[str, float] = {}
+        tier2_runs: dict[str, int] = {}
         for name in sorted(set(QUERIES) - set(HEADLINE)):
-            tier2[name] = round(
-                time_query(spark, name, sf_dir, runs=1, warmup=False), 4
-            )
+            cold = time_query(spark, name, sf_dir, runs=1, warmup=False)
+            if cold > TIER2_MEDIAN_FLOOR_SEC:
+                reruns = [
+                    time_query(spark, name, sf_dir, runs=1, warmup=False)
+                    for _ in range(2)
+                ]
+                tier2[name] = round(statistics.median([cold] + reruns), 4)
+                tier2_runs[name] = 3
+            else:
+                tier2[name] = round(cold, 4)
+                tier2_runs[name] = 1
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "RUNSTATS.json"), "w") as f:
@@ -413,7 +435,7 @@ def main() -> None:
                 },
                 "tier2_queries": tier2,
                 "tier2_value": round(sum(tier2.values()), 4),
-                "tier2_runs": 1,
+                "tier2_runs": tier2_runs,
                 "sf": sf,
                 "sentinel_q01_start_sec": sentinel_start,
                 "sentinel_q01_end_sec": sentinel_end,
