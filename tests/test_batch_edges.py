@@ -153,6 +153,57 @@ def test_threshold_curve_exact_dup_hits_top_bucket(spark, tmp_path):
     assert rows[0].n_pairs == 1 and rows[0].max_jaccard == 1.0
 
 
+def test_threshold_curve_certifies_above_sampling_bound(spark, tmp_path):
+    # ADVICE r10 (medium): with the old xxhash64 digest slice, the
+    # DuckDB oracle could not replay sampling, so above _CURVE_MAX_DOCS
+    # the entry mismatched BY CONSTRUCTION. The sha-256 slice + the
+    # count-conditional oracle predicate must make the pair certify on
+    # the sampled side of the bound too — this runs the real query and
+    # the registered oracle SQL side-by-side on a 20.1k-doc corpus.
+    import duckdb
+
+    from projet5_spark.plans import ORACLE
+    from projet5_spark.plans.analytics29 import _CURVE_MAX_DOCS
+
+    n = _CURVE_MAX_DOCS + 100
+    keep = [
+        i
+        for i in range(n)
+        if hashlib.sha256(f"curve:{i}".encode()).hexdigest()[0] == "0"
+    ]
+    assert len(keep) > 100  # the slice is ~1/16 of the corpus
+    dup_a, dup_b = keep[0], keep[1]  # planted near-dup pair INSIDE the slice
+    rows = []
+    for i in range(n):
+        text = (
+            "dup alpha beta gamma delta"
+            if i in (dup_a, dup_b)
+            else f"t{i}a t{i}b t{i}c t{i}d"
+        )
+        rows.append((i, text, "en", "s0", len(text)))
+    p = _mini_dir(spark, tmp_path, docs=rows)
+
+    got = {
+        (r.bucket, r.n_pairs, r.min_jaccard, r.max_jaccard)
+        for r in QUERIES["near_dup_threshold_curve"](spark, p).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        # the mini fixture is a Spark-written directory, not the
+        # driver's single-file layout — glob its parts
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{p}/documents.parquet/*.parquet')"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(ORACLE["near_dup_threshold_curve"]).fetchall()
+    }
+    assert got == want
+    # and the curve is non-trivial: the planted exact-dup pair survived
+    # the slice and lands in the J=1.0 bucket on both engines
+    assert any(b == 1.0 and np == 1 for b, np, _, _ in got)
+
+
 def test_simhash_sha_lane_overflow_raises_in_plan(spark, tmp_path):
     # The packed 16-bit vote lanes are only carry-free below 2^16
     # distinct shingles per doc; a violating doc must raise LOUDLY
