@@ -159,22 +159,32 @@ _ATTACH_SHJ_MIN_DOCS = 150_000
 _NGRAM_ABS_DF_CEILING = 2000
 
 
-def hashed_shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def hashed_shingle_rows(
+    spark: SparkSession, docs: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Distinct ``(doc_id, h1, h2)`` hashed shingle rows — the unit the
     ngram family shuffles (rekey rationale at _split_shingles_by_df)
     and the ROW FORMAT of the maintained shingle-index table
     (sources.writers.append_index_partition): an ingest pipeline lands
     each batch's rows once and later runs pair generation straight off
-    the stored index via ``ngram_near_dup_pairs(sh_rows=...)``."""
-    return (
-        shingle_rows(spark, docs)
-        .select(
-            "doc_id",
-            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
-            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
-        )
-        .distinct()
+    the stored index via ``ngram_near_dup_pairs(sh_rows=...)``.
+
+    ``n_parts`` widens the dedup distinct's partitioning (the explicit
+    repartition is on exactly the distinct columns, so the aggregate
+    reuses it — same single exchange, more waves of smaller hash
+    maps). Big-corpus callers pass 4x cores: at x100 docs the default
+    one-partition-per-core reduce side held ~1.5M rows/task of hash
+    state and spilled 2.15 GB; at 4x width the same distinct runs
+    spill-free at equal wall (A/B, round 11). Fixture-scale callers
+    leave it None so AQE keeps coalescing."""
+    hashed = shingle_rows(spark, docs).select(
+        "doc_id",
+        F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
+        F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
     )
+    if n_parts is not None:
+        hashed = hashed.repartition(n_parts, "doc_id", "h1", "h2")
+    return hashed.distinct()
 
 
 def _split_shingles_by_df(
@@ -235,10 +245,31 @@ def _split_shingles_by_df(
         # exact per-pair verification makes output independent of
         # where the rare/stop split lands (candidate completeness
         # holds for any split).
-        sh = sh_rows.select("doc_id", "h1", "h2").distinct()
+        sh = sh_rows.select("doc_id", "h1", "h2")
+        if materialize == "parquet":
+            # same wide-distinct treatment as the docs branch below
+            sh = sh.repartition(
+                spark.sparkContext.defaultParallelism * 4,
+                "doc_id",
+                "h1",
+                "h2",
+            )
+        sh = sh.distinct()
         ntot = sh.agg(F.count_distinct("doc_id").alias("n_docs"))
     else:
-        sh = hashed_shingle_rows(spark, docs)
+        sh = hashed_shingle_rows(
+            spark,
+            docs,
+            # the parquet branch IS the big-corpus branch (callers gate
+            # it on the 150k-doc pivot): widen its dedup distinct so
+            # the one aggregate that still ran with corpus-scale hash
+            # state per task goes spill-free (hashed_shingle_rows)
+            n_parts=(
+                spark.sparkContext.defaultParallelism * 4
+                if materialize == "parquet"
+                else None
+            ),
+        )
         ntot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     if materialize == "parquet":
         from ..operators.materialize import parquet_checkpoint
