@@ -104,45 +104,75 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication signal, exactly as in ``ngram_jaccard_near_dup``).
     All counts are exact BIGINTs; the two ratios are single floored
     divisions."""
-    from .llm import shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     # four consumers (df band, sizes, both pair-join sides): materialize
-    # once instead of re-running the shingle pipeline, same rationale
-    # as _split_shingles_by_df(materialize=True). Rows carry the
+    # once instead of re-running the shingle pipeline. Rows carry the
     # 128-bit shingle hash (same rekey + seeds as
     # _split_shingles_by_df): the dedup distinct, DF band, and the
     # quadratic pair join all sort/shuffle longs, and the shingle
-    # string never leaves the scan.
-    sh = (
-        shingle_rows(spark, docs)
-        .select(
-            "doc_id",
-            F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
-            F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
+    # string never leaves the scan. Materialization pivots on corpus
+    # size exactly as ngram_near_dup_pairs: below the pivot a
+    # localCheckpoint is cheap and exchange-adjacent; past it the
+    # block cache's storage pressure smears spill across EVERY stage
+    # (first x100 battery: 55.3 GB over 8 stages, the round-10
+    # cache-build signature) — the scratch-parquet leaf plus the wide
+    # dedup distinct runs the same corpus spill-free.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    if big:
+        from ..operators.materialize import parquet_checkpoint
+
+        sh, _release = parquet_checkpoint(
+            hashed_shingle_rows(
+                spark, docs, n_parts=spark.sparkContext.defaultParallelism * 4
+            ),
+            label="cont-sh",
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    else:
+        sh = hashed_shingle_rows(spark, docs).localCheckpoint(eager=True)
+    wide = spark.sparkContext.defaultParallelism * 4
+    # the df aggregate's keys are near-unique (most shingles appear
+    # once), so its hash state scales with the shingle MASS — widen
+    # past AQE coalescing on the big path, like the dedup distinct
+    dfc_src = sh.repartition(wide, "h1", "h2") if big else sh
     keep = (
-        sh.groupBy("h1", "h2")
+        dfc_src.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df").between(2, _CONT_DF_CAP))
         .select("h1", "h2")
     )
-    r = sh.join(keep, ["h1", "h2"])
+    # band join: build the hash table on the (smaller) banded-shingle
+    # set and stream the full relation — the SMJ fallback sorts 50M
+    # rows instead (x100 probe: 2.7 GB of the residual spill)
+    r = sh.join(keep.hint("shuffle_hash") if big else keep, ["h1", "h2"])
     sizes = r.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a, b = r.alias("a"), r.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    joined = a.join(
+        b,
+        (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    if big:
+        # pair keys are near-unique, so the count aggregate's hash map
+        # scales with the pair MASS — widen past AQE's coalescing
+        # (the _pairs_from_rare 4x-cores pivot, same rationale)
+        joined = joined.repartition(
+            spark.sparkContext.defaultParallelism * 4, "doc_a", "doc_b"
+        )
+    pairs = joined.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("inter")
+    )
+    # attach joins: doc-scale side tables against the pair-scale
+    # relation — pin shuffled-hash builds past the pivot so the SMJ
+    # fallback never sorts the pair mass (the ngram-family x50 lesson;
+    # here it was the final stage's 6.9 GB memory spill at x100)
+    if big:
+        sizes = sizes.hint("shuffle_hash")
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     cont_a = F.floor(F.col("inter").cast("double") * 1e6 / F.col("sz_a")).cast("long")
@@ -158,7 +188,12 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("cont_a_micro"), F.col("cont_b_micro"))
             >= _CONT_THRESHOLD_MICRO
         )
-        .orderBy("doc_a", "doc_b")
+        # no global orderBy: the range-partitioned sort EXECUTES its
+        # child twice (sampling pass + sort pass — the first x100
+        # battery's duplicate 6.9 GB-spill stages) for a presentation
+        # order nothing depends on (driver compare and tests are both
+        # order-insensitive); at corpus scale the consumer of a pair
+        # ledger sorts its own slice if it needs one
     )
 
 
