@@ -232,10 +232,18 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (order-independent), and the final cosine uses one exact
     division and IEEE-exact ``sqrt`` per side, identical cross-engine.
     Top-k carries a (doc_a, doc_b) tie-break."""
-    from .llm import shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # one bounded plan-build count steers the scale pivots below (the
+    # ngram-family pattern; first x100 battery read 46.9 GB of spill
+    # here — block-cache materialization + narrow mass-keyed
+    # aggregates + SMJ sorts of the pair relation, all three of which
+    # invert past the pivot)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    wide = spark.sparkContext.defaultParallelism * 4
     # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,
     # vs the interpreted explode(transform(...)) HOF whose generator
     # re-evaluates the child per output row — O(shingles²) per document.
@@ -249,6 +257,11 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
         F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
     )
+    # tf keys are near-unique (most shingles occur once per doc), so
+    # the aggregate's hash state is the shingle MASS — widen past AQE
+    # coalescing on the big path, like the ngram dedup distinct
+    if big:
+        shingles = shingles.repartition(wide, "doc_id", "h1", "h2")
     tf = shingles.groupBy("doc_id", "h1", "h2").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
@@ -258,7 +271,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df").between(2, _COS_DF_CAP))
     )
     w = (
-        tf.join(dfreq, ["h1", "h2"])
+        tf.join(dfreq.hint("shuffle_hash") if big else dfreq, ["h1", "h2"])
         .join(F.broadcast(tot))
         .select(
             "doc_id",
@@ -269,33 +282,51 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (ln_det_int("n_docs") - ln_det_int("df"))
             ).alias("w"),
         )
-        # three consumers (squared norms + both self-join sides): the
-        # df-cap already shrank this to the sparse index, so materialize
-        # once instead of re-running shingle->tf->df 3x
-        .localCheckpoint(eager=True)
     )
+    # three consumers (squared norms + both self-join sides): the
+    # df-cap already shrank this to the sparse index, so materialize
+    # once instead of re-running shingle->tf->df 3x. Past the pivot
+    # the block cache's storage pressure is the dominant spiller
+    # (operators/materialize.py) — scratch parquet there instead.
+    if big:
+        from ..operators.materialize import parquet_checkpoint
+
+        w, _release = parquet_checkpoint(w, label="tfidf-w")
+    else:
+        w = w.localCheckpoint(eager=True)
     nsq = w.groupBy("doc_id").agg(
         F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e6)).cast("long"))
         .cast("long")
         .alias("nsq_g")
     )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.h1") == F.col("b.h1"))
-            & (F.col("a.h2") == F.col("b.h2"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.sum(F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e6)).cast("long"))
-            .cast("long")
-            .alias("dot_g")
-        )
+    a = w.alias("a")
+    # the index self-join: hash-build one side per partition instead
+    # of SMJ-sorting both (the last 2.4 GB x100 spiller; per-partition
+    # build state is index_mass/width — bounded)
+    b = (w.hint("shuffle_hash") if big else w).alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.h1") == F.col("b.h1"))
+        & (F.col("a.h2") == F.col("b.h2"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.floor(F.col("a.w") * F.col("b.w") * F.lit(1e6))
+        .cast("long")
+        .alias("dot_term"),
     )
+    if big:
+        # pair keys are near-unique — the dot aggregate's hash map is
+        # the pair MASS; widen like _pairs_from_rare's 4x-cores pivot
+        joined = joined.repartition(wide, "doc_a", "doc_b")
+    dots = joined.groupBy("doc_a", "doc_b").agg(
+        F.sum("dot_term").cast("long").alias("dot_g")
+    )
+    if big:
+        # doc-scale norms against the pair-scale dots: pin the hash
+        # build so the SMJ fallback never sorts the pair relation
+        nsq = nsq.hint("shuffle_hash")
     na, nb = nsq.alias("na"), nsq.alias("nb")
     cos_micro = F.floor(
         (F.col("dot_g").cast("double") / F.lit(1e6))
