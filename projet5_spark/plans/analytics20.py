@@ -125,29 +125,78 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both prefixes and satisfies the bound, so one of its join rows
     always survives. Measured at sf0.1 they cut candidate pairs 9.3x
     (118 826 -> 12 784), which is the point: the verify stage is
-    bounded by genuinely-plausible pairs, not by prefix collisions."""
-    from .llm import shingle_rows
+    bounded by genuinely-plausible pairs, not by prefix collisions.
 
-    tok = (
-        shingle_rows(spark, _t(spark, sf_dir, "documents"))
-        .select("doc_id", F.col("s").alias("tok"))
-        .distinct()
+    Token identity is the 128-bit (h1, h2) shingle hash (the ngram
+    family's rekey), not the raw shingle: the df aggregate and dedup
+    distinct shuffle two longs, and the per-doc arrays re-encode each
+    hash as one injective 'h1:h2' hex string so array_intersect keeps
+    its atomic-type hash-set fast path. The global rarest-first order
+    is (df, h1, h2) instead of (df, tok) — the prefix, length, and
+    positional filters are lossless under ANY consistent total order
+    (the qualifying pair's first shared token in that order sits in
+    both prefixes and meets the bound), so the thresholded output set
+    is identical to the oracle's string-ordered computation."""
+    from ..operators.materialize import parquet_checkpoint
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
+
+    docs_t = _t(spark, sf_dir, "documents")
+    n_docs = docs_t.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    wide = spark.sparkContext.defaultParallelism * 4
+    # two consumers (df aggregate, per-doc array build): materialize
+    # once. Past the 150k-doc pivot the block cache's storage pressure
+    # smears spill across every stage (first x100 battery: 16.8 GB,
+    # fat string+array rows) — scratch parquet + the wide dedup
+    # distinct runs the same corpus spill-free (the ngram recipe).
+    # A window-count df attach (one shuffle, no join-back) was A/B'd
+    # at x100 and LOST: 47.3 s vs 40.5 s — WindowExec's per-partition
+    # sort of the 50M-row shingle mass costs more than the hash
+    # aggregate plus shuffled-hash join it replaced.
+    if big:
+        tok, _release = parquet_checkpoint(
+            hashed_shingle_rows(spark, docs_t, n_parts=wide), label="ppj-sh"
+        )
+    else:
+        tok = hashed_shingle_rows(spark, docs_t).localCheckpoint(eager=True)
+    # df keys are near-unique (most shingles appear once): hash state
+    # scales with the shingle MASS, so widen past AQE coalescing on
+    # the big path
+    dfc_src = tok.repartition(wide, "h1", "h2") if big else tok
+    dfc = dfc_src.groupBy("h1", "h2").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
     )
-    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # df attach: build on the banded df table, stream the shingle
+    # relation — the SMJ fallback sorts the full shingle mass
+    joined = tok.join(dfc.hint("shuffle_hash") if big else dfc, ["h1", "h2"])
+    if big:
+        # collect_list state is the per-doc shingle array — doc-scale
+        # keys but shingle-mass state; widen like the pair aggregates
+        joined = joined.repartition(wide, "doc_id")
+    # array elements are the 128-bit hash re-encoded as ONE injective
+    # hex string ('h1:h2'): array_intersect's O(n+m) hash-set fast
+    # path covers atomic element types only — struct elements fall
+    # back to the quadratic generic-equality scan, which dominated the
+    # first rewrite's x100 wall (1493 executor-s in the verify stage)
     docs = (
-        tok.join(dfc, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("arr"))
+        joined.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h1", "h2"))).alias("arr"))
         .select(
             "doc_id",
-            F.expr("transform(arr, x -> x.tok)").alias("toks"),
+            F.expr(
+                "transform(arr, x -> concat(hex(x.h1), ':', hex(x.h2)))"
+            ).alias("toks"),
             F.size("arr").cast("long").alias("n"),
         )
-        # three consumers (prefix explode, both verify sides): one row
-        # per document, so the materialization is entity-scale — same
-        # rationale as _split_shingles_by_df(materialize=True)
-        .localCheckpoint(eager=True)
     )
+    # three consumers (prefix explode, both verify sides): one row per
+    # document, entity-scale — but the rows carry the full shingle
+    # array, so past the pivot the fat relation goes through scratch
+    # parquet, not the block cache
+    if big:
+        docs, _release2 = parquet_checkpoint(docs, label="ppj-docs")
+    else:
+        docs = docs.localCheckpoint(eager=True)
     prefix = docs.select(
         "doc_id",
         "n",
@@ -163,20 +212,20 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubound = 1 + F.least(
         F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: max size <= min size / t
-            & (4 * F.greatest("a.n", "b.n") <= 5 * F.least("a.n", "b.n"))
-            # positional filter: overlap upper bound >= overlap floor
-            # ceil(t/(1+t)*(n_a+n_b)) with t = 0.8 -> 9*ub >= 4*(na+nb)
-            & (9 * ubound >= 4 * (F.col("a.n") + F.col("b.n"))),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = a.join(
+        b.hint("shuffle_hash") if big else b,
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: max size <= min size / t
+        & (4 * F.greatest("a.n", "b.n") <= 5 * F.least("a.n", "b.n"))
+        # positional filter: overlap upper bound >= overlap floor
+        # ceil(t/(1+t)*(n_a+n_b)) with t = 0.8 -> 9*ub >= 4*(na+nb)
+        & (9 * ubound >= 4 * (F.col("a.n") + F.col("b.n"))),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if big:
+        # near-unique pair keys: widen the dedup distinct too
+        cand = cand.repartition(wide, "doc_a", "doc_b")
+    cand = cand.distinct()
     da = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -187,6 +236,11 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("toks_b"),
         F.col("n").alias("sz_b"),
     )
+    if big:
+        # attach joins: doc-scale fat-array build sides vs the pair
+        # stream — pin shuffled-hash builds so the SMJ fallback never
+        # sorts the array rows
+        da, db = da.hint("shuffle_hash"), db.hint("shuffle_hash")
     jac = F.floor(
         F.col("inter").cast("double")
         * 1e6
@@ -204,7 +258,9 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", jac.alias("jaccard_micro"))
         .where(F.col("jaccard_micro") >= _PP_T_MICRO)
-        .orderBy("doc_a", "doc_b")
+        # no global orderBy: the range sort executes its child twice
+        # (sampling + sort) for a presentation order nothing consumes
+        # — driver compare and tests are order-insensitive
     )
 
 

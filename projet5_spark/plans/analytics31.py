@@ -93,12 +93,25 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs oracle's on any input; the capped form stays the scale
     path (llm.simhash_near_dup docstring on why degenerate buckets are
     exact-dedup's job)."""
-    from .llm import shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingle_rows(spark, docs).distinct()
     h = F.conv(F.substring(F.sha2(F.col("s"), 256), 1, 15), 16, 10).cast("bigint")
-    hashed = sh.select("doc_id", h.alias("h"))
+    # hash ABOVE the dedup distinct so the shuffle carries (doc_id, h)
+    # longs, not shingle strings (the string distinct was this query's
+    # one x100 spiller, 2.3 GB). Dedup on the 60-bit hash is the
+    # rekey tradeoff the 128-bit ngram family already accepts — an
+    # in-doc collision (~2^-60 per shingle pair) would drop one vote
+    # row; the oracle hash-compare would catch it loudly.
+    sh_src = shingle_rows(spark, docs).select("doc_id", h.alias("h"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    if n_docs >= _ATTACH_SHJ_MIN_DOCS:
+        # near-unique keys: hash state scales with the shingle mass —
+        # widen past AQE coalescing (the hashed_shingle_rows rationale)
+        sh_src = sh_src.repartition(
+            spark.sparkContext.defaultParallelism * 4, "doc_id", "h"
+        )
+    hashed = sh_src.distinct()
 
     # 60 one-bit vote counters packed into 15 longs of 4x16-bit lanes
     # (requires shingle counts < 2^16 — raise_error-guarded at the

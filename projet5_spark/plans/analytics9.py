@@ -173,23 +173,37 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc totals and the per-doc novelty counts are two independent
     aggregates joined at ENTITY scale (one row per doc) — the
     fact-scale join-back of first_seen onto every (doc, digest) row
-    this used to do never touches the wire. Both remaining shuffles
-    carry 32-byte digests; the distinct gram set is materialized once
-    for its two aggregate consumers."""
-    from .llm import shingle_rows
+    this used to do never touches the wire.
+
+    Shingle identity is the 128-bit (h1, h2) xxhash pair (the ngram
+    family's rekey), not the oracle's sha-256 hex: the digest is a
+    pure grouping key — no digest reaches the output, and min/count
+    per distinct shingle are identical under any collision-free
+    identity — so every shuffle carries two longs instead of 64-char
+    strings and no per-row crypto runs. Past the 150k-doc pivot the
+    distinct gram set materializes through scratch parquet (the
+    block-cache build smeared 8.1 GB of spill across the first x100
+    battery) and the near-unique-key first-seen aggregate widens past
+    AQE coalescing."""
+    from ..operators.materialize import parquet_checkpoint
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    g = (
-        shingle_rows(spark, docs)
-        .select("doc_id", F.sha2(F.col("s"), 256).alias("dig"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    wide = spark.sparkContext.defaultParallelism * 4
+    if big:
+        g, _release = parquet_checkpoint(
+            hashed_shingle_rows(spark, docs, n_parts=wide), label="novelty-sh"
+        )
+    else:
+        g = hashed_shingle_rows(spark, docs).localCheckpoint(eager=True)
     per_doc = g.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_shingles")
     )
+    fs_src = g.repartition(wide, "h1", "h2") if big else g
     novel = (
-        g.groupBy("dig")
+        fs_src.groupBy("h1", "h2")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))

@@ -1050,7 +1050,9 @@ def test_novelty_joins_only_at_doc_scale(spark):
         if re.search(r"\b(Left|Right) keys", ln) or " join keys" in ln.lower()
     ]
     assert key_lines, plan
-    offenders = [ln for ln in key_lines if "dig" in ln]
+    offenders = [
+        ln for ln in key_lines if re.search(r"\b(dig|h1|h2)#", ln)
+    ]
     assert not offenders, offenders
 
 
