@@ -761,24 +761,31 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted the candidate relation twice — ALL 37 GB of this query's
     # x100-docs spill lived in that one verify stage; the hash build
     # of the doc-scale side streams candidates sort-free.
+    #
+    # A pinned SHJ build is NON-SPILLABLE, so its per-task state must
+    # be bounded explicitly: at x200 docs (1M) the AQE-sized verify
+    # exchange left ~64 MB compressed (≈1.5 GB deserialized — longs
+    # lz4 ~24:1) of build per task and the join OOM'd outright
+    # ("not enough memory to build hash map", 8 failed tasks). The
+    # build side therefore repartitions to ~500k rows/task scaled by
+    # the ACTUAL shingle mass — one metadata-cheap count on the
+    # materialized parquet leaf — which is the cluster posture too:
+    # partition count grows with data, per-task build state does not.
+    wide = sh.sparkSession.sparkContext.defaultParallelism * 4
+    n_sh = sh.count()
+    n_verify = max(wide, -(-n_sh // 500_000))
+    # below ~16M shingle rows AQE's sizing stays far under the build
+    # budget — keep the implicit exchange so fixture/x20 plans coalesce
+    bounded = n_sh >= 16_000_000
+    build_a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
+    build_b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
+    if bounded:
+        build_a = build_a.repartition(n_verify, "doc_a")
+        build_b = build_b.repartition(n_verify, "doc_b", "h1", "h2")
     inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2").hint(
-                "shuffle_hash"
-            ),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2").hint(
-                "shuffle_hash"
-            ),
-            ["doc_b", "h1", "h2"],
-        )
-        .repartition(
-            sh.sparkSession.sparkContext.defaultParallelism * 4,
-            "doc_a",
-            "doc_b",
-        )
+        cand.join(build_a.hint("shuffle_hash"), "doc_a")
+        .join(build_b.hint("shuffle_hash"), ["doc_b", "h1", "h2"])
+        .repartition(n_verify if bounded else wide, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -791,7 +798,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
     """64-bit SimHash signatures as a pure-JVM expression pipeline:
     explode tokens → ``xxhash64`` per token → one hash aggregate with 64
     per-bit vote sums → bit-pack votes back into an int64.
@@ -808,10 +815,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     signatures discriminative. The shingle feature hash is
     ``xxhash64(h(t1), h(t2), h(t3))`` over per-token hashes — no shingle
     string is ever materialized, everything stays codegen'd.
+
+    ``n_parts`` widens the doc_id exchange the window sorts on —
+    big-corpus callers pass 4x cores: at x200 docs the one-per-core
+    window sort held ~6M token rows/task and spilled 2.4 GB (the
+    query's only spilling stage); wider tasks sort the same mass
+    spill-free. Fixture callers leave it None (AQE coalesces).
     """
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     ).select("doc_id", "pos", F.xxhash64("tok").alias("h1"))
+    if n_parts is not None:
+        toks = toks.repartition(n_parts, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
     h2, h3 = F.lead("h1", 1).over(w), F.lead("h1", 2).over(w)
     hashed = (
@@ -904,6 +919,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 token hashes, fixed block layout).
     """
     docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_docs = docs.count()
+    n_parts = (
+        spark.sparkContext.defaultParallelism * 4
+        if n_docs >= _ATTACH_SHJ_MIN_DOCS
+        else None
+    )
     # localCheckpoint: both sides of the banded self-join read the
     # signatures — without materialization the explode+agg pipeline
     # runs twice (2× wall-clock measured), and the checkpoint also
@@ -911,7 +932,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant-size plan. Checkpoint blocks are released by the
     # ContextCleaner once the frame is unreachable (the session pins
     # periodicGC to 15s), so no manual cache bookkeeping is needed.
-    sigs = simhash_signatures(docs).localCheckpoint(eager=True)
+    sigs = simhash_signatures(docs, n_parts=n_parts).localCheckpoint(eager=True)
     bands = simhash_band_rows(sigs)
     # bucket-cardinality guard before the self-join: the window count
     # shuffles on exactly the join key, so it reuses the partitioning
