@@ -96,10 +96,21 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash sum) certifies the exact fingerprint SET without hashing
     megabytes of fingerprint rows. A near-dup pass at scale equi-joins
     on these fingerprints exactly like the minshingle family."""
+    from .llm import _ATTACH_SHJ_MIN_DOCS
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    if n_docs >= _ATTACH_SHJ_MIN_DOCS:
+        # the gram/window stage sorts the full token mass per doc_id
+        # partition — at x200 docs (1M) the one-per-core width held
+        # ~6M rows/task and this was the query's only spilling stage
+        # (2.7 GB); 4x-cores width sorts the same mass spill-free
+        toks = toks.repartition(
+            spark.sparkContext.defaultParallelism * 4, "doc_id"
+        )
     wlead = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [
         F.lead("tok", j).over(wlead) for j in range(1, _WIN_K)
