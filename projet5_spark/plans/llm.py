@@ -667,6 +667,16 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: family, not joining it quadratically.
 _MH_BANDS = 8
 _MH_BUCKET_CAP = 1024
+#: non-spillable SHJ build budget for the exact-verify joins: the
+#: build sides repartition to ~this many rows per task once the
+#: shingle mass crosses the bound (below it AQE's sizing cannot
+#: overshoot the budget and fixture plans keep coalescing). The x200
+#: lesson: a pinned shuffled-hash build that is NOT explicitly
+#: bounded OOMs outright when AQE's byte-based sizing meets a
+#: high-compression long relation (~24:1 lz4 → 64 MB advisory
+#: ≈ 1.5 GB deserialized hash map).
+_VERIFY_BUILD_ROWS_PER_TASK = 500_000
+_VERIFY_BOUND_MIN_ROWS = 16_000_000
 
 
 @query("minhash_lsh_near_dup")  # no oracle: LSH hash family is engine-specific
@@ -773,10 +783,10 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count grows with data, per-task build state does not.
     wide = sh.sparkSession.sparkContext.defaultParallelism * 4
     n_sh = sh.count()
-    n_verify = max(wide, -(-n_sh // 500_000))
-    # below ~16M shingle rows AQE's sizing stays far under the build
-    # budget — keep the implicit exchange so fixture/x20 plans coalesce
-    bounded = n_sh >= 16_000_000
+    n_verify = max(wide, -(-n_sh // _VERIFY_BUILD_ROWS_PER_TASK))
+    # below the bound AQE's sizing stays far under the build budget —
+    # keep the implicit exchange so fixture/x20 plans coalesce
+    bounded = n_sh >= _VERIFY_BOUND_MIN_ROWS
     build_a = sh.select(F.col("doc_id").alias("doc_a"), "h1", "h2")
     build_b = sh.select(F.col("doc_id").alias("doc_b"), "h1", "h2")
     if bounded:

@@ -255,3 +255,56 @@ def test_curve_corpus_sampling_guard_switches_above_bound(spark, tmp_path):
         if hashlib.sha256(f"curve:{i}".encode()).hexdigest()[0] == "0"
     ]
     assert ids1 == expected
+
+
+# ---------------------------------------------------------------------------
+# Scale-gated big-path equivalence: the >=150k-doc branches (scratch-
+# parquet materialization, widened near-unique-key aggregates, pinned
+# shuffled-hash builds, mass-scaled verify partitioning) are exercised
+# by the stress batteries, not the fixtures. Forcing the pivot to 0
+# runs the SAME fixture corpus down the big path and pins bit-for-bit
+# output equality — blocking/width/materialization choices must only
+# ever change the physical plan.
+# ---------------------------------------------------------------------------
+
+_GATED_QUERIES = [
+    "ppjoin_prefix_filter_pairs",
+    "ngram_novelty_decay",
+    "simhash_sha_near_dup",
+    "winnowing_fingerprints",
+    "decontamination_span_offsets",
+    "shingle_containment_pairs",
+    "tfidf_cosine_pairs_topk",
+    "simhash_near_dup",
+]
+
+
+def _rows_key(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _GATED_QUERIES)
+def test_big_path_equals_small_path(spark, name, monkeypatch):
+    import projet5_spark.plans.llm as llm
+
+    sf = "/root/testdata/sf0.001"
+    small = _rows_key(QUERIES[name](spark, sf))
+    monkeypatch.setattr(llm, "_ATTACH_SHJ_MIN_DOCS", 0)
+    big = _rows_key(QUERIES[name](spark, sf))
+    assert big == small
+    assert len(big) > 0
+
+
+def test_minhash_bounded_verify_equals_default(spark, monkeypatch):
+    """The mass-scaled verify repartition (the x200 OOM fix) must be a
+    pure physical-plan change: force the bound to 0 so the explicit
+    build partitioning engages at fixture scale and compare pair sets."""
+    import projet5_spark.plans.llm as llm
+
+    sf = "/root/testdata/sf0.001"
+    default = _rows_key(QUERIES["minhash_lsh_near_dup"](spark, sf))
+    monkeypatch.setattr(llm, "_VERIFY_BOUND_MIN_ROWS", 0)
+    bounded = _rows_key(QUERIES["minhash_lsh_near_dup"](spark, sf))
+    assert bounded == default
+    assert len(bounded) > 0
