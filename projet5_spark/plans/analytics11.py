@@ -232,7 +232,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (order-independent), and the final cosine uses one exact
     division and IEEE-exact ``sqrt`` per side, identical cross-engine.
     Top-k carries a (doc_a, doc_b) tie-break."""
-    from .llm import _ATTACH_SHJ_MIN_DOCS, shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, scaled_wide, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -243,7 +243,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invert past the pivot)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
-    wide = spark.sparkContext.defaultParallelism * 4
+    wide = scaled_wide(spark, n_docs)
     # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,
     # vs the interpreted explode(transform(...)) HOF whose generator
     # re-evaluates the child per output row — O(shingles²) per document.
@@ -252,7 +252,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CI): the tf fold, df count, weight join, and the quadratic pair
     # self-join all shuffle/sort 16-byte longs and the shingle string
     # dies at the scan boundary.
-    shingles = shingle_rows(spark, docs).select(
+    shingles = shingle_rows(spark, docs, n_parts=wide if big else None).select(
         "doc_id",
         F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
         F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
@@ -270,8 +270,13 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .where(F.col("df").between(2, _COS_DF_CAP))
     )
+    if big:
+        # pinned SHJ builds are non-spillable: repartition on exactly
+        # the join key at the mass-scaled width so per-task build
+        # state stays bounded (the ppjoin/minhash x200 OOM lesson)
+        dfreq = dfreq.repartition(wide, "h1", "h2").hint("shuffle_hash")
     w = (
-        tf.join(dfreq.hint("shuffle_hash") if big else dfreq, ["h1", "h2"])
+        tf.join(dfreq, ["h1", "h2"])
         .join(F.broadcast(tot))
         .select(
             "doc_id",
@@ -299,11 +304,13 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nsq_g")
     )
-    a = w.alias("a")
     # the index self-join: hash-build one side per partition instead
-    # of SMJ-sorting both (the last 2.4 GB x100 spiller; per-partition
-    # build state is index_mass/width — bounded)
-    b = (w.hint("shuffle_hash") if big else w).alias("b")
+    # of SMJ-sorting both (the last 2.4 GB x100 spiller); the build
+    # side repartitions on the join key at the mass-scaled width so
+    # its non-spillable per-task state stays bounded at any corpus
+    a_src = w.repartition(wide, "h1", "h2") if big else w
+    a = a_src.alias("a")
+    b = (a_src.hint("shuffle_hash") if big else w).alias("b")
     joined = a.join(
         b,
         (F.col("a.h1") == F.col("b.h1"))

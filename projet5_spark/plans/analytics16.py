@@ -104,7 +104,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication signal, exactly as in ``ngram_jaccard_near_dup``).
     All counts are exact BIGINTs; the two ratios are single floored
     divisions."""
-    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows, scaled_wide
 
     docs = _t(spark, sf_dir, "documents")
     # four consumers (df band, sizes, both pair-join sides): materialize
@@ -121,18 +121,15 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup distinct runs the same corpus spill-free.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    wide = scaled_wide(spark, n_docs)
     if big:
         from ..operators.materialize import parquet_checkpoint
 
         sh, _release = parquet_checkpoint(
-            hashed_shingle_rows(
-                spark, docs, n_parts=spark.sparkContext.defaultParallelism * 4
-            ),
-            label="cont-sh",
+            hashed_shingle_rows(spark, docs, n_parts=wide), label="cont-sh"
         )
     else:
         sh = hashed_shingle_rows(spark, docs).localCheckpoint(eager=True)
-    wide = spark.sparkContext.defaultParallelism * 4
     # the df aggregate's keys are near-unique (most shingles appear
     # once), so its hash state scales with the shingle MASS — widen
     # past AQE coalescing on the big path, like the dedup distinct
@@ -161,9 +158,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pair keys are near-unique, so the count aggregate's hash map
         # scales with the pair MASS — widen past AQE's coalescing
         # (the _pairs_from_rare 4x-cores pivot, same rationale)
-        joined = joined.repartition(
-            spark.sparkContext.defaultParallelism * 4, "doc_a", "doc_b"
-        )
+        joined = joined.repartition(wide, "doc_a", "doc_b")
     pairs = joined.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("inter")
     )

@@ -138,12 +138,12 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both prefixes and meets the bound), so the thresholded output set
     is identical to the oracle's string-ordered computation."""
     from ..operators.materialize import parquet_checkpoint
-    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows, scaled_wide
 
     docs_t = _t(spark, sf_dir, "documents")
     n_docs = docs_t.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
-    wide = spark.sparkContext.defaultParallelism * 4
+    wide = scaled_wide(spark, n_docs)
     # two consumers (df aggregate, per-doc array build): materialize
     # once. Past the 150k-doc pivot the block cache's storage pressure
     # smears spill across every stage (first x100 battery: 16.8 GB,
@@ -208,12 +208,20 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p", "tok"),
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    a = prefix.alias("a")
+    # every pinned shuffled-hash build below repartitions on its join
+    # key at the mass-scaled width FIRST: a pinned SHJ build is
+    # non-spillable, and leaving its partition count to AQE's
+    # byte-based sizing OOM'd at x200 ("can't acquire memory to build
+    # hash relation" in the array attach) — the explicit repartition
+    # is on exactly the join key, so it replaces the join's own
+    # exchange rather than adding one (the minhash verify-bound rule)
+    b = (prefix.repartition(wide, "tok").hint("shuffle_hash") if big else prefix).alias("b")
     ubound = 1 + F.least(
         F.col("a.n") - F.col("a.p") - 1, F.col("b.n") - F.col("b.p") - 1
     )
     cand = a.join(
-        b.hint("shuffle_hash") if big else b,
+        b,
         (F.col("a.tok") == F.col("b.tok"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         # length filter: max size <= min size / t
@@ -239,8 +247,10 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if big:
         # attach joins: doc-scale fat-array build sides vs the pair
         # stream — pin shuffled-hash builds so the SMJ fallback never
-        # sorts the array rows
-        da, db = da.hint("shuffle_hash"), db.hint("shuffle_hash")
+        # sorts the array rows, and bound each build's per-task state
+        # by repartitioning on the join key at the mass-scaled width
+        da = da.repartition(wide, "doc_a").hint("shuffle_hash")
+        db = db.repartition(wide, "doc_b").hint("shuffle_hash")
     jac = F.floor(
         F.col("inter").cast("double")
         * 1e6

@@ -193,7 +193,7 @@ def decontamination_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc to collapse hits into maximal spans. ``span_end_tok`` is
     exclusive-ish: the last covered token index is span_end_tok since
     a 3-gram at pos covers pos..pos+2."""
-    from .llm import _ATTACH_SHJ_MIN_DOCS
+    from .llm import _ATTACH_SHJ_MIN_DOCS, scaled_wide
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
@@ -203,10 +203,9 @@ def decontamination_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_docs >= _ATTACH_SHJ_MIN_DOCS:
         # the shingle window sorts the full token mass per doc_id
         # partition — at x200 docs the one-per-core width spilled
-        # 2.7 GB in that single stage; 4x cores sorts it spill-free
-        tok = tok.repartition(
-            spark.sparkContext.defaultParallelism * 4, "doc_id"
-        )
+        # 2.7 GB in that single stage; mass-scaled width sorts it
+        # spill-free at any mult
+        tok = tok.repartition(scaled_wide(spark, n_docs), "doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
     t2, t3 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     sh = tok.select(

@@ -103,14 +103,18 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rekey tradeoff the 128-bit ngram family already accepts — an
     # in-doc collision (~2^-60 per shingle pair) would drop one vote
     # row; the oracle hash-compare would catch it loudly.
-    sh_src = shingle_rows(spark, docs).select("doc_id", h.alias("h"))
+    from .llm import scaled_wide
+
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    if n_docs >= _ATTACH_SHJ_MIN_DOCS:
+    big = n_docs >= _ATTACH_SHJ_MIN_DOCS
+    wide = scaled_wide(spark, n_docs) if big else None
+    sh_src = shingle_rows(spark, docs, n_parts=wide).select(
+        "doc_id", h.alias("h")
+    )
+    if big:
         # near-unique keys: hash state scales with the shingle mass —
         # widen past AQE coalescing (the hashed_shingle_rows rationale)
-        sh_src = sh_src.repartition(
-            spark.sparkContext.defaultParallelism * 4, "doc_id", "h"
-        )
+        sh_src = sh_src.repartition(wide, "doc_id", "h")
     hashed = sh_src.distinct()
 
     # 60 one-bit vote counters packed into 15 longs of 4x16-bit lanes

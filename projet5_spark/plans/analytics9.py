@@ -96,7 +96,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash sum) certifies the exact fingerprint SET without hashing
     megabytes of fingerprint rows. A near-dup pass at scale equi-joins
     on these fingerprints exactly like the minshingle family."""
-    from .llm import _ATTACH_SHJ_MIN_DOCS
+    from .llm import _ATTACH_SHJ_MIN_DOCS, scaled_wide
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
@@ -107,10 +107,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the gram/window stage sorts the full token mass per doc_id
         # partition — at x200 docs (1M) the one-per-core width held
         # ~6M rows/task and this was the query's only spilling stage
-        # (2.7 GB); 4x-cores width sorts the same mass spill-free
-        toks = toks.repartition(
-            spark.sparkContext.defaultParallelism * 4, "doc_id"
-        )
+        # (2.7 GB); mass-scaled width sorts it spill-free at any mult
+        toks = toks.repartition(scaled_wide(spark, n_docs), "doc_id")
     wlead = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [
         F.lead("tok", j).over(wlead) for j in range(1, _WIN_K)
@@ -197,12 +195,12 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     battery) and the near-unique-key first-seen aggregate widens past
     AQE coalescing."""
     from ..operators.materialize import parquet_checkpoint
-    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows
+    from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows, scaled_wide
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
-    wide = spark.sparkContext.defaultParallelism * 4
+    wide = scaled_wide(spark, n_docs)
     if big:
         g, _release = parquet_checkpoint(
             hashed_shingle_rows(spark, docs, n_parts=wide), label="novelty-sh"

@@ -89,7 +89,9 @@ _DUCK_SHINGLES = (
 )
 
 
-def shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def shingle_rows(
+    spark: SparkSession, docs: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Exploded token 3-gram shingles as ``(doc_id, s)`` rows, built with
     posexplode + window ``lead`` — every step whole-stage-codegen'd.
 
@@ -99,10 +101,19 @@ def shingle_rows(spark: SparkSession, docs: DataFrame) -> DataFrame:
     The window form costs one shuffle on doc_id and is ~20× faster at
     sf0.1; the shuffle amortizes because every consumer (sizes, pair
     join) needs doc_id-keyed rows anyway.
+
+    ``n_parts`` widens that doc_id exchange: the window SORTS the full
+    token mass, and at one partition per core it holds ~6M rows/task
+    by x200 docs — the uniform 2.7 GB spill signature the x200 sweeps
+    found under every shingle consumer. Big-corpus callers pass
+    ``scaled_wide``; the explicit repartition is on the window's own
+    partition key, so it replaces (not adds to) the implicit exchange.
     """
     toks = _spread(spark, docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
+    if n_parts is not None:
+        toks = toks.repartition(n_parts, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
     t2, t3 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
     return toks.select(
@@ -158,6 +169,24 @@ _ATTACH_SHJ_MIN_DOCS = 150_000
 #: exact Jaccard with the stop contribution reconstructed.
 _NGRAM_ABS_DF_CEILING = 2000
 
+#: corpus size at which the 4x-cores widened exchanges hold the same
+#: per-task state the x100 batteries measured zero-spill (~390k
+#: shingle rows/task on this box); scaled_wide doubles the width per
+#: additional step so rows/task stays constant as the corpus grows
+_WIDE_STEP_DOCS = 500_000
+
+
+def scaled_wide(spark: SparkSession, n_docs: int) -> int:
+    """Partition width for the big-corpus shingle/pair exchanges:
+    4x cores per 500k docs, so per-task sort/hash/build state stays at
+    the density the x100 batteries certified spill-free. A FIXED 4x
+    width re-inflates per-task state linearly with corpus — at x200
+    docs (1M) it re-spilled 50 GB in the containment/tfidf shapes and
+    OOM'd the ppjoin df-attach's non-spillable shuffled-hash build.
+    On a cluster the same rule holds against total executor cores."""
+    wide = spark.sparkContext.defaultParallelism * 4
+    return wide * max(1, -(-n_docs // _WIDE_STEP_DOCS))
+
 
 def hashed_shingle_rows(
     spark: SparkSession, docs: DataFrame, n_parts: int | None = None
@@ -176,8 +205,10 @@ def hashed_shingle_rows(
     one-partition-per-core reduce side held ~1.5M rows/task of hash
     state and spilled 2.15 GB; at 4x width the same distinct runs
     spill-free at equal wall (A/B, round 11). Fixture-scale callers
-    leave it None so AQE keeps coalescing."""
-    hashed = shingle_rows(spark, docs).select(
+    leave it None so AQE keeps coalescing. The width also threads into
+    shingle_rows' window exchange — the token sort upstream of the
+    distinct carries ~4x the row mass and spills first."""
+    hashed = shingle_rows(spark, docs, n_parts=n_parts).select(
         "doc_id",
         F.xxhash64(F.lit(-1), F.col("s")).alias("h1"),
         F.xxhash64(F.lit(-2), F.col("s")).alias("h2"),
@@ -931,9 +962,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     n_docs = docs.count()
     n_parts = (
-        spark.sparkContext.defaultParallelism * 4
-        if n_docs >= _ATTACH_SHJ_MIN_DOCS
-        else None
+        scaled_wide(spark, n_docs) if n_docs >= _ATTACH_SHJ_MIN_DOCS else None
     )
     # localCheckpoint: both sides of the banded self-join read the
     # signatures — without materialization the explode+agg pipeline
