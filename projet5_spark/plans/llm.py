@@ -225,6 +225,7 @@ def _split_shingles_by_df(
     min_df_cap: int = _NGRAM_MIN_DF_CAP,
     materialize: bool | str = False,
     sh_rows: DataFrame | None = None,
+    n_parts: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Partition the distinct (doc_id, s) shingle rows into rare vs stop
     shingles by document frequency.
@@ -280,7 +281,7 @@ def _split_shingles_by_df(
         if materialize == "parquet":
             # same wide-distinct treatment as the docs branch below
             sh = sh.repartition(
-                spark.sparkContext.defaultParallelism * 4,
+                n_parts or spark.sparkContext.defaultParallelism * 4,
                 "doc_id",
                 "h1",
                 "h2",
@@ -292,11 +293,12 @@ def _split_shingles_by_df(
             spark,
             docs,
             # the parquet branch IS the big-corpus branch (callers gate
-            # it on the 150k-doc pivot): widen its dedup distinct so
-            # the one aggregate that still ran with corpus-scale hash
-            # state per task goes spill-free (hashed_shingle_rows)
+            # it on the 150k-doc pivot): widen its dedup distinct (and
+            # the shingle window upstream) so the aggregates that ran
+            # with corpus-scale hash state per task go spill-free —
+            # callers pass the mass-scaled width (scaled_wide)
             n_parts=(
-                spark.sparkContext.defaultParallelism * 4
+                (n_parts or spark.sparkContext.defaultParallelism * 4)
                 if materialize == "parquet"
                 else None
             ),
@@ -336,6 +338,14 @@ def _pairs_from_rare(
     # project the string away BEFORE the self-join: the quadratic join
     # shuffles/sorts only (doc_id, h1, h2) longs
     hr = rare.select("doc_id", "h1", "h2")
+    if n_parts is not None:
+        # pin the self-join's width on exactly its equi keys: AQE's
+        # byte-based coalescing ran the SMJ at one partition per core
+        # at x200 docs (~1.7 GB of deserialized sort state per task —
+        # the two sort stages were 2/3 of the family's 26 GB x200
+        # spill); the explicit exchange computes once and both join
+        # sides reuse it
+        hr = hr.repartition(n_parts, "h1", "h2")
     a, b = hr.alias("a"), hr.alias("b")
     # no join hint here: an x100-docs A/B of a shuffled-hash build on
     # the self-join changed neither wall nor spill at scale (the
@@ -546,6 +556,7 @@ def ngram_near_dup_pairs(
     size_src = docs if sh_rows is None else sh_rows.select("doc_id").distinct()
     n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs_exact >= _ATTACH_SHJ_MIN_DOCS
+    wide = scaled_wide(spark, n_docs_exact) if big else None
     # Materialization pivot (measured both ways, rounds 10-11): below
     # the pivot, materialize=False — the hash-keyed distinct behind
     # `sh` compiles to ONE exchange that Spark reuses across every
@@ -564,6 +575,7 @@ def ngram_near_dup_pairs(
         min_df_cap,
         materialize="parquet" if big else False,
         sh_rows=sh_rows,
+        n_parts=wide,
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # one heavy-doc aggregate feeds BOTH the all-pairs completion and
@@ -579,12 +591,12 @@ def ngram_near_dup_pairs(
     # incremental_near_dup_ingest's `doc_b >= lo` stopped reaching the
     # b-side scan and the batch-sized pair relation inflated to the
     # full-corpus one (28.9 → 61.6 s at x100).
-    rare_pairs = _pairs_from_rare(
-        rare,
-        n_parts=(
-            spark.sparkContext.defaultParallelism * 4 if big else None
-        ),
-    )
+    # the pair-aggregate width scales with corpus too (scaled_wide):
+    # the x100 A/B that rejected 500 partitions rejected OVER-widening
+    # at fixed corpus (wider shuffle write, same pair mass) — the
+    # scaled width keeps pairs/task at the x100-certified ~0.9M as the
+    # mass grows, which is the budget the note below pins
+    rare_pairs = _pairs_from_rare(rare, n_parts=wide)
     # dedup heavies against rare_pairs WITHOUT re-aggregating the pair
     # mass: the old union + groupBy(max) pushed every rare pair through
     # a second full-width aggregate just to absorb the (tiny) heavy
@@ -608,13 +620,16 @@ def ngram_near_dup_pairs(
     # elements it falls back to an O(n·m) interpreted scan (measured
     # 13× on the ppjoin verify before this was caught), and heavy docs
     # in a boilerplate-dominated corpus can carry long stop arrays
-    stop_sets = (
-        sh.select("doc_id", "h1", "h2")
-        .join(stop, ["h1", "h2"], "left_semi")
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set(F.concat_ws(":", F.col("h1"), F.col("h2"))).alias("ds")
-        )
+    stop_rows = sh.select("doc_id", "h1", "h2").join(
+        stop, ["h1", "h2"], "left_semi"
+    )
+    if big:
+        # collect_set state is the stop-row STRING mass per task
+        # (ObjectHashAggregate falls back to sort when it outgrows its
+        # budget — a 4.6 GB x200 spill stage); widen on the group key
+        stop_rows = stop_rows.repartition(wide, "doc_id")
+    stop_sets = stop_rows.groupBy("doc_id").agg(
+        F.collect_set(F.concat_ws(":", F.col("h1"), F.col("h2"))).alias("ds")
     )
     empty = F.array().cast("array<string>")
     # ONE doc-level side-table (size + stop set) instead of four
@@ -631,8 +646,12 @@ def ngram_near_dup_pairs(
     # measured both ways, round 10). The plan-build count above picks
     # the side of that pivot explicitly.
     doc_info = sizes.join(stop_sets, "doc_id", "left")
-    if n_docs_exact >= _ATTACH_SHJ_MIN_DOCS:
-        doc_info = doc_info.hint("shuffle_hash")
+    if big:
+        # pinned SHJ builds are non-spillable — bound the per-task
+        # build by repartitioning on the join key at the mass-scaled
+        # width (the ppjoin/minhash x200 OOM lesson; AQE's byte-based
+        # sizing of the stop-array rows can overshoot the budget)
+        doc_info = doc_info.repartition(wide, "doc_id").hint("shuffle_hash")
     ia = doc_info.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n1"),
