@@ -597,6 +597,13 @@ def ngram_near_dup_pairs(
     # scaled width keeps pairs/task at the x100-certified ~0.9M as the
     # mass grows, which is the budget the note below pins
     rare_pairs = _pairs_from_rare(rare, n_parts=wide)
+    # NOT materialized, by measurement (x200 A/B, round 11): rare_pairs
+    # does feed two consumers, but a scratch-parquet checkpoint of the
+    # pair ledger MADE SPILL WORSE (27.9 -> 45.9 GB at equal wall) —
+    # writing 226M pair rows through the parquet sorter costs more
+    # than the second consumer's reduce-side re-run saves. The
+    # materialization rule pays for shingle-scale relations with 4+
+    # consumers, not pair-scale ones with 2.
     # dedup heavies against rare_pairs WITHOUT re-aggregating the pair
     # mass: the old union + groupBy(max) pushed every rare pair through
     # a second full-width aggregate just to absorb the (tiny) heavy
