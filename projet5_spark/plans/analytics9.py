@@ -95,20 +95,39 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup; the output checksum (count + order-independent
     hash sum) certifies the exact fingerprint SET without hashing
     megabytes of fingerprint rows. A near-dup pass at scale equi-joins
-    on these fingerprints exactly like the minshingle family."""
+    on these fingerprints exactly like the minshingle family
+    (``winnowing_near_dup_pairs``, plans/analytics32.py, built on the
+    shared ``win_fp_rows`` pipeline below)."""
     from .llm import _ATTACH_SHJ_MIN_DOCS, scaled_wide
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    n_parts = (
+        scaled_wide(spark, n_docs) if n_docs >= _ATTACH_SHJ_MIN_DOCS else None
+    )
+    fp = win_fp_rows(spark, docs, n_parts=n_parts)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum("h").cast("long").alias("fp_sum"),
+    )
+
+
+def win_fp_rows(
+    spark: SparkSession, docs: DataFrame, n_parts: int | None = None
+) -> DataFrame:
+    """Distinct ``(doc_id, h)`` winnowing fingerprint rows — the shared
+    pipeline behind ``winnowing_fingerprints`` (per-doc checksum) and
+    ``winnowing_near_dup_pairs`` (fingerprint equi-join near-dup).
+
+    ``n_parts`` widens the doc_id exchange the gram/select windows
+    sort on: at x200 docs the one-per-core width held ~6M token
+    rows/task and spilled 2.7 GB; mass-scaled width (scaled_wide)
+    sorts the same mass spill-free."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-    if n_docs >= _ATTACH_SHJ_MIN_DOCS:
-        # the gram/window stage sorts the full token mass per doc_id
-        # partition — at x200 docs (1M) the one-per-core width held
-        # ~6M rows/task and this was the query's only spilling stage
-        # (2.7 GB); mass-scaled width sorts it spill-free at any mult
-        toks = toks.repartition(scaled_wide(spark, n_docs), "doc_id")
+    if n_parts is not None:
+        toks = toks.repartition(n_parts, "doc_id")
     wlead = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("tok")] + [
         F.lead("tok", j).over(wlead) for j in range(1, _WIN_K)
@@ -128,7 +147,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, _WIN_W - 1)
     )
-    fp = (
+    return (
         grams.withColumn("wmin", F.min("h").over(wmin))
         .withColumn("wn", F.count("h").over(wmin))
         # the fingerprint SET is the distinct per-window minima — the
@@ -138,10 +157,6 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("wn") == _WIN_W)
         .select("doc_id", F.col("wmin").alias("h"))
         .distinct()
-    )
-    return fp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.sum("h").cast("long").alias("fp_sum"),
     )
 
 

@@ -272,6 +272,7 @@ _GATED_QUERIES = [
     "ngram_novelty_decay",
     "simhash_sha_near_dup",
     "winnowing_fingerprints",
+    "winnowing_near_dup_pairs",
     "decontamination_span_offsets",
     "shingle_containment_pairs",
     "tfidf_cosine_pairs_topk",
@@ -308,3 +309,31 @@ def test_minhash_bounded_verify_equals_default(spark, monkeypatch):
     bounded = _rows_key(QUERIES["minhash_lsh_near_dup"](spark, sf))
     assert bounded == default
     assert len(bounded) > 0
+
+
+def test_winnowing_near_dup_guarantee_planted(spark, tmp_path):
+    """Winnowing's guarantee: any shared run of >= w + k - 1 (= 8)
+    tokens yields a shared fingerprint, so a planted quotation-length
+    overlap MUST surface as a pair even though the docs are globally
+    dissimilar; token-disjoint docs must never pair."""
+    import pandas as pd
+
+    shared_run = [f"q{i}" for i in range(16)]  # 16-token shared quote
+    doc1 = [f"a{i}" for i in range(40)] + shared_run + [f"b{i}" for i in range(40)]
+    doc2 = [f"c{i}" for i in range(40)] + shared_run + [f"d{i}" for i in range(40)]
+    doc3 = [f"e{i}" for i in range(60)]  # token-disjoint
+    rows = [
+        {"doc_id": i, "text": " ".join(t), "lang": "en", "source": "planted",
+         "n_chars": len(" ".join(t))}
+        for i, t in [(1, doc1), (2, doc2), (3, doc3)]
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["winnowing_near_dup_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got, got
+    assert all(3 not in k for k in got)
+    r = got[(1, 2)]
+    assert r["n_shared"] >= 2
+    assert 0 < r["overlap_micro"] <= 1_000_000

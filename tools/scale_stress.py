@@ -152,6 +152,7 @@ DOC_BATTERY = [
     "shingle_containment_pairs",
     "tfidf_cosine_pairs_topk",
     "winnowing_fingerprints",
+    "winnowing_near_dup_pairs",
     "ngram_novelty_decay",
     "doc_repetition_quality",
     "near_dup_clusters",
