@@ -1967,11 +1967,22 @@ def cosine_pairs_blocked(
         sorted({(b, min(b, x), max(b, x)) for b in range(B) for x in range(B)}),
         "blk int, i int, j int",
     )
-    tagged = emb.select(
+    src = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
-    ).join(F.broadcast(bmap), "blk")
+    )
+    if B >= 16:
+        # widen the MAP side of the block-pair exchange BEFORE the B-way
+        # replication: a few-split scan leaves a handful of map tasks
+        # each sorting the full replicated vector mass into the shuffle
+        # write (the x200-emb battery's only spill, ~8-10 GB in this
+        # exchange's write sorter). Spreading the unreplicated corpus
+        # first costs a 1/B-sized round-robin shuffle and bounds each
+        # map task's write at mass/width. Real multi-split tables get
+        # this parallelism from the scan itself.
+        src = src.repartition(spark.sparkContext.defaultParallelism * 4)
+    tagged = src.join(F.broadcast(bmap), "blk")
 
     def block_pairs(key, pdf):
         i, j = key
