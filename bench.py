@@ -421,6 +421,12 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # v2 (round 11+): tier2_runs became a per-query dict
+                # (1 = single cold shot, 3 = cold-inclusive median-of-3)
+                # and tier2_value sums mixed single-shot and median
+                # readings. v1 (rounds <=10) had scalar tier2 runs.
+                # Cross-round tooling should branch on this marker.
+                "bench_schema_version": 2,
                 "metric": "sum_of_median_query_seconds",
                 "value": total,
                 "unit": "sec",

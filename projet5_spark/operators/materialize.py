@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame
 
 _ROOTS: dict[str, str] = {}
 
+# Scratch paths handed out and not yet release()'d / swept. Unreleased
+# entries at sweep time are usually the DESIGNED case (queries that
+# return a lazy DataFrame over a checkpoint release via the sweep),
+# but the registry lets the sweep name what it reclaims, so a
+# FileNotFound at a later action time is diagnosable from the log
+# instead of a mystery.
+_OUTSTANDING: set[str] = set()
+
 
 def _scratch_root(app_id: str) -> str:
     root = _ROOTS.get(app_id)
@@ -66,9 +74,11 @@ def parquet_checkpoint(
     root = _scratch_root(spark.sparkContext.applicationId)
     path = os.path.join(root, f"{label}-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(path)
+    _OUTSTANDING.add(path)
 
     def release() -> None:
         shutil.rmtree(path, ignore_errors=True)
+        _OUTSTANDING.discard(path)
 
     return spark.read.parquet(path), release
 
@@ -83,6 +93,7 @@ def scratch_dir(spark, prefix: str) -> str:
     root = _scratch_root(spark.sparkContext.applicationId)
     path = os.path.join(root, f"{prefix}-{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
+    _OUTSTANDING.add(path)
     return path
 
 
@@ -97,14 +108,39 @@ def sweep_checkpoint_scratch(spark) -> int:
     until process exit (multi-GB at x100 docs). Between queries every
     checkpoint is dead weight (queries rebuild their frames per
     invocation), so the sweep is safe exactly where the RDD sweep is;
-    never call it while a returned-but-unconsumed DataFrame is live."""
+    never call it while a returned-but-unconsumed DataFrame is live.
+
+    Only directories that actually disappeared count toward the
+    return value (an rmtree that fails — e.g. a file pinned open —
+    leaves the dir and is not "removed"). Reclaimed paths that were
+    handed out by :func:`parquet_checkpoint` / :func:`scratch_dir`
+    and never released are logged at INFO, so if a caller violates
+    the not-while-live rule the later FileNotFound is traceable to a
+    named sweep instead of surfacing as a bare missing path."""
     root = _ROOTS.get(spark.sparkContext.applicationId)
     if root is None or not os.path.isdir(root):
         return 0
     n = 0
+    reclaimed_outstanding = []
     for entry in os.listdir(root):
-        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        path = os.path.join(root, entry)
+        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            continue  # rmtree failed; dir still there — not removed
         n += 1
+        if path in _OUTSTANDING:
+            _OUTSTANDING.discard(path)
+            reclaimed_outstanding.append(path)
+    if reclaimed_outstanding:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "sweep_checkpoint_scratch reclaimed %d unreleased scratch "
+            "dir(s): %s — any later action over a DataFrame built on "
+            "these will fail; by contract none should be live here",
+            len(reclaimed_outstanding),
+            ", ".join(sorted(reclaimed_outstanding)),
+        )
     return n
 
 

@@ -1535,8 +1535,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(256 + doc_id % 128 AS BIGINT) AS n_frames
       FROM documents WHERE doc_id % 2 = 1),
     lcg AS (
+      -- seed mask mirrors synth_wav's `seed & 0x7FFFFFFF`; also keeps
+      -- the first `state * 1103515245` product inside BIGINT for any
+      -- doc_id (unmasked, doc_id >= 2^31 would diverge / overflow)
       SELECT doc_id, n_frames, CAST(0 AS BIGINT) AS i,
-             CAST(doc_id AS BIGINT) AS state, CAST(0 AS BIGINT) AS sum_abs
+             CAST(doc_id % 2147483648 AS BIGINT) AS state,
+             CAST(0 AS BIGINT) AS sum_abs
       FROM odd
       UNION ALL
       SELECT doc_id, n_frames, i + 1,

@@ -59,6 +59,15 @@ def _update_user_profile(
     Values accumulate as integer cents / microseconds so re-ordering
     across micro-batches cannot drift the totals (same rationale as
     registry.gridsum).
+
+    ``max_gap_seconds`` is order-SENSITIVE: state keeps only the last
+    timestamp, so the exact-gap guarantee requires each user's events
+    to arrive in ts order ACROSS micro-batches (within a batch we sort
+    here). The certified entry satisfies this with a single-file
+    source; a multi-file source under ``maxFilesPerTrigger=1`` whose
+    file listing interleaves timestamps would violate it — we detect
+    the regression below and raise rather than silently diverge from
+    the batch oracle.
     """
     (user_id,) = key
     if state.exists:
@@ -76,6 +85,16 @@ def _update_user_profile(
     batch = pd.concat(chunks) if chunks else pd.DataFrame()
     if len(batch):
         batch = batch.sort_values("ts")
+        first_ts_us = int(pd.Timestamp(batch["ts"].iloc[0]).value // 1000)
+        if last_ts_us is not None and first_ts_us < last_ts_us:
+            raise ValueError(
+                f"user {user_id}: micro-batch delivered ts "
+                f"{first_ts_us}us earlier than state's last "
+                f"{last_ts_us}us — out-of-order cross-batch delivery "
+                "breaks the exact max_gap_seconds contract (state "
+                "keeps only the last ts); feed this operator a "
+                "ts-ordered source or drop the gap column"
+            )
         for ts, value in zip(batch["ts"], batch["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if last_ts_us is not None:
