@@ -56,6 +56,7 @@ from . import analytics29  # noqa: E402,F401
 from . import analytics30  # noqa: E402,F401
 from . import analytics31  # noqa: E402,F401
 from . import analytics32  # noqa: E402,F401
+from . import analytics33  # noqa: E402,F401
 from . import streaming_certified  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query"]
