@@ -96,6 +96,72 @@ KEY_FAMILIES = {
 
 COPY_AS_IS = ("region", "nation", "documents", "embeddings")
 
+#: Disk-capacity preflight constants, calibrated from the measured
+#: curves (SCALING.md round-11): the x500 docs probe died mid-run on
+#: ENOSPC after ~85 GB of transient shuffle files against 76 GB free —
+#: an hour burned learning what arithmetic already knew. Peak transient
+#: bytes per mult unit, from the worst measured point of each mode:
+#: docs x200 ran the full battery inside ~35 GB of shuffle scratch and
+#: x500 needed ~85+ GB → ~0.18 GB/mult with the exact ground-truth
+#: arms; facts x100 stays under ~15 GB (~0.15 GB/mult); embeddings are
+#: broadcast-heavy map passes, ~0.05 GB/mult ceiling at x50. The
+#: dataset itself adds base-fixture-bytes x mult. Estimates are
+#: deliberately ~1.2x-conservative: a preflight that fails a run the
+#: box could barely fit costs a flag; ENOSPC mid-battery costs an hour.
+SCRATCH_GB_PER_MULT = {"documents": 0.18, "facts": 0.15, "embeddings": 0.05}
+
+
+def disk_preflight(mode: str, mult: int, out_dir: str, force: bool) -> None:
+    """Fail fast when the box cannot hold dataset + peak shuffle
+    scratch for this run, printing the per-node cluster math instead
+    of burning the synthesis + partial battery before ENOSPC."""
+    import shutil as _sh
+
+    base_tables = (
+        ["documents"] if mode == "documents"
+        else ["embeddings"] if mode == "embeddings"
+        else ["orders", "lineitem", "customer", "supplier", "part", "events"]
+    )
+    base_bytes = sum(
+        os.path.getsize(os.path.join(BASE_SF, f"{t}.parquet"))
+        for t in base_tables
+        if os.path.isfile(os.path.join(BASE_SF, f"{t}.parquet"))
+    )
+    dataset_gb = base_bytes * mult / 1e9
+    scratch_gb = SCRATCH_GB_PER_MULT[mode] * mult
+    need_gb = (dataset_gb + scratch_gb) * 1.2
+    have_gb = _sh.disk_usage(os.path.dirname(out_dir) if
+                             os.path.isdir(os.path.dirname(out_dir))
+                             else REPO).free / 1e9
+    # already-synthesized dataset (--keep) is not a new cost
+    if os.path.isdir(out_dir):
+        existing = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(out_dir) for f in fs
+        )
+        need_gb -= existing / 1e9
+    print(
+        f"preflight[{mode} x{mult}]: dataset ~{dataset_gb:.1f} GB + "
+        f"peak scratch ~{scratch_gb:.1f} GB (x1.2 margin) = "
+        f"~{max(need_gb, 0):.1f} GB needed; {have_gb:.1f} GB free",
+        flush=True,
+    )
+    if need_gb <= have_gb:
+        return
+    nodes = int(need_gb / max(have_gb, 1) + 1)
+    msg = (
+        f"preflight: x{mult} {mode} needs ~{need_gb:.0f} GB but only "
+        f"{have_gb:.0f} GB is free — this is the single-box disk "
+        f"ceiling, not an engine limit (on a {nodes}+-node cluster the "
+        f"shuffle spreads to ~{need_gb / nodes:.0f} GB/node of local "
+        f"disk, well inside standard executor provisioning). "
+        f"Use --force-disk to attempt anyway."
+    )
+    if force:
+        print("WARNING " + msg, flush=True)
+        return
+    raise SystemExit(msg)
+
 #: Heavy battery: multi-join TPC-H-ish, wide aggregates, windows, the
 #: flagship (derives from orders, so it scales with the fact), and the
 #: event-time family. Similarity/text queries are excluded on purpose:
@@ -169,6 +235,10 @@ DOC_BATTERY = [
     # maintained-shingle-index ingest (index write + probe-from-index)
     "simhash_sha_near_dup",
     "shingle_index_incremental_ingest",
+    # round-12 multi-signal fusion: three pair families joined into the
+    # audit matrix + the union-graph keep/drop verdict
+    "near_dup_signal_matrix",
+    "multi_signal_dedup_verdict",
 ]
 
 
@@ -438,6 +508,8 @@ def main() -> None:
                          "(per-replica dim permutation) and run "
                          "EMB_BATTERY")
     ap.add_argument("--keep", action="store_true", help="reuse existing dataset")
+    ap.add_argument("--force-disk", action="store_true",
+                    help="run even when the disk preflight predicts ENOSPC")
     ap.add_argument("--base-compare", action="store_true",
                     help="also run the battery at the base sf for ratios")
     ap.add_argument("queries", nargs="*", default=None)
@@ -477,6 +549,8 @@ def run_main(args) -> None:
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
+
+    disk_preflight(mode, mult, out_dir, getattr(args, "force_disk", False))
 
     spark = get_spark(app_name=f"scale-stress-x{mult}")
     spark.sparkContext.setLogLevel("ERROR")
