@@ -256,3 +256,42 @@ def multi_signal_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_micro",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@query(
+    "near_dup_signal_agreement",
+    oracle=f"""
+    WITH {_signal_ctes()},
+    keys AS (
+      SELECT doc_a, doc_b FROM jac
+      UNION
+      SELECT doc_a, doc_b FROM win
+      UNION
+      SELECT doc_a, doc_b FROM sim)
+    SELECT j.doc_a IS NOT NULL AS has_jaccard,
+           w.doc_a IS NOT NULL AS has_winnow,
+           s.doc_a IS NOT NULL AS has_simhash,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM keys k
+    LEFT JOIN jac j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b
+    LEFT JOIN win w ON k.doc_a = w.doc_a AND k.doc_b = w.doc_b
+    LEFT JOIN sim s ON k.doc_a = s.doc_a AND k.doc_b = s.doc_b
+    GROUP BY 1, 2, 3
+    """,
+)
+def near_dup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement Venn over the signal matrix: pair counts per
+    (jaccard, winnowing, simhash) flag combination — the 7-cell rollup
+    a curator reads to choose the fusion policy (how many pairs are
+    three-signal consensus vs single-detector outliers) and the
+    monitoring aggregate a production pipeline tracks per ingest batch
+    (a drift in the Venn shape means a detector's threshold or the
+    corpus changed). Integer-exact: pure counts on the certified
+    matrix, bounded output (≤ 7 rows at any corpus size — an
+    all-reduce, no per-pair state survives the aggregate)."""
+    m = near_dup_signal_matrix(spark, sf_dir)
+    return m.groupBy(
+        F.col("jaccard").isNotNull().alias("has_jaccard"),
+        F.col("overlap_micro").isNotNull().alias("has_winnow"),
+        F.col("hamming").isNotNull().alias("has_simhash"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))

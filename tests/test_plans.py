@@ -2778,3 +2778,18 @@ def test_jl_projection_broadcasts_sign_matrix(spark):
     plan = plan_of(spark, "jl_projection_distortion")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_signal_matrix_fusion_joins_are_keyed(spark):
+    """The multi-signal fusion must stay pair-keyed: the two full-outer
+    merges on (doc_a, doc_b) compile to sort-merge joins, never a
+    nested loop or cartesian, at any corpus size. (The upstream family
+    pipelines contain BroadcastNestedLoopJoins by design — each is a
+    1-row scalar-threshold attach, the audited class — so the assert
+    targets the fusion joins specifically.)"""
+    plan = plan_of(spark, "near_dup_signal_matrix")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin FullOuter") == 2, plan[:2000]
+    for line in plan.splitlines():
+        if "FullOuter" in line or "LeftOuter" in line:
+            assert "NestedLoop" not in line, line
