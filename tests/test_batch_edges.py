@@ -337,3 +337,51 @@ def test_winnowing_near_dup_guarantee_planted(spark, tmp_path):
     r = got[(1, 2)]
     assert r["n_shared"] >= 2
     assert 0 < r["overlap_micro"] <= 1_000_000
+
+
+def test_multi_signal_fusion_complementarity_planted(spark, tmp_path):
+    """The fusion's reason to exist, planted: a quotation-length copy
+    inside globally-dissimilar docs is winnowing-ONLY (n_signals = 1 —
+    Jaccard dilutes it, SimHash signatures are far), a one-token edit
+    of a doc fires multiple detectors, a token-disjoint doc pairs with
+    nothing; the verdict keeps exactly one doc per cluster and the
+    agreement rollup partitions the matrix."""
+    import pandas as pd
+
+    shared_run = [f"q{i}" for i in range(16)]
+    doc1 = [f"a{i}" for i in range(40)] + shared_run + [f"b{i}" for i in range(40)]
+    doc2 = [f"c{i}" for i in range(40)] + shared_run + [f"d{i}" for i in range(40)]
+    doc3 = [f"e{i}" for i in range(60)]  # token-disjoint
+    base = [f"z{i}" for i in range(60)]
+    doc4, doc5 = base, base[:-1] + ["yy"]  # one-token edit
+    rows = [
+        {"doc_id": i, "text": " ".join(t), "lang": "en", "source": "planted",
+         "n_chars": len(" ".join(t))}
+        for i, t in [(1, doc1), (2, doc2), (3, doc3), (4, doc4), (5, doc5)]
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    p = str(tmp_path)
+
+    m = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in QUERIES["near_dup_signal_matrix"](spark, p).collect()
+    }
+    assert (1, 2) in m and (4, 5) in m
+    assert all(3 not in k for k in m)
+    r12 = m[(1, 2)]
+    assert r12["overlap_micro"] is not None
+    assert r12["jaccard"] is None and r12["hamming"] is None
+    assert r12["n_signals"] == 1
+    r45 = m[(4, 5)]
+    assert r45["jaccard"] is not None and r45["jaccard"] >= 0.5
+    assert r45["n_signals"] >= 2
+
+    v = {r["doc_id"]: r for r in
+         QUERIES["multi_signal_dedup_verdict"](spark, p).collect()}
+    assert set(v) == {1, 2, 4, 5}  # doc3 never clusters
+    assert sum(v[d]["keep"] for d in (1, 2)) == 1
+    assert sum(v[d]["keep"] for d in (4, 5)) == 1
+    assert v[1]["cluster_size"] == 2 and v[4]["cluster_rep"] == 4
+
+    agg = QUERIES["near_dup_signal_agreement"](spark, p).collect()
+    assert sum(r["n_pairs"] for r in agg) == len(m)
