@@ -1987,6 +1987,26 @@ def cosine_pairs_blocked(
         # this parallelism from the scan itself.
         src = src.repartition(spark.sparkContext.defaultParallelism * 4)
     tagged = src.join(F.broadcast(bmap), "blk")
+    if B >= 16:
+        # ...and the REDUCE side: the block-pair grouping sorts the
+        # replicated mass (n·B rows of float arrays) on its read side,
+        # and at conf-width (32 tasks) each task's deserialized sort
+        # state is ~600k vectors — the x200-emb (400k-vector) probe
+        # spilled 7.7 GB in exactly that stage AFTER the map-side fix
+        # above (stage-attributed: final stage, 32 tasks, 3 GB shuffle
+        # read). Hash-repartitioning on the group key at a width scaled
+        # to the replicated mass (~150k rows/task) bounds the sort
+        # state; the planner reuses the partitioning for applyInPandas
+        # (same key), so this widens the one exchange rather than
+        # adding another. Fixture plans (B < 16) keep AQE coalescing.
+        # n is unknown when the caller passed n_blocks; B·rows_per_block
+        # bounds it from above by construction (B = ceil(n / rpb))
+        n_est = n if n_blocks is None else B * rows_per_block
+        repl_parts = max(
+            spark.sparkContext.defaultParallelism * 4,
+            -(-(n_est * B) // 150_000),
+        )
+        tagged = tagged.repartition(repl_parts, "i", "j")
 
     def block_pairs(key, pdf):
         i, j = key
