@@ -152,9 +152,9 @@ def near_dup_signal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins — pair-mass shuffles on (doc_a, doc_b) longs, no new
     quadratic stage, no driver collect. On a 100 TB corpus the three
     relations are materialized tables maintained incrementally and
-    this query is their three-way merge — which is literally the big
-    path here (``_pair_relations``: sequential scratch-parquet
-    materialization past the 150k-doc pivot)."""
+    this query is their three-way merge (``_pair_relations`` documents
+    why recomputing them lazily here beat materializing first in the
+    1M-doc A/B)."""
     jac, win, sim = _pair_relations(spark, sf_dir)
     m = jac.join(win, ["doc_a", "doc_b"], "full").join(
         sim, ["doc_a", "doc_b"], "full"
@@ -319,3 +319,100 @@ def near_dup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_micro").isNotNull().alias("has_winnow"),
         F.col("hamming").isNotNull().alias("has_simhash"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@query(
+    "multi_signal_consensus_verdict",
+    oracle=f"""
+    WITH RECURSIVE {_signal_ctes()},
+    keys AS (
+      SELECT doc_a, doc_b FROM jac
+      UNION
+      SELECT doc_a, doc_b FROM win
+      UNION
+      SELECT doc_a, doc_b FROM sim),
+    edges AS (
+      SELECT k.doc_a AS a, k.doc_b AS b
+      FROM keys k
+      LEFT JOIN jac j ON k.doc_a = j.doc_a AND k.doc_b = j.doc_b
+      LEFT JOIN win w ON k.doc_a = w.doc_a AND k.doc_b = w.doc_b
+      LEFT JOIN sim s ON k.doc_a = s.doc_a AND k.doc_b = s.doc_b
+      WHERE (CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END) >= 2),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach AS (
+      SELECT DISTINCT a, a AS b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+    ),
+    clusters AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor((0.5 * least(n_chars, 500) / 500.0
+                         + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                                             t -> t IN ('the', 'a')))
+                                             AS DOUBLE)
+                                        / len(string_split(text, ' ')))) * 1e6)
+                  AS BIGINT) AS q_micro
+      FROM documents),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_rep, s.q_micro,
+             row_number() OVER (PARTITION BY c.cluster_rep
+                                ORDER BY s.q_micro DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size
+      FROM clusters c JOIN scored s USING (doc_id))
+    SELECT doc_id, cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size,
+           q_micro, rn = 1 AS keep
+    FROM ranked
+    """,
+)
+def multi_signal_consensus_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRECISION-biased twin of ``multi_signal_dedup_verdict``:
+    only pairs flagged by ≥ 2 independent detectors become edges, so a
+    single detector's false positive can never collapse two documents.
+    The recall-biased union form is the curation default (a dropped
+    near-copy costs one document); this consensus form is what a
+    compliance-sensitive deployment runs when a wrong merge is the
+    expensive error — e.g. licensed-content pools where dropping a
+    legitimately distinct document loses paid data. Having BOTH
+    certified makes the policy a one-line choice, not a code fork.
+
+    Same scale shape as the union verdict (the matrix's pair-keyed
+    full-outer joins, then the CC loop over a strictly SMALLER edge
+    set); the n_signals filter is map-side on the fused relation."""
+    from ..operators.graph import connected_components
+    from .llm import _STOPWORDS, _toks
+
+    m = near_dup_signal_matrix(spark, sf_dir)
+    edges = m.where(F.col("n_signals") >= 2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    clusters = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double")
+        / F.size(toks)
+    )
+    q = 0.5 * F.least(F.col("n_chars"), F.lit(500)) / 500.0 + 0.5 * (
+        1.0 - stop_ratio
+    )
+    scored = docs.select(
+        "doc_id", F.floor(q * 1e6).cast("long").alias("q_micro")
+    )
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("q_micro"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_rep")
+    return j.select(
+        "doc_id",
+        "cluster_rep",
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+        "q_micro",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
