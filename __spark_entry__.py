@@ -38,7 +38,7 @@ SF0001 = "/root/testdata/sf0.001"
 #:    so after the drain each round re-certifies the 50 stalest rows
 #:    and every entry keeps a rolling driver-green record.
 #:
-#: Catalog as of round 12: 330 entries (322 oracle-paired + 8 rows-only
+#: Catalog as of round 12: 332 entries (324 oracle-paired + 8 rows-only
 #: by design). Growth stays gated: every uncertified oracle-paired
 #: entry must fit inside one round's 50-slot sample
 #: (tests/test_catalog_gate.py, MAX_UNCERTIFIED_UNQUEUED = 0), which
