@@ -510,6 +510,14 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="reuse existing dataset")
     ap.add_argument("--force-disk", action="store_true",
                     help="run even when the disk preflight predicts ENOSPC")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="cluster-posture experiments: size the shuffle "
+                         "width to the data instead of the local "
+                         "cores default (SCALING.md round-12 facts-x200 "
+                         "attribution)")
+    ap.add_argument("--max-partition-bytes", default=None,
+                    help="cluster-posture experiments: input split size "
+                         "(e.g. 16m) — bounds per-map-task sort state")
     ap.add_argument("--base-compare", action="store_true",
                     help="also run the battery at the base sf for ratios")
     ap.add_argument("queries", nargs="*", default=None)
@@ -552,7 +560,13 @@ def run_main(args) -> None:
 
     disk_preflight(mode, mult, out_dir, getattr(args, "force_disk", False))
 
-    spark = get_spark(app_name=f"scale-stress-x{mult}")
+    spark = get_spark(
+        app_name=f"scale-stress-x{mult}",
+        shuffle_partitions=getattr(args, "shuffle_partitions", None),
+    )
+    mpb = getattr(args, "max_partition_bytes", None)
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     spark.sparkContext.setLogLevel("ERROR")
     ensure_utc(spark)
 
