@@ -169,6 +169,16 @@ _ATTACH_SHJ_MIN_DOCS = 150_000
 #: exact Jaccard with the stop contribution reconstructed.
 _NGRAM_ABS_DF_CEILING = 2000
 
+#: corpus size up to which the shingle relation localCheckpoints at
+#: plan-build (r12): small corpora are DRIVER-bound — the lazy plan
+#: repeats the shingle pipeline per consumer (~5×) and per-invocation
+#: analysis + AQE stage rounds outweigh the few-MB block cache
+#: (6.64 → 4.29 s interleaved A/B at sf0.1). The ceiling stays an
+#: order of magnitude under the x20-docs (100k) reading that REJECTED
+#: localCheckpoint there (2.2 GB cache-build spill): between the two,
+#: runtime exchange reuse remains the no-footprint materialization.
+_LC_MATERIALIZE_MAX_DOCS = 20_000
+
 #: corpus size at which the 4x-cores widened exchanges hold the same
 #: per-task state the x100 batteries measured zero-spill (~390k
 #: shingle rows/task on this box); scaled_wide doubles the width per
@@ -557,23 +567,33 @@ def ngram_near_dup_pairs(
     n_docs_exact = size_src.agg(F.count(F.lit(1)).alias("n")).first()["n"]
     big = n_docs_exact >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs_exact) if big else None
-    # Materialization pivot (measured both ways, rounds 10-11): below
-    # the pivot, materialize=False — the hash-keyed distinct behind
-    # `sh` compiles to ONE exchange that Spark reuses across every
-    # consumer branch, and ReusedExchange IS the materialization with
-    # no block-cache footprint (a localCheckpoint here spilled 2.2 GB
-    # at x20 docs via the cache-build path). Past it, the parquet
-    # round-trip wins decisively: exchange reuse dedupes only the map
-    # side, so all four consumer stages re-ran the reduce-side dedup
-    # distinct — 4 × 2.15 GB memory spill and ~40% of the x100 wall
-    # (44.5 → 27.4 s after; the long-only leaf is the same shape the
-    # minhash family scans).
+    # Materialization pivot, now THREE-way (r10/r11 + r12 A/Bs):
+    # - big (≥150k docs): parquet round-trip — exchange reuse dedupes
+    #   only the map side, so all four consumer stages re-ran the
+    #   reduce-side dedup distinct (4 × 2.15 GB memory spill, ~40% of
+    #   the x100 wall; 44.5 → 27.4 s after).
+    # - SMALL (≤20k docs, r12): localCheckpoint. At fixture scale the
+    #   cost is not spill but the DRIVER: the lazy form's plan carries
+    #   the whole shingle pipeline once per consumer (616 physical
+    #   nodes, 84 parquet scans for ngram_jaccard_near_dup), and
+    #   per-invocation analysis + AQE stage rounds dominate the wall.
+    #   Truncating to a LogicalRDD leaf cut the interleaved A/B median
+    #   6.64 → 4.29 s at sf0.1 (−35%); the checkpointed longs are a
+    #   few MB, far below any cache-pressure regime. eager=True beat
+    #   eager=False 3.45 vs 3.86 in the same protocol.
+    # - middle: materialize=False — the x20-docs A/B measured the
+    #   localCheckpoint cache-build path spilling 2.2 GB there, while
+    #   runtime exchange reuse is the no-footprint materialization.
     sh, rare, stop = _split_shingles_by_df(
         spark,
         docs,
         max_df_frac,
         min_df_cap,
-        materialize="parquet" if big else False,
+        materialize=(
+            "parquet"
+            if big
+            else n_docs_exact <= _LC_MATERIALIZE_MAX_DOCS
+        ),
         sh_rows=sh_rows,
         n_parts=wide,
     )

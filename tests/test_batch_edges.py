@@ -297,6 +297,21 @@ def test_big_path_equals_small_path(spark, name, monkeypatch):
     assert len(big) > 0
 
 
+def test_small_lc_materialize_equals_lazy(spark, monkeypatch):
+    """The r12 small-corpus localCheckpoint pivot in ngram_near_dup_pairs
+    (_LC_MATERIALIZE_MAX_DOCS) must be a pure physical-plan change:
+    force the ceiling to -1 so the lazy (exchange-reuse) form runs at
+    fixture scale and compare the pair sets."""
+    import projet5_spark.plans.llm as llm
+
+    sf = "/root/testdata/sf0.001"
+    checkpointed = _rows_key(QUERIES["ngram_jaccard_near_dup"](spark, sf))
+    monkeypatch.setattr(llm, "_LC_MATERIALIZE_MAX_DOCS", -1)
+    lazy = _rows_key(QUERIES["ngram_jaccard_near_dup"](spark, sf))
+    assert checkpointed == lazy
+    assert len(checkpointed) > 0
+
+
 def test_minhash_bounded_verify_equals_default(spark, monkeypatch):
     """The mass-scaled verify repartition (the x200 OOM fix) must be a
     pure physical-plan change: force the bound to 0 so the explicit
