@@ -68,19 +68,40 @@ def _pair_relations(
     this query certifies the merge logic, and its cost profile is the
     certification family's documented linear-sequential-spill
     posture."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     from .analytics31 import simhash_sha_near_dup
     from .analytics32 import winnowing_near_dup_pairs
     from .llm import ngram_jaccard_near_dup
 
-    jac = ngram_jaccard_near_dup(spark, sf_dir).select(
-        "doc_a", "doc_b", "jaccard"
+    # Build the three legs CONCURRENTLY (guide §2.6 "overlap
+    # independent jobs"): each leg runs eager plan-build work (the
+    # n_docs pivot count; the jaccard/winnowing fixture-scale
+    # localCheckpoints), and building them serially left the box idle
+    # while each leg's materialization drained — the r12 interleaved
+    # A/B measured the signal matrix at 8.48 s serial vs 5.76 s
+    # threaded (−32%) at matched sentinels. inheritable_thread_target
+    # propagates the job group / description thread-locals so the
+    # legs' jobs stay correctly labeled; the returned DataFrames are
+    # identical to the sequential form's.
+    builders = (
+        lambda: ngram_jaccard_near_dup(spark, sf_dir).select(
+            "doc_a", "doc_b", "jaccard"
+        ),
+        lambda: winnowing_near_dup_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b", "overlap_micro"
+        ),
+        lambda: simhash_sha_near_dup(spark, sf_dir).select(
+            "doc_a", "doc_b", "hamming"
+        ),
     )
-    win = winnowing_near_dup_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", "overlap_micro"
-    )
-    sim = simhash_sha_near_dup(spark, sf_dir).select(
-        "doc_a", "doc_b", "hamming"
-    )
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(spark)(b)) for b in builders
+        ]
+        jac, win, sim = (f.result() for f in futs)
     return jac, win, sim
 
 
