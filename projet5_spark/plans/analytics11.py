@@ -241,7 +241,9 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here — block-cache materialization + narrow mass-keyed
     # aggregates + SMJ sorts of the pair relation, all three of which
     # invert past the pivot)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,

@@ -119,7 +119,9 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (first x100 battery: 55.3 GB over 8 stages, the round-10
     # cache-build signature) — the scratch-parquet leaf plus the wide
     # dedup distinct runs the same corpus spill-free.
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     if big:

@@ -141,7 +141,9 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows, scaled_wide
 
     docs_t = _t(spark, sf_dir, "documents")
-    n_docs = docs_t.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     # two consumers (df aggregate, per-doc array build): materialize

@@ -229,14 +229,19 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import ngram_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    lo = int(
-        docs.agg(((F.max("doc_id") + 1) * 4).cast("long").alias("x"))
-        .select(F.expr("x div 5").alias("lo"))
-        .first()[0]
-    )
-    pairs = ngram_near_dup_pairs(spark, docs, threshold=0.5).where(
-        F.col("doc_b") >= lo
-    )
+    from ..sources.readers import fixture_column_max
+
+    # footer-statistics max (exact for int64; Spark-agg fallback) —
+    # same integer arithmetic, minus a per-invocation driver job
+    lo = ((int(fixture_column_max(spark, sf_dir, "documents", "doc_id")) + 1) * 4) // 5
+    from ..sources.readers import fixture_rowcount
+
+    pairs = ngram_near_dup_pairs(
+        spark,
+        docs,
+        threshold=0.5,
+        n_docs=fixture_rowcount(spark, sf_dir, "documents"),
+    ).where(F.col("doc_b") >= lo)
     new_docs = docs.where(F.col("doc_id") >= lo).select("doc_id", "source")
     flags = (
         new_docs.join(pairs, new_docs.doc_id == pairs.doc_b, "left")

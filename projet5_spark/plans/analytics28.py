@@ -199,7 +199,9 @@ def decontamination_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     if n_docs >= _ATTACH_SHJ_MIN_DOCS:
         # the shingle window sorts the full token mass per doc_id
         # partition — at x200 docs the one-per-core width spilled

@@ -105,7 +105,9 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row; the oracle hash-compare would catch it loudly.
     from .llm import scaled_wide
 
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs) if big else None
     sh_src = shingle_rows(spark, docs, n_parts=wide).select(
@@ -271,11 +273,11 @@ def shingle_index_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     from .scans import _scratch
 
     docs = _t(spark, sf_dir, "documents")
-    lo = int(
-        docs.agg(((F.max("doc_id") + 1) * 4).cast("long").alias("x"))
-        .select(F.expr("x div 5").alias("lo"))
-        .first()[0]
-    )
+    from ..sources.readers import fixture_column_max
+
+    # footer-statistics max (exact for int64; Spark-agg fallback) —
+    # same integer arithmetic, minus a per-invocation driver job
+    lo = ((int(fixture_column_max(spark, sf_dir, "documents", "doc_id")) + 1) * 4) // 5
     path = _scratch(sf_dir, "shingle_index")
     hist_rows = hashed_shingle_rows(spark, docs.where(F.col("doc_id") < lo))
     batch_rows = hashed_shingle_rows(spark, docs.where(F.col("doc_id") >= lo))

@@ -101,7 +101,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _ATTACH_SHJ_MIN_DOCS, scaled_wide
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     n_parts = (
         scaled_wide(spark, n_docs) if n_docs >= _ATTACH_SHJ_MIN_DOCS else None
     )
@@ -213,7 +215,9 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _ATTACH_SHJ_MIN_DOCS, hashed_shingle_rows, scaled_wide
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    from ..sources.readers import fixture_rowcount
+
+    n_docs = fixture_rowcount(spark, sf_dir, "documents")
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     if big:
