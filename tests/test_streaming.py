@@ -664,3 +664,65 @@ def test_event_time_timer_fires_at_watermark_boundary(spark, tmp_path):
             spark.conf.set(key, prev)
     closed = sorted(r.user_id for r in out.where(F.col("kind") == "closed").collect())
     assert closed == [1], closed
+
+
+def test_events_schema_probe_handles_all_ts_encodings(spark, tmp_path):
+    """The r12 footer-based events schema probe must classify every ts
+    encoding exactly like the Spark batch probe it replaced: native
+    timestamp[us] -> stream as-is (ntz schema); legacy nanosecond
+    timestamps (pyarrow: timestamp[ns]) and raw int64 epoch-ns -> the
+    nanosAsLong + ns->us decode branch with the explicit long schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from projet5_spark.streaming.windows import (
+        EVENTS_FILE_SCHEMA,
+        _probe_events_schema,
+        open_events_stream,
+        run_to_completion,
+    )
+
+    # native fixture: not the ns branch, schema matches the batch probe
+    is_ns, schema = _probe_events_schema(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    assert is_ns is False
+    assert schema == spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).schema
+
+    # synthesized legacy file: ns-unit timestamps
+    base_ns = 1_700_000_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base_ns + i * 1_000_000_000 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([7, 7, 8], pa.int64()),
+            "event_type": pa.array(["a", "b", "a"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    src = str(tmp_path / "ns-events")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(tbl, os.path.join(src, "events.parquet"))
+    is_ns, schema = _probe_events_schema(spark, f"{src}/events.parquet")
+    assert is_ns is True
+    assert schema == EVENTS_FILE_SCHEMA
+
+    # end-to-end: the legacy stream decodes ns -> exact microseconds
+    out = run_to_completion(
+        open_events_stream(spark, src, glob="events.parquet").select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ),
+        "ns_probe_replay",
+    )
+    got = {r.event_id: r.us for r in out.collect()}
+    assert got == {i + 1: (base_ns + i * 1_000_000_000) // 1000 for i in range(3)}
