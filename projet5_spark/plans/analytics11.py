@@ -243,7 +243,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invert past the pivot)
     from ..sources.readers import fixture_rowcount
 
-    n_docs = fixture_rowcount(spark, sf_dir, "documents")
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs)
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     # posexplode + lead shingling (llm.shingle_rows): whole-stage-codegen'd,

@@ -121,7 +121,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup distinct runs the same corpus spill-free.
     from ..sources.readers import fixture_rowcount
 
-    n_docs = fixture_rowcount(spark, sf_dir, "documents")
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs)
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     if big:

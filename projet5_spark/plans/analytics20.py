@@ -143,7 +143,7 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_t = _t(spark, sf_dir, "documents")
     from ..sources.readers import fixture_rowcount
 
-    n_docs = fixture_rowcount(spark, sf_dir, "documents")
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs_t)
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs)
     # two consumers (df aggregate, per-doc array build): materialize

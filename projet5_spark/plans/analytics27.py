@@ -240,7 +240,7 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         docs,
         threshold=0.5,
-        n_docs=fixture_rowcount(spark, sf_dir, "documents"),
+        n_docs=fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs),
     ).where(F.col("doc_b") >= lo)
     new_docs = docs.where(F.col("doc_id") >= lo).select("doc_id", "source")
     flags = (

@@ -201,7 +201,7 @@ def decontamination_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..sources.readers import fixture_rowcount
 
-    n_docs = fixture_rowcount(spark, sf_dir, "documents")
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs)
     if n_docs >= _ATTACH_SHJ_MIN_DOCS:
         # the shingle window sorts the full token mass per doc_id
         # partition — at x200 docs the one-per-core width spilled

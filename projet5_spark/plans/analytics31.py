@@ -107,7 +107,7 @@ def simhash_sha_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.readers import fixture_rowcount
 
-    n_docs = fixture_rowcount(spark, sf_dir, "documents")
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs)
     big = n_docs >= _ATTACH_SHJ_MIN_DOCS
     wide = scaled_wide(spark, n_docs) if big else None
     sh_src = shingle_rows(spark, docs, n_parts=wide).select(

@@ -747,7 +747,7 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         docs,
         threshold=0.5,
-        n_docs=fixture_rowcount(spark, sf_dir, "documents"),
+        n_docs=fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs),
     )
     return out.select("doc_a", "doc_b", _q(F.col("jaccard"), 4).alias("jaccard"))
 
