@@ -37,6 +37,22 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _parquet_rows(df: DataFrame) -> int | None:
+    """Row count of a parquet-scan-leaf DataFrame from its file
+    footers (~1 ms for a local scratch checkpoint), or None when any
+    file is remote/unreadable — callers fall back to a count job."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in df.inputFiles():
+            p = f[7:] if f.startswith("file://") else f
+            total += pq.ParquetFile(p).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -98,8 +114,16 @@ def connected_components(
     # joins — zero shuffles per round except one AQE-coalesced aggregate.
     # (An unknown driver session may run 200 shuffle partitions; without
     # this, every round pays hundreds of empty tasks.) Past the
-    # threshold, fall back to plain shuffled joins.
-    small = sym.count() < 5_000_000
+    # threshold, fall back to plain shuffled joins. The pivot bound
+    # comes from the edge scratch's parquet footer when readable
+    # (|sym| ≤ 2·|e0| — a conservative bound is fine for a broadcast
+    # pivot); else one count job (r12: saves a job per CC call).
+    e0_rows = _parquet_rows(e0)
+    small = (
+        2 * e0_rows < 5_000_000
+        if e0_rows is not None
+        else sym.count() < 5_000_000
+    )
     hint = F.broadcast if small else (lambda df: df)
 
     if max_iter < 1:
@@ -121,7 +145,11 @@ def connected_components(
         )
         # checkpoint per round: labels otherwise accumulate one nested
         # join per iteration, so round k pays O(k) analysis — quadratic
-        # over the loop
+        # over the loop. The per-node changed flag rides in the same
+        # projection (nmin < old component — NULL nmin filters out), so
+        # convergence is one filter-count on the checkpointed frame
+        # instead of the old new-vs-old re-join (r12: one join + one
+        # broadcast build fewer per round, same count).
         new_labels = (
             labels.join(hint(neighbor_min), labels.node == F.col("node2"), "left")
             .select(
@@ -129,15 +157,11 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("__changed"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(hint(labels.alias("o")), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.where(F.col("__changed")).count()
         # the previous round's checkpoint is now fully consumed (this
         # round's join + count were its last readers) — drop its blocks
         if prev_ckpt is not None:
@@ -156,4 +180,4 @@ def connected_components(
             f"(diameter of the largest component exceeds the cap)"
         )
     _release_checkpoint(sym)  # edge table: no readers after convergence
-    return labels
+    return labels.drop("__changed")

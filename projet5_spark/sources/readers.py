@@ -345,7 +345,13 @@ def _footer_schema(path: str) -> StructType | None:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        arrow = pq.ParquetFile(p).schema_arrow
+        pf = pq.ParquetFile(p)
+        if any(
+            pf.metadata.schema.column(i).physical_type == "INT96"
+            for i in range(pf.metadata.schema.num_columns)
+        ):
+            return None  # legacy INT96 timestamps: let Spark infer
+        arrow = pf.schema_arrow
         for field in arrow:
             if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
                 return None

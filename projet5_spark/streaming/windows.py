@@ -71,7 +71,17 @@ def _probe_events_schema(spark: SparkSession, probe_path: str):
             )
         if not files:
             raise FileNotFoundError(p)
-        arrow = pq.ParquetFile(files[0]).schema_arrow
+        pf = pq.ParquetFile(files[0])
+        if any(
+            pf.metadata.schema.column(i).physical_type == "INT96"
+            for i in range(pf.metadata.schema.num_columns)
+        ):
+            # INT96 timestamps (legacy Spark writer default): pyarrow
+            # surfaces them as timestamp[ns], indistinguishable from the
+            # ns-annotated encoding at the arrow level — let the Spark
+            # probe classify them (it reads INT96 as TIMESTAMP natively)
+            raise ValueError("INT96 timestamps: defer to the Spark probe")
+        arrow = pf.schema_arrow
         ts_type = arrow.field("ts").type
         # legacy generators wrote nanosecond timestamps: pyarrow reports
         # them as timestamp[ns] (or raw int64 epoch-ns) — both read as
