@@ -348,7 +348,7 @@ def _footer_schema(path: str) -> StructType | None:
         pf = pq.ParquetFile(p)
         if any(
             pf.metadata.schema.column(i).physical_type == "INT96"
-            for i in range(pf.metadata.schema.num_columns)
+            for i in range(pf.metadata.num_columns)
         ):
             return None  # legacy INT96 timestamps: let Spark infer
         arrow = pf.schema_arrow

@@ -74,7 +74,7 @@ def _probe_events_schema(spark: SparkSession, probe_path: str):
         pf = pq.ParquetFile(files[0])
         if any(
             pf.metadata.schema.column(i).physical_type == "INT96"
-            for i in range(pf.metadata.schema.num_columns)
+            for i in range(pf.metadata.num_columns)
         ):
             # INT96 timestamps (legacy Spark writer default): pyarrow
             # surfaces them as timestamp[ns], indistinguishable from the
