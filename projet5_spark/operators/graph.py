@@ -44,8 +44,14 @@ def _parquet_rows(df: DataFrame) -> int | None:
     try:
         import pyarrow.parquet as pq
 
+        files = df.inputFiles()
+        if not files:
+            # not a file-scan leaf (e.g. a localCheckpointed frame):
+            # 0 here would silently force small=True and broadcast an
+            # arbitrarily large table — report "unknown" instead
+            return None
         total = 0
-        for f in df.inputFiles():
+        for f in files:
             p = f[7:] if f.startswith("file://") else f
             total += pq.ParquetFile(p).metadata.num_rows
         return total
@@ -106,6 +112,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # read the footer count BEFORE releasing the scratch — the r12 form
+    # read it after release_e0() had deleted the files, so the fast path
+    # never fired and every call still paid the count job (r13 fix)
+    e0_rows = _parquet_rows(e0)
     release_e0()
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -118,7 +128,6 @@ def connected_components(
     # comes from the edge scratch's parquet footer when readable
     # (|sym| ≤ 2·|e0| — a conservative bound is fine for a broadcast
     # pivot); else one count job (r12: saves a job per CC call).
-    e0_rows = _parquet_rows(e0)
     small = (
         2 * e0_rows < 5_000_000
         if e0_rows is not None

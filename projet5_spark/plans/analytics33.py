@@ -97,10 +97,18 @@ def _pair_relations(
             "doc_a", "doc_b", "hamming"
         ),
     )
+    # inheritable_thread_target(session) only acts as a decorator
+    # factory in Connect / pinned-thread (ClientServer gateway) modes;
+    # with PYSPARK_PIN_THREAD=false the non-ClientServer branch returns
+    # its argument UNCHANGED — a SparkSession, not a callable — and
+    # `wrap(b)` would raise TypeError. Guard on callability and fall
+    # back to submitting the bare builder: in that gateway mode JVM
+    # thread-locals are shared process-wide anyway (r13 advice fix).
+    wrap = inheritable_thread_target(spark)
+    if not callable(wrap):
+        wrap = lambda b: b  # noqa: E731
     with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        futs = [
-            pool.submit(inheritable_thread_target(spark)(b)) for b in builders
-        ]
+        futs = [pool.submit(wrap(b)) for b in builders]
         jac, win, sim = (f.result() for f in futs)
     return jac, win, sim
 

@@ -917,3 +917,43 @@ def test_resize_png_nn_semantics_and_contract():
         resize_png(src, 0, 4)
     with pytest.raises(ValueError):
         resize_png(b"\x89PNG\r\n\x1a\ngarbage-after-signature", 2, 2)
+
+
+def test_cc_footer_rowcount_fast_path_engages(spark):
+    """r13 advice fix: the connected-components broadcast pivot must
+    read the edge scratch's parquet footer BEFORE release_e0() deletes
+    it (the r12 ordering read it after, so the fast path never fired
+    and every call paid a count job), and _parquet_rows must report
+    'unknown' (None), never 0, for a non-file-scan leaf."""
+    from pyspark.sql import functions as F
+
+    from projet5_spark.operators import graph
+
+    # (a) a localCheckpointed frame has no input files: None, not 0
+    lc = spark.range(5).localCheckpoint(eager=True)
+    assert graph._parquet_rows(lc) is None
+    lc._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+    # (b) the fast path engages inside connected_components
+    seen = []
+    real = graph._parquet_rows
+
+    def spy(df):
+        out = real(df)
+        seen.append(out)
+        return out
+
+    graph._parquet_rows = spy
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+        )
+        comp = {
+            (r["node"], r["component"])
+            for r in graph.connected_components(edges, "src", "dst").collect()
+        }
+    finally:
+        graph._parquet_rows = real
+    assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # the footer read happened and succeeded (scratch still on disk)
+    assert seen and seen[0] == 3, seen

@@ -383,11 +383,12 @@ def test_footer_schema_matches_spark_inference_all_fixtures(spark):
             if not os.path.exists(path):
                 continue
             got = _footer_schema(path)
-            assert got is not None, path
             if name == "events":
-                # events may be ns-legacy on other checkouts; here the
-                # native file must still match plain inference
+                # events may be ns-legacy on other checkouts, for which
+                # _footer_schema returns None BY DESIGN — branch before
+                # the not-None assert (r13 advice fix)
                 continue
+            assert got is not None, path
             assert got == spark.read.parquet(path).schema, path
             checked += 1
     assert checked >= 27  # 9 non-events tables x 3 scale factors
