@@ -371,6 +371,22 @@ def time_query(
     return statistics.median(samples)
 
 
+def emit_result_line(payload: dict) -> None:
+    """Print the one-line JSON contract as the FINAL stdout line.
+
+    The round-11 driver artifact captured only a truncated stdout tail
+    and lost the JSON (`BENCH_r11.json: parsed: null`), killing the
+    round-over-round comparison. Hardening (r13, VERDICT item 8):
+    flush both streams first so anything buffered lands BEFORE the
+    JSON, emit with an explicit flush, and the caller stops Spark
+    before calling so no later shutdown chatter can follow it on
+    stdout. tests/test_instrumentation.py asserts the last-stdout-line
+    property end-to-end in a subprocess."""
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(payload), flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -418,8 +434,10 @@ def main() -> None:
     run_cpu = (sentinel_cpu_start + sentinel_cpu_end) / 2 or REF_CPU_SENTINEL
     norm = REF_CPU_SENTINEL / run_cpu
     queries_normalized = {n: round(t * norm, 4) for n, t in queries.items()}
-    print(
-        json.dumps(
+    # stop Spark BEFORE emitting: py4j/JVM shutdown can write to the
+    # console, and the contract line must be the last thing on stdout
+    spark.stop()
+    emit_result_line(
             {
                 # v2 (round 11+): tier2_runs became a per-query dict
                 # (1 = single cold shot, 3 = cold-inclusive median-of-3)
@@ -448,9 +466,7 @@ def main() -> None:
                 "sentinel_cpu_start_sec": sentinel_cpu_start,
                 "sentinel_cpu_end_sec": sentinel_cpu_end,
             }
-        )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

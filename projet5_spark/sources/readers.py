@@ -326,32 +326,61 @@ def fixture_column_max(
         )
 
 
+#: Part-count cap for the directory footer probe: past this, reading
+#: every footer serially on the driver costs more than Spark's own
+#: (distributed, first-footer) inference job — fall back to it.
+_FOOTER_SCHEMA_MAX_PARTS = 64
+
+
 def _footer_schema(path: str) -> StructType | None:
-    """Spark schema of a SINGLE local parquet file from its footer
-    (~1 ms), or None when the fast path does not apply (directory of
-    parts — schema evolution could span files; remote path; missing
-    pyarrow; any conversion surprise).
+    """Spark schema of a local parquet file — or a directory of parts
+    with one uniform schema — from footer metadata (~1 ms per file),
+    or None when the fast path does not apply (schema differs across
+    parts — schema evolution; more parts than the probe cap; remote
+    path; missing pyarrow; any conversion surprise).
 
     ``from_arrow_schema(prefer_timestamp_ntz=True)`` is validated
     field-for-field identical to Spark's own parquet inference on
     every fixture table × scale factor (tests/test_sources.py), and a
     nanosecond-timestamp column (legacy events encoding) returns None
-    so those files keep the dedicated read_events decode path."""
+    so those files keep the dedicated read_events decode path.
+
+    r13 (VERDICT item 3): directories of parts qualify when EVERY
+    part's arrow schema equals the first's — at 100 TB every table is
+    a directory, and the r12 single-file-only form silently paid the
+    inference job again on any multi-part fixture. A first-vs-all
+    equality check keeps the schema-evolution entry (parts that
+    genuinely differ) on the inference fallback."""
     p = path[7:] if path.startswith("file://") else path
     try:
-        if not os.path.isfile(p):
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if not files or len(files) > _FOOTER_SCHEMA_MAX_PARTS:
+                return None
+        else:
             return None
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        pf = pq.ParquetFile(p)
-        if any(
-            pf.metadata.schema.column(i).physical_type == "INT96"
-            for i in range(pf.metadata.num_columns)
-        ):
-            return None  # legacy INT96 timestamps: let Spark infer
-        arrow = pf.schema_arrow
+        arrow = None
+        for fpath in files:
+            pf = pq.ParquetFile(fpath)
+            if any(
+                pf.metadata.schema.column(i).physical_type == "INT96"
+                for i in range(pf.metadata.num_columns)
+            ):
+                return None  # legacy INT96 timestamps: let Spark infer
+            if arrow is None:
+                arrow = pf.schema_arrow
+            elif pf.schema_arrow != arrow:
+                return None  # schema evolution across parts: infer
         for field in arrow:
             if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
                 return None

@@ -99,3 +99,40 @@ def test_training_set_selection_shuffles_digests_not_bodies(spark):
         # context manager snapshots the after-totals
         spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     assert 0 < rep.delta["shuffle_write_bytes"] < 100_000, rep.delta
+
+
+def test_bench_json_is_last_stdout_line():
+    """r13 hardening (VERDICT item 8): the bench contract line must be
+    the FINAL stdout line even with buffered pre-JSON chatter — the
+    r11 driver captured a truncated tail and lost the JSON. Runs the
+    emission helper in a subprocess with deliberately unflushed noise
+    before it and asserts the last stdout line parses."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys, os
+sys.path.insert(0, %r)
+import bench
+sys.stdout.write("noise line 1\\n")
+sys.stdout.write("partial noise without newline")
+sys.stdout.flush()
+sys.stdout.write("\\nmore buffered noise\\n")
+bench.emit_result_line({"metric": "sum_of_median_query_seconds",
+                        "value": 1.23, "unit": "sec",
+                        "queries": {"q01_pricing_summary": 1.23},
+                        "sf": 0.1})
+""" % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.rstrip("\n").split("\n")
+    parsed = json.loads(lines[-1])  # the LAST line is the contract
+    assert parsed["value"] == 1.23
+    assert parsed["queries"] == {"q01_pricing_summary": 1.23}

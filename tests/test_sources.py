@@ -392,3 +392,42 @@ def test_footer_schema_matches_spark_inference_all_fixtures(spark):
             assert got == spark.read.parquet(path).schema, path
             checked += 1
     assert checked >= 27  # 9 non-events tables x 3 scale factors
+
+
+def test_footer_schema_multipart_directory(spark, tmp_path):
+    """r13 (VERDICT item 3): _footer_schema must serve a directory of
+    uniform-schema parts (at 100 TB every table is a directory), match
+    Spark's inference on it, and still fall back to None when parts
+    genuinely differ (schema evolution) or the part count exceeds the
+    probe cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet5_spark.sources import readers
+    from projet5_spark.sources.readers import _footer_schema
+
+    uniform = tmp_path / "uniform.parquet"
+    uniform.mkdir()
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array(["a", "b"], pa.string())})
+    pq.write_table(t, uniform / "part-000.parquet")
+    pq.write_table(t, uniform / "part-001.parquet")
+    (uniform / "_SUCCESS").write_text("")  # marker files are ignored
+    got = _footer_schema(str(uniform))
+    assert got is not None
+    assert got == spark.read.parquet(str(uniform)).schema
+
+    evolved = tmp_path / "evolved.parquet"
+    evolved.mkdir()
+    pq.write_table(t, evolved / "part-000.parquet")
+    t2 = pa.table({"k": pa.array([3], pa.int64()),
+                   "v": pa.array(["c"], pa.string()),
+                   "extra": pa.array([1.5], pa.float64())})
+    pq.write_table(t2, evolved / "part-001.parquet")
+    assert _footer_schema(str(evolved)) is None  # differing parts: infer
+
+    capped = tmp_path / "capped.parquet"
+    capped.mkdir()
+    for i in range(readers._FOOTER_SCHEMA_MAX_PARTS + 1):
+        pq.write_table(t, capped / f"part-{i:03d}.parquet")
+    assert _footer_schema(str(capped)) is None  # over the probe cap
