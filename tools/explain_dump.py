@@ -25,6 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import gc  # noqa: E402
+
+from projet5_spark.operators.materialize import (  # noqa: E402
+    release_persistent_rdds,
+    sweep_checkpoint_scratch,
+)
 from projet5_spark.plans import QUERIES  # noqa: E402
 from projet5_spark.session import get_spark  # noqa: E402
 
@@ -54,6 +60,7 @@ def main() -> None:
     t0 = time.time()
     for i, name in enumerate(names):
         path = os.path.join(out_dir, f"{name}_{args.suffix}.txt")
+        df = None
         try:
             df = QUERIES[name](spark, args.sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -63,6 +70,13 @@ def main() -> None:
             plan = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}\n"
         with open(path, "w") as fh:
             fh.write(plan)
+        # eager queries (localCheckpoint pivots, loop convergence,
+        # availableNow replays) materialize during capture — release
+        # their blocks/scratch so a whole-catalog dump stays flat
+        df = None
+        gc.collect()
+        release_persistent_rdds(spark)
+        sweep_checkpoint_scratch(spark)
         if (i + 1) % 25 == 0:
             print(f"{i + 1}/{len(names)} ({time.time() - t0:.0f}s)", flush=True)
     print(f"done: {len(names)} plans -> {out_dir} ({time.time() - t0:.0f}s)")
