@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,6 +43,7 @@ def grouped_exact_quantiles(
     qs: Mapping[str, float],
     count_col: str | None = None,
     disc_qs: Mapping[str, float] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact type-7 (``F.percentile``-convention) quantiles of ``value``
     per ``keys`` group, with bounded executor state at any data size.
@@ -67,11 +68,25 @@ def grouped_exact_quantiles(
     (``F.percentile`` would emit the group with a NULL quantile — no
     current caller feeds all-null groups; filter upstream if that
     distinction matters).
+
+    ``weight_col`` (r13): each input row counts ``weight_col`` times —
+    the caller has PRE-FOLDED the fact table to (keys, value, count)
+    rows, so the quantiles here equal the unweighted quantiles of the
+    expanded multiset exactly (weights are repeat counts, rank
+    arithmetic is identical). This lets a query fold its fact table
+    ONCE and feed both the quantile pass and its own downstream
+    aggregates from the folded relation, instead of re-scanning facts
+    per pass. Weights must be positive integers.
     """
+    w_expr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
     vc = (
         df.where(F.col(value).isNotNull())
         .groupBy(*keys, value)
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .agg(w_expr.alias("__c"))
     )
     # both frames share one (partition, order) spec so they evaluate in
     # a single WindowExec over a single sort
@@ -84,46 +99,154 @@ def grouped_exact_quantiles(
         .withColumn("__prev", F.col("__cum") - F.col("__c"))
     )
 
-    def pos(q: float, n: Column) -> Column:
-        return (n - 1).cast("double") * F.lit(q)
+    # The bracket/interp expressions below are composed as SQL TEXT and
+    # handed to F.expr in ONE py4j call each. The original Column-API
+    # composition issued ~6,000 py4j round-trips per invocation
+    # (every F.lit/operator/when is a driver socket round-trip) —
+    # profiled at 1.7–2.0 s of pure plan-CONSTRUCTION latency for a
+    # 9-decile call, dwarfing the query's executor time at bench scale
+    # (r13; guide §4's JVM↔Python boundary, here on the driver). The
+    # parsed expressions are the same Catalyst operators: double
+    # literals carry the `D` suffix (a bare 0.25 would parse as
+    # DECIMAL and change the arithmetic), repr() round-trips the
+    # fraction bit-exactly, and the tests pin bit-identity to
+    # F.percentile / percentile_disc.
+    vq = f"`{value}`"
 
-    def covers(rank: Column) -> Column:
-        return (F.col("__prev") <= rank) & (rank < F.col("__cum"))
+    def pos_sql(q: float) -> str:
+        return f"(cast((__n - 1) as double) * {q!r}D)"
 
-    def disc_rank(q: float, n: Column) -> Column:
-        return F.greatest(F.ceil(n.cast("double") * F.lit(q)) - 1, F.lit(0))
-
-    keep = F.lit(False)
-    for q in qs.values():
-        p = pos(q, F.col("__n"))
-        keep = keep | covers(F.floor(p)) | covers(F.ceil(p))
-    for q in (disc_qs or {}).values():
-        keep = keep | covers(disc_rank(q, F.col("__n")))
-    kept = r.where(keep)
-
-    def interp(q: float) -> Column:
-        p_row = pos(q, F.col("__n"))
-        v = F.col(value).cast("double")
-        lo = F.max(F.when(covers(F.floor(p_row)), v))
-        hi = F.max(F.when(covers(F.ceil(p_row)), v))
-        # per-group constants re-derived from the aggregated n so the
+    def agg_pos_sql(q: float) -> str:
+        # per-group constant re-derived from the aggregated n so the
         # expression survives the groupBy
-        p = pos(q, F.max("__n"))
-        return F.when(F.floor(p) == F.ceil(p), lo).otherwise(
-            (F.ceil(p).cast("double") - p) * lo
-            + (p - F.floor(p).cast("double")) * hi
+        return f"(cast((max(__n) - 1) as double) * {q!r}D)"
+
+    def covers_sql(rank: str) -> str:
+        return f"(__prev <= {rank} AND {rank} < __cum)"
+
+    def disc_rank_sql(q: float) -> str:
+        return f"greatest(ceil(cast(__n as double) * {q!r}D) - 1, 0L)"
+
+    keep_parts = []
+    for q in qs.values():
+        p = pos_sql(q)
+        keep_parts.append(covers_sql(f"floor({p})"))
+        keep_parts.append(covers_sql(f"ceil({p})"))
+    for q in (disc_qs or {}).values():
+        keep_parts.append(covers_sql(disc_rank_sql(q)))
+    kept = r.where(F.expr(" OR ".join(keep_parts) or "false"))
+
+    def interp_sql(q: float) -> str:
+        p_row = pos_sql(q)
+        v = f"cast({vq} as double)"
+        lo = f"max(CASE WHEN {covers_sql(f'floor({p_row})')} THEN {v} END)"
+        hi = f"max(CASE WHEN {covers_sql(f'ceil({p_row})')} THEN {v} END)"
+        p = agg_pos_sql(q)
+        return (
+            f"CASE WHEN floor({p}) = ceil({p}) THEN {lo} "
+            f"ELSE (cast(ceil({p}) as double) - {p}) * {lo} "
+            f"+ ({p} - cast(floor({p}) as double)) * {hi} END"
         )
 
-    aggs = [interp(q).alias(name) for name, q in qs.items()]
+    aggs = [F.expr(interp_sql(q)).alias(name) for name, q in qs.items()]
     for name, q in (disc_qs or {}).items():
         aggs.append(
-            F.max(
-                F.when(covers(disc_rank(q, F.col("__n"))), F.col(value))
+            F.expr(
+                f"max(CASE WHEN {covers_sql(disc_rank_sql(q))} "
+                f"THEN {vq} END)"
             ).alias(name)
         )
     if count_col is not None:
-        aggs.append(F.max("__n").cast("long").alias(count_col))
+        aggs.append(F.expr("cast(max(__n) as bigint)").alias(count_col))
     return kept.groupBy(*keys).agg(*aggs)
+
+
+def attach_exact_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    qs: Mapping[str, float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Attach each group's exact type-7 quantiles of ``value`` AS
+    COLUMNS on every input row — the per-group-scalar attach that
+    :func:`grouped_exact_quantiles` + a broadcast join-back needs two
+    extra plan trees for, done inside the window pass instead (r13).
+
+    Why: a query that computes a per-group quantile and then keeps
+    processing the same relation (MAD outliers, decile binning)
+    previously built the quantile as a SEPARATE aggregate and
+    broadcast-joined it back — the quantile subtree re-ran the whole
+    upstream (no exchange reuse across broadcast-subquery boundaries
+    under AQE) and each broadcast build was its own sequential job.
+    Attaching through the window keeps ONE straight-line pipeline:
+    exchange on ``keys``, one sort by ``value``, two chained
+    WindowExecs (prefix sums, then bracket extraction over the same
+    partitioning — no second exchange, no sort), zero joins.
+
+    Input grain: any — duplicate (keys, value) rows are fine. The
+    row-level prefix sums split a duplicated value's mass across its
+    copies in an arbitrary tie order, but every bracket rank lands on
+    exactly one copy and every copy carries the same ``value``, so the
+    partition-wide ``max(CASE WHEN covers(rank) ...)`` extraction is
+    deterministic. Weights are repeat counts (non-negative integers —
+    a zero-weight row collapses to prev == cum, never covers a rank
+    and never shifts one, which is how a caller restricts the ranks to
+    one arm of the data while attaching to all of it);
+    ``weight_col=None`` weighs each row 1. NULL ``value`` rows must be
+    filtered upstream (they would enter the rank arithmetic here —
+    unlike grouped_exact_quantiles, this variant returns its input
+    rows and cannot silently drop them).
+
+    Returns ``df``'s columns plus one DOUBLE column per ``qs`` entry,
+    bit-identical to ``F.percentile`` (same formula, same double ops;
+    pinned by tests/test_quantiles.py). Same SQL-text composition as
+    grouped_exact_quantiles — a handful of py4j calls, not thousands.
+
+    Scale note: the window partitions by ``keys`` — per-group state is
+    the sort spill (bounded, Tungsten external sort), but the ROW
+    COUNT per group is the caller's input grain; feed a domain-folded
+    (keys, value, count) relation, not raw facts, exactly as the
+    grouped variant's step-1 fold does.
+    """
+    vq = f"`{value}`"
+    part = ", ".join(f"`{k}`" for k in keys)
+    by = f"PARTITION BY {part} " if keys else ""
+    run = (
+        f"OVER ({by}ORDER BY {vq} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    full = (
+        f"OVER ({by}ORDER BY {vq} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    w = f"`{weight_col}`" if weight_col is not None else "1L"
+    staged = df.selectExpr(
+        "*",
+        f"sum({w}) {run} AS __cum",
+        f"sum({w}) {full} AS __n",
+    ).selectExpr("*", f"(__cum - {w}) AS __prev")
+
+    def covers_sql(rank: str) -> str:
+        return f"(__prev <= {rank} AND {rank} < __cum)"
+
+    def q_sql(q: float) -> str:
+        p = f"(cast((__n - 1) as double) * {q!r}D)"
+        v = f"cast({vq} as double)"
+        lo = (
+            f"max(CASE WHEN {covers_sql(f'floor({p})')} THEN {v} END) {full}"
+        )
+        hi = f"max(CASE WHEN {covers_sql(f'ceil({p})')} THEN {v} END) {full}"
+        return (
+            f"CASE WHEN floor({p}) = ceil({p}) THEN {lo} "
+            f"ELSE (cast(ceil({p}) as double) - {p}) * {lo} "
+            f"+ ({p} - cast(floor({p}) as double)) * {hi} END"
+        )
+
+    out_cols = [f"`{c}`" for c in df.columns] + [
+        f"{q_sql(q)} AS `{name}`" for name, q in qs.items()
+    ]
+    return staged.selectExpr(*out_cols)
 
 
 def decile_array_or_fail(qdf: DataFrame, cols: list[str], context: str) -> DataFrame:

@@ -177,38 +177,69 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
         (F.col("o_orderdate") < _PSI_CUTOFF).alias("is_ref"),
     )
-    # grouped_exact_quantiles: bit-identical deciles without buffering
-    # every reference-arm price in one JVM aggregate buffer (state is
-    # bounded by distinct cents — the price domain)
-    from ..operators.quantiles import decile_array_or_fail, grouped_exact_quantiles
+    # r13 straight-line restructure (the woe_iv_price_bins twin): fold
+    # the fact table ONCE to (cents, is_ref, c) and attach the
+    # REFERENCE-arm deciles through the window pass by weighting the
+    # rank arithmetic with the ref mass only (current-arm rows carry
+    # weight 0: their prefix sums collapse to prev == cum, so they
+    # never cover a bracket rank and never shift one — the deciles are
+    # exactly the ref arm's, attached to every row of both arms with
+    # no join and no broadcast subtree). Binning sums the fold's
+    # counts in the same pipeline; grand totals ride a
+    # single-partition window over the 10-row bin relation. Two
+    # exchanges, zero joins — vs 8 exchanges / 3 broadcast builds.
+    from ..operators.quantiles import attach_exact_quantiles
 
-    # guarded: an empty reference arm must fail loudly, not bin every
-    # row into bin 0 via an array of NULL deciles
-    qs = decile_array_or_fail(
-        grouped_exact_quantiles(
-            base.where("is_ref"),
-            [],
-            "cents",
-            {f"d{i}": i / 10.0 for i in range(1, 10)},
-        ),
-        [f"d{i}" for i in range(1, 10)],
-        "psi_population_stability",
+    dec = {f"d{i}": i / 10.0 for i in range(1, 10)}
+    folded = (
+        base.where(F.col("cents").isNotNull())
+        .groupBy("cents", "is_ref")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "ref_c", F.when(F.col("is_ref"), F.col("c")).otherwise(F.lit(0))
+        )
     )
-    binned = base.join(F.broadcast(qs)).select(
-        F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
-        .cast("long")
+    attached = attach_exact_quantiles(
+        folded, [], "cents", dec, weight_col="ref_c"
+    )
+    # guarded (ADVICE r7, kept from the decile_array_or_fail form): an
+    # empty reference arm leaves every decile NULL — fail loudly, not
+    # bin every row into bin 0
+    bin_sql = (
+        "cast("
+        + " + ".join(
+            f"(CASE WHEN d{i} < cents THEN 1 ELSE 0 END)" for i in range(1, 10)
+        )
+        + " as bigint)"
+    )
+    binned = attached.select(
+        F.when(F.col("d1").isNotNull(), F.expr(bin_sql))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "psi_population_stability: quantile input arm is "
+                    "empty or all-NULL — decile bins are undefined"
+                )
+            )
+        )
         .alias("bin"),
         "is_ref",
+        "c",
     )
     cnt = binned.groupBy("bin").agg(
-        F.count(F.when(F.col("is_ref"), 1)).alias("ca"),
-        F.count(F.when(~F.col("is_ref"), 1)).alias("cb"),
+        F.sum(F.when(F.col("is_ref"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(~F.col("is_ref"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cb"),
     )
-    tot = cnt.agg(
-        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     terms = (
-        cnt.join(F.broadcast(tot))
+        cnt.withColumn("na", F.sum("ca").over(wt).cast("long"))
+        .withColumn("nb", F.sum("cb").over(wt).cast("long"))
         .where((F.col("ca") > 0) & (F.col("cb") > 0))
         .withColumn("x", (F.col("ca") * F.col("nb")).cast("long"))
         .withColumn("y", (F.col("cb") * F.col("na")).cast("long"))

@@ -101,42 +101,69 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
         (F.col("o_orderpriority") == _WOE_TARGET).alias("is_good"),
     )
-    # grouped_exact_quantiles: bit-identical deciles without buffering
-    # every price in one JVM aggregate buffer (same swap as
-    # psi_population_stability)
-    from ..operators.quantiles import decile_array_or_fail, grouped_exact_quantiles
+    # r13 straight-line restructure (guide §2.4): the old form scanned
+    # orders TWICE (once folded inside the quantile pass, once raw for
+    # binning), broadcast the decile array back (its subtree re-ran
+    # the upstream — no exchange reuse across broadcast-subquery
+    # boundaries under AQE), and paid an eager 10-row localCheckpoint
+    # + grand-total broadcast join — ~16 sequential single-task AQE
+    # stage rounds per invocation at the box's ~0.2 s scheduling
+    # floor. Now the fact table folds ONCE to (cents, is_good, c); the
+    # weighted deciles attach THROUGH the window pass
+    # (attach_exact_quantiles — identical ranks, weights are repeat
+    # counts), binning sums the fold's counts in the same pipeline,
+    # and the grand totals ride a single-partition window over the
+    # 10-row bin relation. Two exchanges, zero joins.
+    from ..operators.quantiles import attach_exact_quantiles
 
-    # guarded: an empty/all-null price column must fail loudly, not
-    # bin every row into bin 0 via an array of NULL deciles
-    qs = decile_array_or_fail(
-        grouped_exact_quantiles(
-            base, [], "cents", {f"d{i}": i / 10.0 for i in range(1, 10)}
-        ),
-        [f"d{i}" for i in range(1, 10)],
-        "woe_iv_price_bins",
+    dec = {f"d{i}": i / 10.0 for i in range(1, 10)}
+    # NULL cents cannot occur (floor of a NOT NULL price); the filter
+    # pins the quantile pass's F.percentile NULL-ignoring semantics
+    # anyway so a hostile input can't shift the ranks
+    folded = (
+        base.where(F.col("cents").isNotNull())
+        .groupBy("cents", "is_good")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    binned = base.join(F.broadcast(qs)).select(
-        F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))
-        .cast("long")
+    attached = attach_exact_quantiles(folded, [], "cents", dec, weight_col="c")
+    # guarded (ADVICE r7, kept from the decile_array_or_fail form): an
+    # all-NULL quantile column must fail loudly, not bin every row
+    # into bin 0
+    bin_sql = (
+        "cast("
+        + " + ".join(
+            f"(CASE WHEN d{i} < cents THEN 1 ELSE 0 END)" for i in range(1, 10)
+        )
+        + " as bigint)"
+    )
+    binned = attached.select(
+        F.when(F.col("d1").isNotNull(), F.expr(bin_sql))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "woe_iv_price_bins: quantile input arm is empty or "
+                    "all-NULL — decile bins are undefined"
+                )
+            )
+        )
         .alias("bin"),
         "is_good",
+        "c",
     )
-    cnt = (
-        binned.groupBy("bin")
-        .agg(
-            F.count(F.when(F.col("is_good"), 1)).alias("g"),
-            F.count(F.when(~F.col("is_good"), 1)).alias("b"),
-        )
-        # ten rows, two consumers (the grand-total agg and the WOE
-        # terms): materialize so neither re-runs the fact scan + bin
-        # pipeline behind it
-        .localCheckpoint(eager=True)
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_good"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("g"),
+        F.sum(F.when(~F.col("is_good"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("b"),
     )
-    tot = cnt.agg(
-        F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")
+    wt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     terms = (
-        cnt.join(F.broadcast(tot))
+        cnt.withColumn("gt", F.sum("g").over(wt).cast("long"))
+        .withColumn("bt", F.sum("b").over(wt).cast("long"))
         .where((F.col("g") > 0) & (F.col("b") > 0))
         .withColumn("x", (F.col("g") * F.col("bt")).cast("long"))
         .withColumn("y", (F.col("b") * F.col("gt")).cast("long"))

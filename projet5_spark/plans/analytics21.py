@@ -247,16 +247,25 @@ def qq_decile_points_order_status(spark: SparkSession, sf_dir: str) -> DataFrame
         ["o_orderstatus"],
         "cents",
         dict(zip(cols, _QQ_PCTS)),
-    ).localCheckpoint(eager=True)  # 2-row relation, two consumers
-
-    def side(status: str, name: str) -> DataFrame:
-        return qt.where(F.col("o_orderstatus") == status).select(
-            F.posexplode(F.array(*cols)).alias("p", name)
-        )
-
-    f, oo = side("F", "fq"), side("O", "oq")
+    )
+    # positional alignment as ONE conditional aggregate over the
+    # exploded 2×9 relation instead of the old eager localCheckpoint +
+    # filter-per-side self-join: the r13 decomposition measured the
+    # per-invocation cost as ~11 sequential single-task AQE stage
+    # rounds (~0.2 s each at the box's scheduling floor), most of them
+    # the checkpoint job + the two re-planned consumers. One consumer,
+    # no checkpoint, same rows: the inner join's both-sides-present
+    # contract is kept by the not-null filter (each side has exactly
+    # one row per p when its arm exists, so max() selects it).
+    exploded = qt.select(
+        "o_orderstatus", F.posexplode(F.array(*cols)).alias("p", "v")
+    )
+    fq = F.max(F.when(F.col("o_orderstatus") == "F", F.col("v")))
+    oq = F.max(F.when(F.col("o_orderstatus") == "O", F.col("v")))
     return (
-        f.join(oo, "p")
+        exploded.groupBy("p")
+        .agg(fq.alias("fq"), oq.alias("oq"))
+        .where(F.col("fq").isNotNull() & F.col("oq").isNotNull())
         .select(
             ((F.col("p") + 1) * 10).cast("long").alias("pct"),
             F.floor(F.col("fq") * 1e2).cast("long").alias("f_centi_cents"),

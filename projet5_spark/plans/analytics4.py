@@ -636,32 +636,57 @@ def mad_outliers_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-stable. Both medians come from
     :func:`~projet5_spark.operators.quantiles.grouped_exact_quantiles`
     (bit-identical to ``F.percentile`` without its per-group
-    all-values buffer — bounded state at any fact size); per-group
-    scalars broadcast back onto the facts (two tiny joins, one fact
-    shuffle). At 100 TB the medians could also come from t-digest
-    sketches with the same join-back shape
+    all-values buffer — bounded state at any fact size); the facts
+    fold once to (pri, cents, count) and every later pass — both
+    weighted medians and the outlier count — runs over that
+    domain-bounded relation. At 100 TB the medians could also come
+    from t-digest sketches attached the same way
     (quantile_sketch_verdict_prices shows the sketch certification)."""
-    from ..operators.quantiles import grouped_exact_quantiles
-
     pts = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pri"),
         F.floor(F.col("o_totalprice") * 1e2 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    med = grouped_exact_quantiles(pts, ["pri"], "cents", {"med": 0.5})
-    dev = pts.join(F.broadcast(med), "pri").select(
-        "pri", "cents", "med", F.abs(F.col("cents") - F.col("med")).alias("dv")
+    # r13 straight-line restructure: the old form ran the fact table
+    # through THREE fact-scale passes (the median's fold, the MAD
+    # pass's re-fold of pts⋈med, and the final aggregate over the same
+    # join again), each quantile built as a separate broadcast subtree
+    # re-running its upstream. Now: fold orders ONCE to (pri, cents,
+    # c), attach the weighted median THROUGH the window pass
+    # (attach_exact_quantiles — no join, no broadcast subquery), fold
+    # deviations, attach the MAD the same way, and finish with one
+    # aggregate that reuses the MAD window's partitioning. Two
+    # exchanges total (fold + window-by-pri), zero joins, one
+    # sequential pipeline — vs 7 exchanges / 3 broadcast builds.
+    from ..operators.quantiles import attach_exact_quantiles
+
+    folded = pts.groupBy("pri", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    mad = grouped_exact_quantiles(dev, ["pri"], "dv", {"mad": 0.5})
+    dev = attach_exact_quantiles(
+        folded, ["pri"], "cents", {"med": 0.5}, weight_col="c"
+    ).select(
+        "pri",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("dv"),
+        "c",
+    )
+    # deviation fold: many cents collapse onto one |cents − med|; the
+    # MAD attach then windows over the deviation domain. Same pri
+    # partitioning as the median window — no new exchange.
+    dev_folded = dev.groupBy("pri", "med", "dv").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    scored = attach_exact_quantiles(
+        dev_folded, ["pri"], "dv", {"mad": 0.5}, weight_col="c"
+    )
     k = F.expr(_MAD_K)
-    return (
-        dev.join(F.broadcast(mad), "pri")
-        .groupBy("pri")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            _q(F.max("med"), 2).alias("median_cents"),
-            _q(F.max("mad"), 2).alias("mad_cents"),
-            F.count(F.when(F.col("dv") > k * F.col("mad"), 1))
-            .cast("long")
-            .alias("n_outliers"),
+    return scored.groupBy("pri").agg(
+        F.sum("c").cast("long").alias("n"),
+        _q(F.max("med"), 2).alias("median_cents"),
+        _q(F.max("mad"), 2).alias("mad_cents"),
+        F.sum(
+            F.when(F.col("dv") > k * F.col("mad"), F.col("c")).otherwise(F.lit(0))
         )
+        .cast("long")
+        .alias("n_outliers"),
     )

@@ -95,3 +95,88 @@ def test_two_element_interpolation_exact(spark):
     assert row["q00"] == 10.0 and row["q100"] == 20.0
     assert row["q50"] == pytest.approx(15.0, abs=0)
     _assert_equal(spark, df, [], "v")
+
+
+def test_weighted_equals_expanded_multiset(spark):
+    """r13 weight_col: quantiles of a (keys, value, count) fold must be
+    bit-identical to the unweighted quantiles of the expanded multiset
+    — weights are repeat counts, so rank arithmetic is unchanged.
+    Random grouped data with ties, plus disc and count_col surfaces."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (g, rng.choice([None] + list(range(-5, 40))))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(3, 60))
+    ]
+    raw = spark.createDataFrame(rows, "g string, v int").withColumn(
+        "v", F.col("v").cast("long")
+    )
+    folded = raw.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    kw = dict(
+        qs={"q25": 0.25, "q50": 0.5, "q99": 0.99},
+        disc_qs={"d50": 0.5},
+        count_col="n",
+    )
+    want = {
+        r["g"]: r.asDict()
+        for r in grouped_exact_quantiles(raw, ["g"], "v", **kw).collect()
+    }
+    got = {
+        r["g"]: r.asDict()
+        for r in grouped_exact_quantiles(
+            folded, ["g"], "v", weight_col="c", **kw
+        ).collect()
+    }
+    assert got == want
+
+
+def test_attach_matches_grouped_join_back(spark):
+    """r13 attach_exact_quantiles: attaching quantiles through the
+    window pass must give every row exactly the value a broadcast
+    join-back of grouped_exact_quantiles would — including on
+    duplicate (keys, value) rows and with weights."""
+    import random
+
+    from projet5_spark.operators.quantiles import attach_exact_quantiles
+
+    rng = random.Random(131)
+    rows = [
+        (g, rng.choice(range(-5, 25)))
+        for g in ("a", "b", "c")
+        for _ in range(rng.randint(3, 50))
+    ]
+    raw = spark.createDataFrame(rows, "g string, v int").withColumn(
+        "v", F.col("v").cast("long")
+    )
+    qs = {"q25": 0.25, "q50": 0.5, "q90": 0.9}
+
+    # unweighted, raw grain (duplicates abound)
+    want = {
+        r["g"]: r.asDict()
+        for r in grouped_exact_quantiles(raw, ["g"], "v", qs).collect()
+    }
+    got = attach_exact_quantiles(raw, ["g"], "v", qs).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        for name in qs:
+            assert r[name] == want[r["g"]][name], (r["g"], name)
+
+    # weighted over the folded grain, plus two duplicate value rows
+    # split across fold keys (the is_good-style split)
+    folded = raw.withColumn("flag", F.col("v") % 2 == 0).groupBy(
+        "g", "v", "flag"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    got_w = attach_exact_quantiles(
+        folded, ["g"], "v", qs, weight_col="c"
+    ).collect()
+    for r in got_w:
+        for name in qs:
+            assert r[name] == want[r["g"]][name], (r["g"], name)
+
+    # global (keys=[]) form
+    gwant = grouped_exact_quantiles(raw, [], "v", qs).head().asDict()
+    for r in attach_exact_quantiles(raw, [], "v", qs).collect():
+        for name in qs:
+            assert r[name] == gwant[name]
