@@ -128,36 +128,35 @@ def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFra
     # has file-granular splits already, and this one extra shuffle of
     # the projected fact is the only shuffle in the plan.
     pts = pts.repartition(spark.sparkContext.defaultParallelism, "event_id")
-    digests = pts.select(
+    # Every per-replicate expression below is composed as SQL TEXT —
+    # one py4j call per projection instead of one per Column operator.
+    # The Column-API form issued ~8,000 driver socket round-trips per
+    # invocation (B=20 replicates × uniforms/weights/sums/means), ~1 s
+    # of pure plan-construction latency (r13 profile; the same fix as
+    # operators/quantiles.py). Double literals carry the D suffix so
+    # they parse as DOUBLE, not DECIMAL.
+    digests = pts.selectExpr(
         "cents",
         *[
-            F.sha2(
-                F.concat(
-                    F.lit("boot:"),
-                    F.col("event_id").cast("string"),
-                    F.lit(f":{h}"),
-                ),
-                256,
-            ).alias(f"d{h}")
+            f"sha2(concat('boot:', cast(event_id as string), ':{h}'), 256)"
+            f" AS d{h}"
             for h in range((_BOOT_B + 7) // 8)
         ],
     )
 
-    def uniform(b: int):
+    def uniform_sql(b: int) -> str:
         h, j = divmod(b - 1, 8)
         return (
-            F.conv(F.substring(F.col(f"d{h}"), 1 + 8 * j, 8), 16, 10).cast(
-                "bigint"
-            )
-            % 1000000
+            f"(cast(conv(substring(d{h}, {1 + 8 * j}, 8), 16, 10) as bigint)"
+            f" % 1000000)"
         )
 
-    def weight(b: int):
-        u = F.col(f"u{b}")
-        w = F.when(u < _POIS_CDF_MICRO[0], 0)
-        for k, t in enumerate(_POIS_CDF_MICRO[1:], start=1):
-            w = w.when(u < t, k)
-        return w.otherwise(5)
+    def weight_sql(b: int) -> str:
+        arms = f"WHEN u{b} < {_POIS_CDF_MICRO[0]} THEN 0 " + "".join(
+            f"WHEN u{b} < {t} THEN {k} "
+            for k, t in enumerate(_POIS_CDF_MICRO[1:], start=1)
+        )
+        return f"CASE {arms}ELSE 5 END"
 
     # layered projections, each materializing its values ONCE per row:
     # digests (3 sha) -> uniforms (20 conv/substring) -> weights (20
@@ -166,15 +165,17 @@ def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFra
     # re-derives it per reference — subexpression elimination does not
     # cross aggregate expressions or conditional branches — which
     # costs more than the exploded form instead of 8x less.
-    uniforms = digests.select(
-        "cents", *[uniform(b).alias(f"u{b}") for b in range(1, _BOOT_B + 1)]
+    uniforms = digests.selectExpr(
+        "cents",
+        *[f"{uniform_sql(b)} AS u{b}" for b in range(1, _BOOT_B + 1)],
     )
-    weights = uniforms.select(
-        "cents", *[weight(b).alias(f"w{b}") for b in range(1, _BOOT_B + 1)]
+    weights = uniforms.selectExpr(
+        "cents",
+        *[f"{weight_sql(b)} AS w{b}" for b in range(1, _BOOT_B + 1)],
     )
     folded = weights.agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("cents").cast("long").alias("csum"),
+        F.expr("cast(count(1) as bigint)").alias("n_events"),
+        F.expr("cast(sum(cents) as bigint)").alias("csum"),
         *[
             c
             for b in range(1, _BOOT_B + 1)
@@ -183,30 +184,30 @@ def poisson_bootstrap_ci_event_mean(spark: SparkSession, sf_dir: str) -> DataFra
                 # Σ(w·cents) crosses 2⁶³ near 1e13 event-rows under
                 # ANSI checking; the ratio below casts to the same
                 # correctly-rounded double either way
-                F.sum(
-                    F.col(f"w{b}").cast("decimal(19,0)")
-                    * F.col("cents").cast("decimal(19,0)")
+                F.expr(
+                    f"sum(cast(w{b} as decimal(19,0))"
+                    f" * cast(cents as decimal(19,0)))"
                 ).alias(f"ws{b}"),
-                F.sum(f"w{b}").cast("long").alias(f"wt{b}"),
+                F.expr(f"cast(sum(w{b}) as bigint)").alias(f"wt{b}"),
             )
         ],
     )
-    mean_cols = F.array(
-        *[
-            F.floor(
-                F.col(f"ws{b}").cast("double") * 1e6 / F.col(f"wt{b}")
-            ).cast("long")
+    means_sql = (
+        "array("
+        + ", ".join(
+            f"cast(floor(cast(ws{b} as double) * 1000000.0D / wt{b})"
+            f" as bigint)"
             for b in range(1, _BOOT_B + 1)
-        ]
+        )
+        + ")"
     )
-    return folded.select(
+    return folded.selectExpr(
         "n_events",
-        F.floor(F.col("csum").cast("double") * 1e6 / F.col("n_events"))
-        .cast("long")
-        .alias("mean_micro"),
-        F.array_min(mean_cols).alias("boot_lo_micro"),
-        F.array_max(mean_cols).alias("boot_hi_micro"),
-        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        "cast(floor(cast(csum as double) * 1000000.0D / n_events) as bigint)"
+        " AS mean_micro",
+        f"array_min({means_sql}) AS boot_lo_micro",
+        f"array_max({means_sql}) AS boot_hi_micro",
+        f"cast({_BOOT_B} as bigint) AS n_replicates",
     )
 
 

@@ -510,10 +510,7 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips floor grids); each weighted term is then a single IEEE
     multiply of that literal by an exact integer, floored onto a 1e-6
     grid and summed as BIGINT — bit-identical everywhere."""
-    from functools import reduce
-
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     r = ev.select(
         "user_id",
         "event_id",
@@ -521,21 +518,24 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("vc"),
     )
+    # The 20-lag term/weight sums are composed as SQL TEXT — two
+    # py4j calls instead of ~3,000 (every F.lag/F.lit/operator is a
+    # driver socket round-trip; the r13 profile charged ~0.5 s of
+    # plan-construction latency per invocation to this loop — the
+    # operators/quantiles.py fix applied here). Identical lag texts
+    # parse to identical window expressions, so WindowExec still
+    # dedupes each lag to one evaluation; the D-suffixed weight
+    # literals are the same pre-computed doubles as before.
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     terms, weights = [], []
     for k, (wk, mk) in enumerate(zip(WEIGHTS_EWMA, _W_MICRO)):
-        lv = F.lag("vc", k).over(w) if k else F.col("vc")
+        lv = f"lag(vc, {k}) {over}" if k else "vc"
         terms.append(
-            F.coalesce(
-                F.floor(F.lit(wk) * (lv * F.lit(10000))).cast("long"), F.lit(0)
-            )
+            f"coalesce(cast(floor({wk!r}D * ({lv} * 10000)) as bigint), 0L)"
         )
-        weights.append(
-            F.when(lv.isNotNull(), F.lit(mk).cast("long")).otherwise(F.lit(0))
-        )
-    term_sum = reduce(lambda a, b: a + b, terms)
-    w_sum = reduce(lambda a, b: a + b, weights)
-    # A null lag now drops BOTH the term and its weight in BOTH
-    # engines (oracle gates w_micro on h.vc IS NOT NULL), so a null
+        weights.append(f"(CASE WHEN {lv} IS NOT NULL THEN {mk}L ELSE 0L END)")
+    # A null lag drops BOTH the term and its weight in BOTH engines
+    # (oracle gates w_micro on h.vc IS NOT NULL), so a null
     # events.value is a shared no-op rather than a divergence; and a
     # user whose entire trailing window is null values yields
     # ewma=NULL instead of an ANSI divide-by-zero abort.
@@ -546,13 +546,13 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and Catalyst does not CSE across a CaseWhen's branches — the
     # round-8 inline form evaluated 60 lag-sum trees per row instead
     # of 40 (bench: 0.86 s -> 1.70 s; this binding restores it).
-    sums = r.select(
+    sums = r.selectExpr(
         "user_id",
         "event_id",
         "ts",
         "value",
-        term_sum.alias("__term_sum"),
-        w_sum.alias("__w_sum"),
+        "(" + " + ".join(terms) + ") AS __term_sum",
+        "(" + " + ".join(weights) + ") AS __w_sum",
     )
     return sums.select(
         "user_id",

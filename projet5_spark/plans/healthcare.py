@@ -234,16 +234,23 @@ ADMISSION_TYPES = ["Emergency", "Elective", "Urgent"]
 TEST_RESULTS = ["Normal", "Abnormal", "Inconclusive"]
 
 
-def _pick(options: list[str], idx) -> F.Column:
-    """1-based element_at over a literal array; idx is a 0-based column."""
-    return F.element_at(F.array(*[F.lit(x) for x in options]), (idx + 1).cast("int"))
+def _pick_sql(options: list[str], idx_sql: str) -> str:
+    """1-based element_at over a literal array; ``idx_sql`` is 0-based."""
+    arr = "array(" + ", ".join(f"'{x}'" for x in options) + ")"
+    return f"element_at({arr}, cast(({idx_sql}) + 1 as int))"
 
 
 def healthcare_raw_from_orders(spark, sf_dir: str) -> DataFrame:
     """Healthcare-shaped raw frame (reference CSV shape, migration.py:130):
     one row per admission with patient attributes inlined, messy column
     names (exercises R2), string dates (exercises R9), duplicate natural
-    keys (exercises R7/R10/R13)."""
+    keys (exercises R7/R10/R13).
+
+    The synthetic columns are composed as SQL text — one py4j call for
+    the whole projection instead of a few hundred Column-API round
+    trips; this builder runs once per hc_* invocation, so the driver
+    chatter was a measurable slice of each entry's bench time (r13,
+    the operators/quantiles.py fix applied here)."""
     from ..sources.readers import fixture_table
 
     # single-file fixture fan-out (plans/llm.py::_spread rationale):
@@ -254,34 +261,28 @@ def healthcare_raw_from_orders(spark, sf_dir: str) -> DataFrame:
     o = fixture_table(spark, sf_dir, "orders").repartition(
         spark.sparkContext.defaultParallelism
     )
-    pid = F.col("o_custkey") % 400
-    k = F.col("o_orderkey")
-    adm = F.date_trunc("month", F.col("o_orderdate")).cast("date")
-    return o.select(
-        k.alias("__ord"),
-        F.concat(
-            F.lit("  pAtIeNt "),
-            F.lpad(pid.cast("string"), 5, "0"),
-            F.lit(" mC-"),
-            (pid % 7).cast("string"),
-            F.lit("  "),
-        ).alias("Name"),
-        (F.lit(18) + pid % 70).alias("Age"),
-        F.when(pid % 2 == 0, F.lit("Male")).otherwise(F.lit("Female")).alias("Gender"),
-        _pick(BLOOD_TYPES, pid % 8).alias("Blood Type"),
-        _pick(CONDITIONS, k % 6).alias("Medical Condition"),
-        F.date_format(adm, "yyyy-MM-dd").alias("Date of Admission"),
-        F.concat(F.lit("Dr "), (k % 40).cast("string")).alias("Doctor"),
-        _pick(HOSPITALS, F.col("o_custkey") % 3).alias("Hospital"),
-        _pick(INSURERS, k % 4).alias("Insurance Provider"),
-        F.col("o_totalprice").alias("Billing Amount"),
-        (pid % 20 + 100).alias("Room Number"),
-        _pick(ADMISSION_TYPES, k % 3).alias("Admission Type"),
-        F.date_format(F.date_add(adm, (k % 14 + 1).cast("int")), "yyyy-MM-dd").alias(
-            "Discharge Date"
-        ),
-        _pick(MEDICATIONS, k % 5).alias("Medication"),
-        _pick(TEST_RESULTS, F.floor(k / F.lit(3)).cast("long") % 3).alias("Test Results"),
+    pid = "(o_custkey % 400)"
+    adm = "cast(date_trunc('month', o_orderdate) as date)"
+    return o.selectExpr(
+        "o_orderkey AS __ord",
+        f"concat('  pAtIeNt ', lpad(cast({pid} as string), 5, '0'), "
+        f"' mC-', cast({pid} % 7 as string), '  ') AS Name",
+        f"(18 + {pid} % 70) AS Age",
+        f"(CASE WHEN {pid} % 2 = 0 THEN 'Male' ELSE 'Female' END) AS Gender",
+        f"{_pick_sql(BLOOD_TYPES, f'{pid} % 8')} AS `Blood Type`",
+        f"{_pick_sql(CONDITIONS, 'o_orderkey % 6')} AS `Medical Condition`",
+        f"date_format({adm}, 'yyyy-MM-dd') AS `Date of Admission`",
+        "concat('Dr ', cast(o_orderkey % 40 as string)) AS Doctor",
+        f"{_pick_sql(HOSPITALS, 'o_custkey % 3')} AS Hospital",
+        f"{_pick_sql(INSURERS, 'o_orderkey % 4')} AS `Insurance Provider`",
+        "o_totalprice AS `Billing Amount`",
+        f"({pid} % 20 + 100) AS `Room Number`",
+        f"{_pick_sql(ADMISSION_TYPES, 'o_orderkey % 3')} AS `Admission Type`",
+        f"date_format(date_add({adm}, cast(o_orderkey % 14 + 1 as int)), "
+        f"'yyyy-MM-dd') AS `Discharge Date`",
+        f"{_pick_sql(MEDICATIONS, 'o_orderkey % 5')} AS Medication",
+        f"{_pick_sql(TEST_RESULTS, 'cast(floor(o_orderkey / 3) as bigint) % 3')}"
+        f" AS `Test Results`",
     )
 
 
