@@ -36,15 +36,31 @@ from .registry import query
 _SEQ = itertools.count()
 
 
-def _drain(stream_df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+def _drain(
+    stream_df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    src_path: str | None = None,
+) -> DataFrame:
     """availableNow replay to a uniquely-named memory sink, returned as
     a batch DataFrame. Unique names keep the bench protocol's repeated
     invocations (warm-up + 3 timed runs) from racing each other's
-    in-session memory tables."""
-    from ..streaming.windows import run_to_completion
+    in-session memory tables.
 
+    ``src_path`` (r13): the replayed source's parquet path — when
+    given, the state-store partition count is derived from the
+    source's PROJECTED state size instead of inheriting the
+    cores-matched session default (windows.projected_state_partitions:
+    a few-MB replay stops paying 32 per-partition commit floors, a
+    real deployment still fans out)."""
+    from ..streaming.windows import projected_state_partitions, run_to_completion
+
+    sp = projected_state_partitions(src_path) if src_path else None
     return run_to_completion(
-        stream_df, f"{prefix}_{next(_SEQ)}", output_mode=output_mode
+        stream_df,
+        f"{prefix}_{next(_SEQ)}",
+        output_mode=output_mode,
+        state_partitions=sp,
     )
 
 
@@ -70,7 +86,10 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
 
     stream = stream_events(spark, sf_dir)
     return _drain(
-        streaming_tumbling_stats(stream), "st_tumbling", output_mode="complete"
+        streaming_tumbling_stats(stream),
+        "st_tumbling",
+        output_mode="complete",
+        src_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -95,7 +114,10 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = stream_events(spark, sf_dir)
     return _drain(
-        streaming_sliding_counts(stream), "st_sliding", output_mode="complete"
+        streaming_sliding_counts(stream),
+        "st_sliding",
+        output_mode="complete",
+        src_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -131,7 +153,12 @@ def streaming_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = stream_events(spark, sf_dir)
     s2 = stream_events(spark, sf_dir)
     deduped = streaming_dedup(s1.unionByName(s2))
-    sink = _drain(deduped, "st_dedup", output_mode="append")
+    sink = _drain(
+        deduped,
+        "st_dedup",
+        output_mode="append",
+        src_path=f"{sf_dir}/events.parquet",
+    )
     from .registry import gridsum
 
     return sink.groupBy("event_type").agg(
@@ -168,7 +195,12 @@ def streaming_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_events
 
     stream = stream_events(spark, sf_dir)
-    return _drain(purchase_view_join(stream), "st_join", output_mode="append")
+    return _drain(
+        purchase_view_join(stream),
+        "st_join",
+        output_mode="append",
+        src_path=f"{sf_dir}/events.parquet",
+    )
 
 
 @query(
@@ -203,7 +235,10 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
 
     stream = stream_events(spark, sf_dir)
     return _drain(
-        streaming_session_windows(stream), "st_session", output_mode="complete"
+        streaming_session_windows(stream),
+        "st_session",
+        output_mode="complete",
+        src_path=f"{sf_dir}/events.parquet",
     )
 
 
@@ -310,7 +345,10 @@ def streaming_apply_in_pandas_with_state_availablenow(
 
     stream = stream_events(spark, sf_dir)
     updates = _drain(
-        streaming_user_profiles(stream), "st_aipws", output_mode="update"
+        streaming_user_profiles(stream),
+        "st_aipws",
+        output_mode="update",
+        src_path=f"{sf_dir}/events.parquet",
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -369,7 +407,10 @@ def streaming_transform_with_state_availablenow(
     try:
         stream = stream_events(spark, sf_dir)
         updates = _drain(
-            streaming_event_type_stats(stream), "st_tws", output_mode="update"
+            streaming_event_type_stats(stream),
+            "st_tws",
+            output_mode="update",
+            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:
@@ -424,7 +465,10 @@ def streaming_list_state_availablenow(spark: SparkSession, sf_dir: str) -> DataF
     try:
         stream = stream_events(spark, sf_dir)
         updates = _drain(
-            streaming_user_values_list(stream), "st_list", output_mode="update"
+            streaming_user_values_list(stream),
+            "st_list",
+            output_mode="update",
+            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:
@@ -473,7 +517,10 @@ def streaming_map_state_availablenow(spark: SparkSession, sf_dir: str) -> DataFr
     try:
         stream = stream_events(spark, sf_dir)
         updates = _drain(
-            streaming_user_type_map(stream), "st_map", output_mode="update"
+            streaming_user_type_map(stream),
+            "st_map",
+            output_mode="update",
+            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:
@@ -506,20 +553,33 @@ def statestore_reader_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     ``streaming_dedup_availablenow``); production audits read specific
     partitions/batches the same way."""
     from ..operators.materialize import scratch_dir
-    from ..streaming.windows import stream_events
+    from ..streaming.windows import projected_state_partitions, stream_events
 
     stream = stream_events(spark, sf_dir).select("event_id", "ts")
     # scratch_dir: reclaimed by the inter-query sweep / atexit — it
     # must outlive this function because the returned reader is lazy
     ck = scratch_dir(spark, "ssread")
-    q = (
-        stream.dropDuplicates(["event_id"])
-        .writeStream.format("noop")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
+    # state-store partitions by projected state size (r13 rule, same
+    # as _drain); the state reader below decodes whatever partition
+    # count the checkpoint holds
+    sp = projected_state_partitions(f"{sf_dir}/events.parquet")
+    prev = None
+    if sp is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    try:
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not finished:
         # a timed-out drain leaves an IN-PROGRESS checkpoint: reading
         # it would certify a partial dedup state — fail loudly instead
         q.stop()
@@ -586,6 +646,7 @@ def streaming_timer_session_close_availablenow(
             streaming_session_close_timers(stream),
             "st_timer",
             output_mode="update",
+            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:

@@ -726,3 +726,50 @@ def test_events_schema_probe_handles_all_ts_encodings(spark, tmp_path):
     )
     got = {r.event_id: r.us for r in out.collect()}
     assert got == {i + 1: (base_ns + i * 1_000_000_000) // 1000 for i in range(3)}
+
+
+def test_projected_state_partitions_rule(spark, tmp_path):
+    """r13 state-partition rule: partitions derive from the source's
+    projected (uncompressed) state bytes over a 64 MB target, floored
+    at 4 and capped — and run_to_completion restores the session's
+    shuffle-partition conf after the drain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from projet5_spark.streaming.windows import (
+        _STATE_MIN_PARTITIONS,
+        projected_state_partitions,
+        run_to_completion,
+        stream_events,
+        streaming_tumbling_stats,
+    )
+
+    # the sf0.1 events fixture is a few MB decoded: the floor applies
+    assert (
+        projected_state_partitions("/root/testdata/sf0.1/events.parquet")
+        == _STATE_MIN_PARTITIONS
+    )
+    # a synthetic ~320 MB-decoded file crosses the 64 MB target past
+    # the floor (PLAIN encoding so row-group total_byte_size ≈ 8 B/val)
+    big = tmp_path / "big.parquet"
+    n = 2_500_000
+    col = pa.array(range(n), pa.int64())
+    pq.write_table(
+        pa.table({f"c{i}": col for i in range(16)}),
+        big, compression="snappy", use_dictionary=False,
+    )
+    got = projected_state_partitions(str(big))
+    assert got is not None and got > _STATE_MIN_PARTITIONS
+    # unreadable path: unknown, caller leaves the conf alone
+    assert projected_state_partitions(str(tmp_path / "nope.parquet")) is None
+
+    # the drain pins the conf for the query and restores it after
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_to_completion(
+        streaming_tumbling_stats(stream_events(spark, "/root/testdata/sf0.001")),
+        "st_rule_probe",
+        output_mode="complete",
+        state_partitions=2,
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
