@@ -27,6 +27,27 @@ from pyspark.sql import functions as F
 LN2 = "0.6931471805599453"
 
 
+def _ln_det_int_spark_sql(name: str) -> str:
+    """The Spark-SQL text of :func:`ln_det_int` — the same expression
+    tree as the old Column-API builder (D-suffixed double literals via
+    repr(), which round-trips each coefficient to the identical
+    nearest double Spark's literal parser produces)."""
+    e = f"(length(bin({name})) - 1)"
+    m = (
+        f"(cast({name} as double) / "
+        f"cast(shiftleft(cast(1 as bigint), {e}) as double))"
+    )
+    z = f"(({m} - 1.0D) / ({m} + 1.0D))"
+    z2 = f"({z} * {z})"
+    horner = (
+        f"(1.0D + {z2} * ({1.0 / 3.0!r}D + {z2} * ({1.0 / 5.0!r}D + {z2} * "
+        f"({1.0 / 7.0!r}D + {z2} * ({1.0 / 9.0!r}D + {z2} * "
+        f"{1.0 / 11.0!r}D)))))"
+    )
+    lnm = f"(2.0D * ({z} * {horner}))"
+    return f"(cast({e} as double) * {LN2}D + {lnm})"
+
+
 def ln_det_int(name: str) -> Column:
     """Deterministic ln over the positive-integer column ``name``
     (Spark side). Takes a column *name*, not an expression, so the
@@ -34,24 +55,11 @@ def ln_det_int(name: str) -> Column:
     composite inputs with ``withColumn`` first.
 
     Mirrors :func:`ln_det_int_sql` op for op; whole-stage codegen's
-    subexpression elimination handles the repeated ``z2`` terms."""
-    k = F.col(name)
-    e = F.length(F.bin(k)) - F.lit(1)
-    m = k.cast("double") / F.expr(
-        f"cast(shiftleft(cast(1 as bigint), length(bin({name})) - 1) as double)"
-    )
-    z = (m - F.lit(1.0)) / (m + F.lit(1.0))
-    z2 = z * z
-    horner = F.lit(1.0) + z2 * (
-        F.lit(1.0 / 3.0)
-        + z2
-        * (
-            F.lit(1.0 / 5.0)
-            + z2 * (F.lit(1.0 / 7.0) + z2 * (F.lit(1.0 / 9.0) + z2 * F.lit(1.0 / 11.0)))
-        )
-    )
-    lnm = F.lit(2.0) * (z * horner)
-    return e.cast("double") * F.lit(float(LN2)) + lnm
+    subexpression elimination handles the repeated ``z2`` terms.
+    Composed as ONE F.expr (r13): the Column-API tree issued ~100 py4j
+    round-trips per call site at plan-build time — ~50 call sites
+    across the catalog paid it per invocation."""
+    return F.expr(_ln_det_int_spark_sql(name))
 
 
 def ln_det_int_sql(k: str) -> str:
