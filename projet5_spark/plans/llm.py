@@ -1021,8 +1021,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact ``bit_count`` hamming ≤ 3. Deterministic
     (xxhash64 token hashes, fixed block layout).
     """
+    from ..sources.readers import fixture_rowcount
+
     docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
-    n_docs = docs.count()
+    # footer rowcount (r13): the scale pivot ran a count JOB per
+    # invocation — the r12 footer fast path (mechanism 3) applied here
+    n_docs = fixture_rowcount(spark, sf_dir, "documents", fallback_df=docs)
     n_parts = (
         scaled_wide(spark, n_docs) if n_docs >= _ATTACH_SHJ_MIN_DOCS else None
     )
