@@ -300,10 +300,7 @@ def tfidf_cosine_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         w, _release = parquet_checkpoint(w, label="tfidf-w")
     else:
-        # small path (r13): stay LAZY — exchange reuse covers the three
-        # consumers; interleaved A/B measured the eager localCheckpoint
-        # slower (2.83 vs 2.69 s median)
-        pass
+        w = w.localCheckpoint(eager=True)
     nsq = w.groupBy("doc_id").agg(
         F.sum(F.floor(F.col("w") * F.col("w") * F.lit(1e6)).cast("long"))
         .cast("long")

@@ -131,10 +131,7 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashed_shingle_rows(spark, docs, n_parts=wide), label="cont-sh"
         )
     else:
-        # small path (r13): stay LAZY — exchange reuse covers the four
-        # consumers; interleaved A/B measured the eager localCheckpoint
-        # slower (2.47 vs 2.11 s median, lazy won 4/4 paired rounds)
-        sh = hashed_shingle_rows(spark, docs)
+        sh = hashed_shingle_rows(spark, docs).localCheckpoint(eager=True)
     # the df aggregate's keys are near-unique (most shingles appear
     # once), so its hash state scales with the shingle MASS — widen
     # past AQE coalescing on the big path, like the dedup distinct

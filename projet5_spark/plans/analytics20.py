@@ -160,12 +160,7 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hashed_shingle_rows(spark, docs_t, n_parts=wide), label="ppj-sh"
         )
     else:
-        # small path (r13): stay LAZY — runtime exchange reuse dedupes
-        # the shingle pass across consumers, and the interleaved A/B
-        # measured the eager localCheckpoint slower per invocation
-        # (3.32 vs 3.09 s median; the LC job + block write buys nothing
-        # at a plan this size)
-        tok = hashed_shingle_rows(spark, docs_t)
+        tok = hashed_shingle_rows(spark, docs_t).localCheckpoint(eager=True)
     # df keys are near-unique (most shingles appear once): hash state
     # scales with the shingle MASS, so widen past AQE coalescing on
     # the big path
@@ -202,7 +197,8 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet, not the block cache
     if big:
         docs, _release2 = parquet_checkpoint(docs, label="ppj-docs")
-    # small path: lazy (same A/B as the tok relation above)
+    else:
+        docs = docs.localCheckpoint(eager=True)
     prefix = docs.select(
         "doc_id",
         "n",

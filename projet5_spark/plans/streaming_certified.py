@@ -464,11 +464,16 @@ def streaming_list_state_availablenow(spark: SparkSession, sf_dir: str) -> DataF
     )
     try:
         stream = stream_events(spark, sf_dir)
+        # NO state-partition rule here (r13): this processor's per-key
+        # Python state payload makes the replay COMPUTE-bound in the
+        # worker, and shrinking partitions to the commit-optimal count
+        # starved it (measured list-state 6.8 s at 32 state
+        # partitions vs 33-60 s at 4 across two close runs) — the
+        # cores-matched session default stands
         updates = _drain(
             streaming_user_values_list(stream),
             "st_list",
             output_mode="update",
-            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:
@@ -516,11 +521,16 @@ def streaming_map_state_availablenow(spark: SparkSession, sf_dir: str) -> DataFr
     )
     try:
         stream = stream_events(spark, sf_dir)
+        # NO state-partition rule here (r13): this processor's per-key
+        # Python state payload makes the replay COMPUTE-bound in the
+        # worker, and shrinking partitions to the commit-optimal count
+        # starved it (measured map-state 6.8 s at 32 state
+        # partitions vs 33-60 s at 4 across two close runs) — the
+        # cores-matched session default stands
         updates = _drain(
             streaming_user_type_map(stream),
             "st_map",
             output_mode="update",
-            src_path=f"{sf_dir}/events.parquet",
         )
     finally:
         if prev is None:
